@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: run a registered query
+on Spark AND its oracle SQL on DuckDB over the same parquet tables, then
+compare row count + order-insensitive canonicalized values.
+
+Comparison is EXACT (stringified values) — same discipline the driver's
+value-hash implies — so any float/timestamp/decimal divergence fails here
+first, where we can still fix the query's determinism strategy.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+
+from bucket_to_bigquery_spark.catalog import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(v):
+    """Canonicalize a cell for cross-engine comparison."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"f:{float(v)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    return f"s:{v}"
+
+
+def canon_rows(columns: list[str], rows) -> list[str]:
+    """Sort columns by name, canonicalize every cell, return sorted row strings
+    (order-insensitive multiset compare)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("|".join(canon(row[i]) for i in order) for row in rows)
+
+
+def run_spark_query(qobj, spark, sf_dir: str):
+    df = qobj.builder(spark, sf_dir)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def run_oracle(con, sql: str):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return cols, rows
+
+
+def compare(qname: str, spark, con, sf_dir: str, registry) -> list[str]:
+    """Return a list of human-readable problems (empty = pass)."""
+    q = registry[qname]
+    problems: list[str] = []
+    s_cols, s_rows = run_spark_query(q, spark, sf_dir)
+    if q.oracle is None:
+        if not isinstance(s_rows, list):
+            problems.append("spark query did not return rows")
+        return problems
+    o_cols, o_rows = run_oracle(con, q.oracle)
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
+    s_canon = canon_rows(s_cols, s_rows)
+    o_canon = canon_rows(o_cols, o_rows)
+    if s_canon != o_canon:
+        diffs = [
+            (a, b) for a, b in zip(s_canon, o_canon) if a != b
+        ][:3]
+        only_s = [r for r in s_canon[:2000] if r not in set(o_canon[:2000])][:2]
+        problems.append(
+            f"value mismatch ({sum(1 for a, b in zip(s_canon, o_canon) if a != b)} rows differ); "
+            f"first diffs {diffs!r}; spark-only sample {only_s!r}"
+        )
+    return problems
