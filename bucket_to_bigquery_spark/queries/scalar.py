@@ -1,0 +1,285 @@
+"""Declared scalar-function surface: SURVEY §2.C Q30–Q35 (strings,
+date/time incl. the reference's ``local_time`` expression, math, arrays,
+map/struct, conditionals).
+
+All expressions are Spark built-ins (JVM-side, whole-stage codegen) — no
+UDFs. Transcendentals (ln/exp/pow) are rounded because JVM libm and
+DuckDB's C libm may differ in the final ulp; everything else is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import local_time_col
+from .registry import query, tables
+
+
+@query(
+    "q30_string_funcs",
+    oracle=(
+        "SELECT p_partkey, "
+        "concat(p_brand, '#', p_name) AS full_name, "
+        "substr(p_name, 1, 5) AS name5, "
+        "upper(p_brand) AS brand_up, "
+        "lower(p_type) AS type_lo, "
+        "trim(p_name) AS name_trim, "
+        "replace(p_name, 'a', '@') AS name_repl, "
+        "string_split(p_name, ' ')[1] AS first_word, "
+        "CAST(length(p_name) AS BIGINT) AS name_len, "
+        "(p_type LIKE 'PROMO%') AS is_promo, "
+        "regexp_extract(p_name, '^(\\w+)', 1) AS rex_word, "
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS no_vowels, "
+        "lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad "
+        "FROM part ORDER BY p_partkey"
+    ),
+    description="Q30: string functions over part (B5 superset).",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_name")).alias("full_name"),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.upper("p_brand").alias("brand_up"),
+            F.lower("p_type").alias("type_lo"),
+            F.trim("p_name").alias("name_trim"),
+            F.regexp_replace("p_name", "a", "@").alias("name_repl"),
+            F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.col("p_type").like("PROMO%").alias("is_promo"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("rex_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("no_vowels"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q31_datetime_funcs",
+    oracle=(
+        "SELECT o_orderkey, "
+        "date_trunc('month', o_orderdate) AS month_start, "
+        "CAST(year(o_orderdate) AS BIGINT) AS yr, "
+        "CAST(month(o_orderdate) AS BIGINT) AS mo, "
+        "CAST(day(o_orderdate) AS BIGINT) AS dy, "
+        "CAST(o_orderdate AS DATE) + 7 AS plus_week, "
+        "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95, "
+        "epoch_us(o_orderdate) AS epoch_micros, "
+        "strftime(o_orderdate, '%Y-%m') AS ym "
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    description="Q31: date/time functions over orders (B5 superset).",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+            F.date_add(F.col("o_orderdate").cast("date"), 7).alias("plus_week"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_95"),
+            F.unix_micros("o_orderdate").alias("epoch_micros"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q31b_local_time_ordered_view",
+    oracle=(
+        "SELECT event_id, user_id, event_type, value, "
+        "ts + to_minutes(CAST(round(((user_id % 49) - 24) / 2.0 * 60) AS BIGINT)) AS local_time "
+        "FROM events ORDER BY event_id"
+    ),
+    description=(
+        "Q31b: the reference's `<table>_ordered` view (readme.md:43-48 / "
+        "SURVEY B3/B4/B6): hide raw timestamp+offset, expose local_time = "
+        "timestamp + round(utc_offset*60) minutes. utc_offset derived "
+        "deterministically from user_id (testdata has no offset column)."
+    ),
+)
+def q31b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    offset_hours = (F.col("user_id") % 49 - 24) / 2.0
+    return (
+        t["events"]
+        .withColumn("local_time", local_time_col(F.col("ts"), offset_hours))
+        .drop("ts", "props")  # SELECT * EXCEPT(timestamp, utc_offset) parity
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q32_math_funcs",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "abs(l_discount - 0.05) AS abs_disc, "
+        "round(l_extendedprice, 1) AS price_r1, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, "
+        "CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, "
+        "sqrt(l_quantity) AS qty_sqrt, "
+        "round(pow(l_quantity, 2), 4) AS qty_sq, "
+        "round(ln(l_extendedprice), 6) AS price_ln, "
+        "round(exp(l_discount), 6) AS disc_exp, "
+        "CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign, "
+        "l_orderkey % 7 AS key_mod, "
+        "greatest(l_tax, l_discount) AS hi, "
+        "least(l_tax, l_discount) AS lo "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ),
+    description="Q32: math functions over lineitem (B5 superset).",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+            F.round("l_extendedprice", 1).alias("price_r1"),
+            F.floor("l_extendedprice").cast("long").alias("price_floor"),
+            F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+            F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+            F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+            F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            F.greatest("l_tax", "l_discount").alias("hi"),
+            F.least("l_tax", "l_discount").alias("lo"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q33_array_funcs",
+    oracle=(
+        "SELECT vec_id, "
+        "CAST(len(embedding) AS BIGINT) AS dim, "
+        "embedding[1] AS first_val, "
+        "embedding[1:3] AS head3, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled, "
+        "list_filter(embedding, x -> x > 0) AS positives, "
+        "list_sort(embedding) AS sorted_vals, "
+        "list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero "
+        "FROM embeddings ORDER BY vec_id"
+    ),
+    description="Q33: array / higher-order functions over embeddings.embedding.",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    emb = F.col("embedding")
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.size(emb).cast("long").alias("dim"),
+            F.element_at(emb, 1).alias("first_val"),
+            F.slice(emb, 1, 3).alias("head3"),
+            F.transform(emb, lambda x: x.cast("double") * 2.0).alias("doubled"),
+            F.filter(emb, lambda x: x > 0).alias("positives"),
+            F.sort_array(emb).alias("sorted_vals"),
+            F.array_contains(emb, F.lit(0.0).cast("float")).alias("has_zero"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q33b_vector_norm",
+    oracle=(
+        "SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS norm_sq "
+        "FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) "
+        "GROUP BY vec_id ORDER BY vec_id"
+    ),
+    description=(
+        "Q33b: exact vector norm via explode + decimal-exact sum (the "
+        "order-independent pattern the similarity kernels reuse)."
+    ),
+)
+def q33b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    x = F.col("x").cast("double")
+    return (
+        t["embeddings"]
+        .select("vec_id", F.explode("embedding").alias("x"))
+        .select("vec_id", (x * x).cast("decimal(30,15)").alias("xx"))
+        .groupBy("vec_id")
+        .agg(F.sum("xx").cast("double").alias("norm_sq"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q34_map_struct_funcs",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
+        "json_keys(props) AS prop_keys, "
+        "event_type AS s_type, value AS s_value "
+        "FROM events ORDER BY event_id"
+    ),
+    description=(
+        "Q34: map/struct functions — props parsed to MAP via from_json, "
+        "element_at + map_keys; struct built then field-projected."
+    ),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    s = F.struct(F.col("event_type").alias("t"), F.col("value").alias("v"))
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.element_at(m, "k").alias("k_val"),
+            F.map_keys(m).alias("prop_keys"),
+            s.getField("t").alias("s_type"),
+            s.getField("v").alias("s_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q35_conditional_funcs",
+    oracle=(
+        "SELECT event_id, "
+        "CASE WHEN value < 10 THEN 'low' WHEN value < 50 THEN 'mid' ELSE 'high' END AS bucket, "
+        "coalesce(nullif(event_type, 'error'), 'none') AS type_or_none, "
+        "ifnull(nullif(value, 0.0), -1.0) AS value_or_neg1, "
+        "CASE WHEN nullif(value, 0.0) IS NOT NULL THEN 'Y' ELSE 'N' END AS nvl2_flag "
+        "FROM events ORDER BY event_id"
+    ),
+    description="Q35: CASE WHEN / COALESCE / NULLIF / IFNULL / NVL2.",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    v = F.col("value")
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.when(v < 10, "low").when(v < 50, "mid").otherwise("high").alias("bucket"),
+            F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("none")).alias(
+                "type_or_none"
+            ),
+            F.ifnull(F.nullif(v, F.lit(0.0)), F.lit(-1.0)).alias("value_or_neg1"),
+            F.nvl2(F.nullif(v, F.lit(0.0)), F.lit("Y"), F.lit("N")).alias("nvl2_flag"),
+        )
+        .orderBy("event_id")
+    )
