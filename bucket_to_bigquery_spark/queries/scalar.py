@@ -63,7 +63,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_datetime_funcs",
     oracle=(
         "SELECT o_orderkey, "
-        "date_trunc('month', o_orderdate) AS month_start, "
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, "
         "CAST(year(o_orderdate) AS BIGINT) AS yr, "
         "CAST(month(o_orderdate) AS BIGINT) AS mo, "
         "CAST(day(o_orderdate) AS BIGINT) AS dy, "
@@ -81,7 +81,10 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .select(
             "o_orderkey",
-            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            # date-typed on both engines: DuckDB's date_trunc over a timestamp
+            # yields TIMESTAMP too, but month boundaries are civil dates — cast
+            # both sides so the comparison is type-stable.
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
             F.year("o_orderdate").cast("long").alias("yr"),
             F.month("o_orderdate").cast("long").alias("mo"),
             F.dayofmonth("o_orderdate").cast("long").alias("dy"),
@@ -89,7 +92,10 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
             .cast("long")
             .alias("days_since_95"),
-            F.unix_micros("o_orderdate").alias("epoch_micros"),
+            # cast is a no-op once the catalog reads this column as TIMESTAMP
+            # (session.py inferTimestampNTZ=false) but keeps the query valid
+            # even on a session where that conf is locked (NTZ input).
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("epoch_micros"),
             F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         )
         .orderBy("o_orderkey")
@@ -165,20 +171,44 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arr_str(col):  # array<float-ish> -> "i,i,..." of round(x*1e6) bigints
+    """Serialize a float array deterministically for cross-engine hashing.
+
+    The driver's value-hash canonicalizes results through pandas, which cannot
+    hash ndarray cells — so array outputs must leave the engine as strings.
+    Scaled-integer formatting (round(x*1e6) as bigint) sidesteps float-to-text
+    divergence between the JVM and DuckDB.
+    """
+    return F.array_join(
+        F.transform(col, lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string")),
+        ",",
+    )
+
+
+def _arr_str_sql(expr: str) -> str:
+    return (
+        f"array_to_string(list_transform({expr}, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), ',')"
+    )
+
+
 @query(
     "q33_array_funcs",
     oracle=(
         "SELECT vec_id, "
         "CAST(len(embedding) AS BIGINT) AS dim, "
-        "embedding[1] AS first_val, "
-        "embedding[1:3] AS head3, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled, "
-        "list_filter(embedding, x -> x > 0) AS positives, "
-        "list_sort(embedding) AS sorted_vals, "
+        "CAST(embedding[1] AS DOUBLE) AS first_val, "
+        f"{_arr_str_sql('embedding[1:3]')} AS head3, "
+        f"{_arr_str_sql('list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)')} AS doubled, "
+        f"{_arr_str_sql('list_filter(embedding, x -> x > 0)')} AS positives, "
+        f"{_arr_str_sql('list_sort(embedding)')} AS sorted_vals, "
         "list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero "
         "FROM embeddings ORDER BY vec_id"
     ),
-    description="Q33: array / higher-order functions over embeddings.embedding.",
+    description=(
+        "Q33: array / higher-order functions over embeddings.embedding. "
+        "Array outputs serialized to scaled-int strings (driver-hashable)."
+    ),
 )
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -188,11 +218,11 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.size(emb).cast("long").alias("dim"),
-            F.element_at(emb, 1).alias("first_val"),
-            F.slice(emb, 1, 3).alias("head3"),
-            F.transform(emb, lambda x: x.cast("double") * 2.0).alias("doubled"),
-            F.filter(emb, lambda x: x > 0).alias("positives"),
-            F.sort_array(emb).alias("sorted_vals"),
+            F.element_at(emb, 1).cast("double").alias("first_val"),
+            _arr_str(F.slice(emb, 1, 3)).alias("head3"),
+            _arr_str(F.transform(emb, lambda x: x.cast("double") * 2.0)).alias("doubled"),
+            _arr_str(F.filter(emb, lambda x: x > 0)).alias("positives"),
+            _arr_str(F.sort_array(emb)).alias("sorted_vals"),
             F.array_contains(emb, F.lit(0.0).cast("float")).alias("has_zero"),
         )
         .orderBy("vec_id")
@@ -202,13 +232,17 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q33b_vector_norm",
     oracle=(
-        "SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS norm_sq "
+        "SELECT vec_id, SUM(CAST(round((x * x) * 1e12) AS BIGINT)) AS norm_sq_e12 "
         "FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) "
         "GROUP BY vec_id ORDER BY vec_id"
     ),
     description=(
-        "Q33b: exact vector norm via explode + decimal-exact sum (the "
-        "order-independent pattern the similarity kernels reuse)."
+        "Q33b: exact vector norm via explode + order-independent integer sum. "
+        "Each term is the SAME IEEE double on both engines ((x*x)*1e12 — "
+        "deterministic fp ops), rounded to an exact BIGINT, so the sum is "
+        "bit-stable regardless of partial-aggregation order. A double→DECIMAL "
+        "cast is NOT cross-engine stable (1-ulp rounding divergence) — the "
+        "similarity kernels reuse this scaled-int pattern instead."
     ),
 )
 def q33b(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,9 +251,9 @@ def q33b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["embeddings"]
         .select("vec_id", F.explode("embedding").alias("x"))
-        .select("vec_id", (x * x).cast("decimal(30,15)").alias("xx"))
+        .select("vec_id", F.round((x * x) * F.lit(1e12)).cast("long").alias("xx"))
         .groupBy("vec_id")
-        .agg(F.sum("xx").cast("double").alias("norm_sq"))
+        .agg(F.sum("xx").alias("norm_sq_e12"))
         .orderBy("vec_id")
     )
 
@@ -229,7 +263,7 @@ def q33b(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT event_id, "
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
-        "json_keys(props) AS prop_keys, "
+        "array_to_string(list_sort(json_keys(props)), ',') AS prop_keys, "
         "event_type AS s_type, value AS s_value "
         "FROM events ORDER BY event_id"
     ),
@@ -247,7 +281,10 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             F.element_at(m, "k").alias("k_val"),
-            F.map_keys(m).alias("prop_keys"),
+            # sorted + joined: key order out of a JSON parse is document order
+            # on both engines, but sorting makes that a non-dependency — and
+            # the driver's pandas hasher needs a string, not an ndarray.
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
             s.getField("t").alias("s_type"),
             s.getField("v").alias("s_value"),
         )

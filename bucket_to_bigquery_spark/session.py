@@ -31,6 +31,12 @@ RUNTIME_CONFS = {
     # Spark's converter; read as int64 nanos and let the catalog rebuild a
     # microsecond timestamp (truncation — same as DuckDB's ns→us behavior).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet isAdjustedToUTC=false columns (testdata orders.o_orderdate,
+    # lineitem dates) otherwise surface as TIMESTAMP_NTZ, which half the
+    # timestamp builtins (unix_micros, ...) reject. With the session TZ
+    # pinned UTC, reading them as TIMESTAMP is value-identical AND keeps
+    # filter pushdown intact (no cast wrapping the scan column).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

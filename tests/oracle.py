@@ -59,6 +59,25 @@ def canon_rows(columns: list[str], rows) -> list[str]:
     return sorted("|".join(canon(row[i]) for i in order) for row in rows)
 
 
+def driver_canon_check(columns: list[str], rows) -> str | None:
+    """Replicate the DRIVER's canonicalization path (pandas sort_values over
+    all columns) and return an error string if it would die there.
+
+    The driver hashes results through pandas; ndarray/list/dict cells are
+    unhashable in ``sort_values`` and turned q33/q34 into errors in round 1
+    even though the local list-aware canon() passed. Parity means parity.
+    """
+    import pandas as pd
+
+    try:
+        df = pd.DataFrame(list(rows), columns=columns)
+        df = df.reindex(sorted(df.columns), axis=1)
+        df.sort_values(by=list(df.columns), ignore_index=True)
+    except Exception as e:  # noqa: BLE001
+        return f"driver canonicalization would fail: {type(e).__name__}: {e}"
+    return None
+
+
 def run_spark_query(qobj, spark, sf_dir: str):
     df = qobj.builder(spark, sf_dir)
     cols = df.columns
@@ -78,6 +97,9 @@ def compare(qname: str, spark, con, sf_dir: str, registry) -> list[str]:
     q = registry[qname]
     problems: list[str] = []
     s_cols, s_rows = run_spark_query(q, spark, sf_dir)
+    canon_err = driver_canon_check(s_cols, s_rows)
+    if canon_err:
+        problems.append(canon_err)
     if q.oracle is None:
         if not isinstance(s_rows, list):
             problems.append("spark query did not return rows")
