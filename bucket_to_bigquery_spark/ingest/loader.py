@@ -1,0 +1,370 @@
+"""Batch CSV loader — the reference's load pipeline, Spark-native.
+
+Reproduces ``loadJobsFromTaskInfos`` + ``launchLoadJobs`` +
+``storeJobsFilesAsImported`` (BucketToBigQuery.js:248-397, driven from
+index.js:71-89) with one deliberate upgrade: files are recorded in
+``<table>_imported`` only AFTER the data write succeeds, fixing the
+reference's mark-after-launch hazard (SURVEY §3 step 8 — a failed BigQuery
+load job's files were never retried because they were audited at launch).
+
+Load-option parity (BucketToBigQuery.js:334-339):
+
+======================  =====================================================
+reference option         Spark mapping
+======================  =====================================================
+sourceFormat CSV         ``spark.read.csv``
+skipLeadingRows 1        ``header=True`` (with explicit schema: skip line 1)
+allowJaggedRows          PERMISSIVE null-fills missing trailing columns
+allowQuotedNewlines      ``multiLine=True``
+ignoreUnknownValues      extra trailing tokens dropped, row kept (see below)
+maxBadRecords 0          corrupt-record count must be 0 or the load raises
+explicit schema          widest sniffed headers, manifest-typed prefix +
+                         float-typed suffix (schema_registry.expand_schema)
+==========================================================================
+
+Scale notes (100 TB target): the driver only touches file *names* and 4 KB
+header sniffs; all row data moves executor-side through one
+``spark.read.csv`` over the whole batch (the reference likewise builds ONE
+load job per task, SURVEY §4 "Batching"). The ``_imported`` anti-join is a
+predicate-pushed scan of the audit table filtered to the batch's URIs —
+never a full-table collect.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from ..session import tune
+from .manifest import Field, Manifest, Task
+from .schema_registry import (
+    SchemaCompatError,
+    build_struct,
+    expand_schema,
+    infer_partition_field,
+    sniff_file_headers,
+)
+
+_PDATE = "__pdate"  # internal DAY-partition column (invisible on read_table)
+
+
+def glob_match(path: str, pattern: str) -> bool:
+    """minimatch-parity glob (BucketToBigQuery.js:240; readme.md:32):
+    ``**`` spans zero or more whole path segments, ``*``/``?`` stay within
+    one segment. (Python's fnmatch treats ``**`` as ``*`` and cannot match
+    the zero-segment case of ``a/**/b.csv`` → ``a/b.csv``.)"""
+    rx = ""
+    i = 0
+    while i < len(pattern):
+        if pattern.startswith("**/", i):
+            rx, i = rx + r"(?:.*/)?", i + 3
+        elif pattern.startswith("**", i):
+            rx, i = rx + r".*", i + 2
+        elif pattern[i] == "*":
+            rx, i = rx + r"[^/]*", i + 1
+        elif pattern[i] == "?":
+            rx, i = rx + r"[^/]", i + 1
+        else:
+            rx, i = rx + re.escape(pattern[i]), i + 1
+    return re.fullmatch(rx, path) is not None
+
+AUDIT_SCHEMA = StructType(
+    [  # index.js:73 — `<table>_imported (imported_at timestamp, uri string)`
+        StructField("imported_at", TimestampType(), True),
+        StructField("uri", StringType(), True),
+    ]
+)
+
+
+@dataclass
+class LoadReport:
+    """What one task's load did — the observable the golden tests assert."""
+
+    table: str
+    job_id: str
+    files_seen: list[str] = dc_field(default_factory=list)
+    files_already_imported: list[str] = dc_field(default_factory=list)
+    files_loaded: list[str] = dc_field(default_factory=list)
+    rows_loaded: int = 0
+    schema_fields: list[Field] = dc_field(default_factory=list)
+    expanded_fields: list[Field] = dc_field(default_factory=list)
+    partition_field: str | None = None
+
+
+class BatchLoader:
+    """Warehouse-rooted loader: each task's table lives at
+    ``<warehouse>/<dataset>.<table>/`` with ``data/`` (parquet, optionally
+    DAY-partitioned), ``_schema.json`` (ordered field registry — the
+    BigQuery table-metadata analog), and ``_imported/`` (audit parquet).
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 job_id_seed: str | None = None,
+                 allow_quoted_newlines: bool = False):
+        self.spark = tune(spark)
+        self.warehouse = warehouse
+        self._job_id_seed = job_id_seed  # deterministic seam for tests (A18)
+        # The reference hardcodes allowQuotedNewlines:true (js:337). Spark's
+        # equivalent (multiLine=True) makes every CSV file single-split —
+        # one task per file regardless of size, a 100 TB parallelism killer —
+        # and locks univocity onto the first line separator it sees, breaking
+        # the mixed \r\n|\r|\n files the reference tolerates (js:128). We
+        # default to splittable newline-delimited reads and expose the exact
+        # reference behavior as an opt-in for data that truly embeds
+        # newlines inside quotes.
+        self.allow_quoted_newlines = allow_quoted_newlines
+
+    # -- paths / metadata ---------------------------------------------------
+
+    def _root(self, task: Task) -> str:
+        return os.path.join(self.warehouse, task.qualified_table)
+
+    def _data_path(self, task: Task) -> str:
+        return os.path.join(self._root(task), "data")
+
+    def _audit_path(self, task: Task) -> str:
+        return os.path.join(self._root(task), "_imported")
+
+    def _schema_path(self, task: Task) -> str:
+        return os.path.join(self._root(task), "_schema.json")
+
+    def _load_registry(self, task: Task) -> tuple[list[Field], str | None] | None:
+        try:
+            with open(self._schema_path(task)) as fh:
+                raw = json.load(fh)
+            return ([Field(f["name"], f["type"]) for f in raw["fields"]],
+                    raw.get("partition_field"))
+        except OSError:
+            return None
+
+    def _save_registry(self, task: Task, fields: list[Field],
+                       partition_field: str | None) -> None:
+        os.makedirs(self._root(task), exist_ok=True)
+        with open(self._schema_path(task), "w") as fh:
+            json.dump(
+                {"fields": [{"name": f.name, "type": f.type} for f in fields],
+                 "partition_field": partition_field},
+                fh,
+            )
+
+    def _job_id(self, prefix: str, task_index: int) -> str:
+        """A18 (BucketToBigQuery.js:225,230):
+        ``<prefix><random>__<utc yyyyMMdd'T'HHmmssSSS>__<taskIndex>``."""
+        rand = self._job_id_seed or uuid.uuid4().hex[:12]
+        stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime()) + "000"
+        return f"{prefix}{rand}__{stamp}__{task_index}"
+
+    # -- file resolution ----------------------------------------------------
+
+    @staticmethod
+    def resolve_files(task: Task, candidate_files: list[str] | None = None) -> list[str]:
+        """Files for a task: either glob the source patterns (batch mode) or
+        match injected candidates against them (the event-driven path —
+        ``minimatch`` over notification URIs, BucketToBigQuery.js:237-240;
+        mock seam per index.js:49-50). Sorted for determinism."""
+        out: set[str] = set()
+        for pattern in task.sources:
+            if candidate_files is None:
+                out.update(glob.glob(pattern, recursive=True))
+            else:
+                out.update(f for f in candidate_files if glob_match(f, pattern))
+        return sorted(out)
+
+    # -- schema resolution --------------------------------------------------
+
+    def _widest_headers(self, files: list[str]) -> list[str] | None:
+        """First parseable + last parseable file; LONGER header list wins
+        (BucketToBigQuery.js:256-282 — assumes columns only ever grow, so
+        sniffing every file is unnecessary; each sniff reads ≤4 KB)."""
+        first = None
+        for f in files:
+            if first := sniff_file_headers(f):
+                break
+        if not first:
+            return None
+        last = None
+        if len(files) > 1:
+            for f in reversed(files):
+                if last := sniff_file_headers(f):
+                    break
+        return first if not last or len(first) >= len(last) else last
+
+    def _resolve_schema(self, task: Task, headers: list[str]) -> tuple[
+            list[Field], list[Field], str | None]:
+        """→ (fields, newly_added, partition_field); raises SchemaCompatError
+        on positional incompatibility (BucketToBigQuery.js:291-321)."""
+        existing = self._load_registry(task)
+        if existing is not None:
+            fields, partition_field = existing
+            resolved = expand_schema(fields, headers, context="table")
+            return resolved, resolved[len(fields):], partition_field
+        # New table: manifest fields must be a positional prefix of headers.
+        resolved = expand_schema(task.fields, headers, context="manifest")
+        if task.partition_field_given:
+            partition_field = task.time_partitioning_field  # explicit or null
+        else:
+            partition_field = infer_partition_field(resolved)
+        return resolved, resolved[len(task.fields):], partition_field
+
+    # -- idempotency --------------------------------------------------------
+
+    def files_already_imported(self, task: Task, files: list[str]) -> list[str]:
+        """``checkFilesImported`` (BucketToBigQuery.js:384-388): DISTINCT
+        uri within the candidate batch. The filter is pushed into the audit
+        scan; only the (bounded) batch's matches reach the driver."""
+        path = self._audit_path(task)
+        if not os.path.isdir(path):
+            return []
+        hit = (
+            self.spark.read.schema(AUDIT_SCHEMA).parquet(path)
+            .where(F.col("uri").isin(files))
+            .select("uri").distinct().collect()
+        )
+        return sorted(r["uri"] for r in hit)
+
+    def store_as_imported(self, task: Task, files: list[str]) -> None:
+        """``storeAsImported`` (BucketToBigQuery.js:390-397). Timestamps are
+        second-precision naive UTC — the reference writes
+        ``yyyy-MM-dd HH:mm:ss`` strings for Excel compatibility."""
+        now = F.date_trunc("second", F.current_timestamp())
+        df = (
+            self.spark.createDataFrame([(f,) for f in files], ["uri"])
+            .select(now.alias("imported_at"), "uri")
+        )
+        df.write.mode("append").parquet(self._audit_path(task))
+
+    # -- the load -----------------------------------------------------------
+
+    def _read_csv(self, files: list[str], fields: list[Field]) -> DataFrame:
+        """Read the batch with reference load-option parity.
+
+        Every column is read as STRING, then ``try_cast`` to its manifest
+        type. This separates the three malformed-row cases exactly as the
+        reference's load options do: short rows null-fill (allowJaggedRows),
+        extra trailing tokens are dropped with the row kept
+        (ignoreUnknownValues), and only a *value that fails its typed cast*
+        counts against ``maxBadRecords`` — Spark's own PERMISSIVE corrupt
+        marker can't make that distinction (it flags all three).
+        """
+        raw_schema = StructType(
+            [StructField(f.name, StringType(), True) for f in fields]
+        )
+        return (
+            self.spark.read.schema(raw_schema)
+            .option("header", True)          # skipLeadingRows: 1
+            .option("multiLine", self.allow_quoted_newlines)
+            .option("mode", "PERMISSIVE")    # allowJaggedRows → null-fill
+            .csv(files)
+        )
+
+    def load_task(self, task: Task, task_index: int = 0, job_id_prefix: str = "",
+                  candidate_files: list[str] | None = None) -> LoadReport:
+        report = LoadReport(table=task.qualified_table,
+                            job_id=self._job_id(job_id_prefix, task_index))
+        files = self.resolve_files(task, candidate_files)
+        report.files_seen = files
+        if not files:
+            return report
+
+        headers = self._widest_headers(files)
+        if headers is None:  # no parseable file → skip task (js:263-264)
+            return report
+
+        fields, added, partition_field = self._resolve_schema(task, headers)
+        report.schema_fields, report.expanded_fields = fields, added
+        report.partition_field = partition_field
+
+        report.files_already_imported = self.files_already_imported(task, files)
+        to_load = sorted(set(files) - set(report.files_already_imported))
+        report.files_loaded = to_load
+        if not to_load:
+            return report
+
+        raw = self._read_csv(to_load, fields)
+        # A cell is BAD iff its raw text is present but fails the typed cast
+        # (try_cast → NULL). One aggregate pass yields both the row count and
+        # the maxBadRecords=0 validation, before anything is written.
+        from .schema_registry import spark_type
+
+        typed_cols = [F.col(f.name).try_cast(spark_type(f.type)).alias(f.name)
+                      for f in fields]
+        bad_row = F.lit(False)
+        for f in fields:
+            bad_row = bad_row | (
+                F.col(f.name).isNotNull()
+                & F.col(f.name).try_cast(spark_type(f.type)).isNull()
+            )
+        n_rows, n_bad = raw.select(
+            F.count(F.lit(1)), F.count(F.when(bad_row, 1))
+        ).first()
+        if n_bad:
+            sample = raw.where(bad_row).first()
+            raise ValueError(
+                f"maxBadRecords=0 exceeded: {n_bad} unparseable row(s); "
+                f"first: {sample.asDict()!r}"
+            )
+        data = raw.select(*typed_cols)
+
+        writer = data
+        if partition_field:
+            # DAY time-partitioning (BucketToBigQuery.js:350-354): an internal
+            # date column drives the layout; read_table() hides it, and date
+            # predicates on <partition_field> prune directories (B7).
+            writer = data.withColumn(_PDATE, F.to_date(F.col(partition_field)))
+            writer.write.mode("append").partitionBy(_PDATE).parquet(self._data_path(task))
+        else:
+            writer.write.mode("append").parquet(self._data_path(task))
+        report.rows_loaded = n_rows
+
+        self._save_registry(task, fields, partition_field)
+        self.store_as_imported(task, to_load)  # AFTER the successful write
+        return report
+
+    def run(self, manifest: Manifest,
+            candidate_files: list[str] | None = None) -> list[LoadReport]:
+        """The ``loadCreatedFiles`` driver loop (index.js:37-98), batch mode."""
+        return [
+            self.load_task(t, i, manifest.job_id_prefix, candidate_files)
+            for i, t in enumerate(manifest.tasks)
+        ]
+
+    # -- read side ----------------------------------------------------------
+
+    def read_table(self, task: Task) -> DataFrame:
+        """The loaded table as users see it (partition plumbing hidden —
+        BigQuery DAY partitioning adds no visible column).
+
+        Reads with the REGISTRY schema, not footer sampling: after a schema
+        expansion, files written before the expansion lack the new float
+        columns, and the explicit schema null-fills them (the BigQuery
+        behavior) without the cost of ``mergeSchema`` footer unioning.
+        """
+        reg = self._load_registry(task)
+        reader = self.spark.read
+        if reg is not None:
+            reader = reader.schema(build_struct(reg[0]))
+        df = reader.parquet(self._data_path(task))
+        return df.drop(_PDATE) if _PDATE in df.columns else df
+
+    def read_table_partitioned(self, task: Task) -> DataFrame:
+        """Same, with the partition column exposed (for pruning queries)."""
+        reg = self._load_registry(task)
+        reader = self.spark.read
+        if reg is not None and reg[1]:
+            reader = reader.schema(build_struct(reg[0]).add(_PDATE, "date", True))
+        return reader.parquet(self._data_path(task))
+
+    def read_audit(self, task: Task) -> DataFrame:
+        return self.spark.read.schema(AUDIT_SCHEMA).parquet(self._audit_path(task))
+
+
+__all__ = ["BatchLoader", "LoadReport", "AUDIT_SCHEMA", "SchemaCompatError"]

@@ -1,0 +1,162 @@
+"""Q4 — the ingest pipeline as a declared, oracle-checked query surface.
+
+These queries run the ACTUAL reference pipeline (manifest → CSV batch →
+positional schema → DAY-partitioned append → ``_imported`` audit,
+SURVEY §2.A A13-A15 / §2.C Q4) against the driver's ``orders`` table:
+orders is exported to CSV files once per sf_dir, ingested through
+:class:`~bucket_to_bigquery_spark.ingest.BatchLoader` TWICE (the second
+run must be a no-op — idempotency is part of the checked semantics), and
+the read-back table is compared against DuckDB reading the original
+parquet. A hash match proves the whole CSV→typed→partitioned round trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest import BatchLoader, parse_manifest
+from .registry import dsum, dsum_sql, query, tables
+from .relational import _materialize_once, _scratch
+
+_ORDERS_FIELDS = [
+    {"name": "o_orderkey", "type": "integer"},
+    {"name": "o_custkey", "type": "integer"},
+    {"name": "o_orderstatus", "type": "string"},
+    {"name": "o_totalprice", "type": "float"},
+    {"name": "o_orderdate", "type": "timestamp"},
+    {"name": "o_orderpriority", "type": "string"},
+]
+
+
+def _ingest_manifest(base: str) -> dict:
+    return {
+        "project": "b2bqs",
+        "jobIdPrefix": "q04__",
+        "tasks": [
+            {
+                "sources": [f"{base}/src/**/*.csv"],
+                "dataset": "wh",
+                "table": "orders_ing",
+                "fields": _ORDERS_FIELDS,
+                "timePartitioningField": "o_orderdate",
+            }
+        ],
+    }
+
+
+def _ingested_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, object]:
+    """Materialize the ingested warehouse once per sf_dir; always return a
+    loader + task handle over it. Everything inside the materializer is the
+    pipeline under test; repeat builder invocations only read."""
+    base = _scratch("q04_ingest", sf_dir)
+    manifest = parse_manifest(_ingest_manifest(base))
+    task = manifest.tasks[0]
+
+    def _build(_p: str) -> None:
+        t = tables(spark, sf_dir)
+        # source batch: orders as CSV split across files/folders (the
+        # many-files-per-task shape the reference batches into one job)
+        (
+            t["orders"]
+            .withColumn("__bucket", (F.col("o_orderkey") % 4).cast("int"))
+            .repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .option("header", True)
+            .csv(f"{base}/src")
+        )
+        loader = BatchLoader(spark, f"{base}/warehouse")
+        r1, = loader.run(manifest)
+        assert r1.rows_loaded > 0, "ingest loaded nothing"
+        r2, = loader.run(manifest)  # idempotent reload: MUST be a no-op
+        assert r2.files_loaded == [] and r2.rows_loaded == 0, (
+            f"reload was not idempotent: {r2.files_loaded}"
+        )
+
+    _materialize_once(base, lambda p: _build(p))
+    return BatchLoader(spark, f"{base}/warehouse"), task
+
+
+_Q04_ORACLE_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+)
+
+
+@query(
+    "q04_ingest_partitioned_sink",
+    oracle=(
+        f"SELECT {_Q04_ORACLE_COLS} FROM orders ORDER BY o_orderkey"
+    ),
+    description=(
+        "Q4: full ingest round trip — manifest-driven CSV batch load into a "
+        "DAY-partitioned parquet table with _imported audit, run twice "
+        "(second run no-op), read back. Hash-match vs the original table "
+        "proves CSV→typed-cast→partitioned-append semantics end to end."
+    ),
+    tags=("ingest",),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loader, task = _ingested_loader(spark, sf_dir)
+    return (
+        loader.read_table(task)
+        .select(*[c.strip() for c in _Q04_ORACLE_COLS.split(",")])
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q04b_imported_audit",
+    oracle=None,  # audit timestamps are wall-clock; rows-only check
+    description=(
+        "Q4b: the <table>_imported audit table (A15): one row per loaded "
+        "source file, second run added none. Timestamps are load-time wall "
+        "clock, so the driver records a rows-only check; the pytest golden "
+        "test asserts exact per-file audit behavior."
+    ),
+    tags=("ingest",),
+)
+def q04b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loader, task = _ingested_loader(spark, sf_dir)
+    return (
+        loader.read_audit(task)
+        .select("uri")
+        .orderBy("uri")
+    )
+
+
+@query(
+    "q04c_partition_pruned_scan",
+    oracle=(
+        "SELECT CAST(o_orderdate AS DATE) AS order_date, "
+        "COUNT(*) AS n_orders, "
+        + dsum_sql("o_totalprice", "total_price")
+        + " FROM orders WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' "
+        "AND DATE '1995-03-31' GROUP BY order_date ORDER BY order_date"
+    ),
+    description=(
+        "Q4c (B7/B9): a date-range query over the DAY-partitioned ingested "
+        "table. The predicate lands on the partition column, so the scan "
+        "reads only matching __pdate=... directories — "
+        "tests/test_ingest_queries.py asserts PartitionFilters in the "
+        "physical plan (readme.md:38-41, the reference's headline claim)."
+    ),
+    tags=("ingest", "pruning"),
+)
+def q04c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loader, task = _ingested_loader(spark, sf_dir)
+    df = loader.read_table_partitioned(task)
+    return (
+        df.where(F.col("__pdate").between("1995-01-01", "1995-03-31"))
+        .groupBy(F.col("__pdate").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .orderBy("order_date")
+    )
+
+
+__all__ = ["q04", "q04b", "q04c"]
