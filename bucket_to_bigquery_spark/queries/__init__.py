@@ -11,6 +11,7 @@ from __future__ import annotations
 from . import relational  # noqa: F401
 from . import scalar  # noqa: F401
 from . import ingest_queries  # noqa: F401
+from . import streaming_queries  # noqa: F401
 from .registry import REGISTRY, Query
 
 

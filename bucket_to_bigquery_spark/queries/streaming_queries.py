@@ -1,0 +1,243 @@
+"""Q36-Q41 — the declared streaming surface (SURVEY §2.C), oracle-checked.
+
+Every query streams the ``events`` table from a multi-file parquet source
+dir (materialized once per sf_dir) under ``Trigger.AvailableNow`` and
+finalizes the sink contents deterministically. The DuckDB oracle states the
+batch-equivalent SQL — for windowed aggregations that's exact; for the
+append-mode watermark query the oracle mirrors Spark's emission rule
+(verified empirically: a window is emitted iff
+``window_end <= max(event_time) - delay``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming import ingest_stream, run_stream_to_memory
+from .registry import dsum, dsum_sql, query
+from .relational import _materialize_once, _scratch
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A streaming view of ``events``: the table split into 8 parquet files
+    (micro-batch-able arrivals), ts already microsecond timestamps."""
+    base = _scratch("stream_events", sf_dir)
+    _materialize_once(
+        base,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(8)
+        .write.parquet(f"{p}/data"),
+    )
+    schema = spark.read.parquet(f"{base}/data").schema
+    return spark.readStream.schema(schema).parquet(f"{base}/data")
+
+
+def _win_cols():
+    return (
+        F.col("window.start").alias("w_start"),
+        F.col("window.end").alias("w_end"),
+    )
+
+
+@query(
+    "q36_tumbling_window",
+    oracle=(
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, "
+        "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end, "
+        "event_type, COUNT(*) AS n, " + dsum_sql("value", "total")
+        + " FROM events GROUP BY w_start, w_end, event_type "
+        "ORDER BY w_start, event_type"
+    ),
+    description=(
+        "Q36: streaming tumbling-window count/sum per hour × event_type. "
+        "Complete mode for the finite oracle run; production uses "
+        "append+watermark (q39) so window state is evicted."
+    ),
+    tags=("streaming",),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    )
+    return (
+        run_stream_to_memory(agg, "complete")
+        .select(*_win_cols(), "event_type", "n", "total")
+        .orderBy("w_start", "event_type")
+    )
+
+
+@query(
+    "q37_sliding_window",
+    oracle=(
+        # an event at t belongs to the 4 hour-long windows starting at
+        # bucket15(t) - k*15min, k=0..3 — same epoch alignment as Spark's
+        "WITH shifted AS (SELECT ts, value, "
+        "time_bucket(INTERVAL '15 minutes', ts) - o.k * INTERVAL '15 minutes' AS w_start "
+        "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) o) "
+        "SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, "
+        "COUNT(*) AS n, " + dsum_sql("value", "total")
+        + " FROM shifted GROUP BY w_start ORDER BY w_start"
+    ),
+    description="Q37: sliding window (1 hour window, 15 minute slide).",
+    tags=("streaming",),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    )
+    return (
+        run_stream_to_memory(agg, "complete")
+        .select(*_win_cols(), "n", "total")
+        .orderBy("w_start")
+    )
+
+
+@query(
+    "q38_session_window",
+    oracle=(
+        # gaps-and-islands: a new session starts when the gap from the
+        # previous event of the same user exceeds 30 minutes; Spark's
+        # session_window end = last event + gap
+        "WITH marked AS (SELECT user_id, ts, value, "
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "<= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session "
+        "FROM events), numbered AS (SELECT *, SUM(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM marked) "
+        "SELECT user_id, MIN(ts) AS s_start, "
+        "MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n, "
+        + dsum_sql("value", "total")
+        + " FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start"
+    ),
+    description=(
+        "Q38: session windows per user with a 30-minute inactivity gap "
+        "(session_window — state merges adjacent sessions executor-side)."
+    ),
+    tags=("streaming",),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    )
+    return (
+        run_stream_to_memory(agg, "complete")
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n",
+            "total",
+        )
+        .orderBy("user_id", "s_start")
+    )
+
+
+@query(
+    "q39_watermark_append",
+    oracle=(
+        # append mode emits a window iff w_end <= final watermark
+        # (= max(ts) - 1h; single AvailableNow batch → nothing dropped
+        # mid-stream, verified emission rule incl. the <= boundary)
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, "
+        "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end, "
+        "COUNT(*) AS n FROM events "
+        "GROUP BY w_start, w_end "
+        "HAVING w_end <= (SELECT max(ts) - INTERVAL '1 hour' FROM events) "
+        "ORDER BY w_start"
+    ),
+    description=(
+        "Q39: watermarked tumbling count in APPEND mode — only windows the "
+        "watermark has closed are emitted; open tail windows stay in state. "
+        "This is the production shape (bounded state at 100 TB: eviction "
+        "follows the watermark)."
+    ),
+    tags=("streaming",),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        run_stream_to_memory(agg, "append")
+        .select(*_win_cols(), "n")
+        .orderBy("w_start")
+    )
+
+
+@query(
+    "q40_stream_dedup",
+    oracle=(
+        "SELECT event_id, user_id, event_type, ts, value FROM events "
+        "ORDER BY event_id"
+    ),
+    description=(
+        "Q40: stateful streaming dedup — the source is unioned with itself "
+        "(every event delivered twice, the PubSub redelivery case) and "
+        "dropDuplicatesWithinWatermark collapses it back to exactly-once. "
+        "WithinWatermark bounds state by event time (plain dropDuplicates "
+        "retains every key forever — unusable at 100 TB)."
+    ),
+    tags=("streaming",),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    doubled = s.unionAll(s)  # at-least-once delivery, simulated
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return run_stream_to_memory(deduped, "append").orderBy("event_id")
+
+
+@query(
+    "q41_exactly_once_file_ingest",
+    oracle=(
+        "SELECT event_id, user_id, event_type, ts, value FROM events "
+        "ORDER BY event_id"
+    ),
+    description=(
+        "Q41: checkpointed file-source ingest run in two arrival phases "
+        "plus an idempotent re-run — each file processed exactly once "
+        "across runs (checkpoint log = the reference's _imported table, "
+        "commit = ack, without the mark-after-launch hazard). The sink "
+        "content equals the source exactly: no loss, no duplication."
+    ),
+    tags=("streaming",),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch("q41_ingest", sf_dir)
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+
+    def _build(p: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        # phase 1: half the files arrive
+        ev.where(F.col("event_id") % 2 == 0).repartition(4).write.parquet(
+            f"{p}/src", mode="append"
+        )
+        schema = spark.read.parquet(f"{p}/src").schema
+        ingest_stream(spark, f"{p}/src", schema, f"{p}/sink", f"{p}/ckpt")
+        # phase 2: the rest arrive; same checkpoint → only new files load
+        ev.where(F.col("event_id") % 2 == 1).repartition(4).write.parquet(
+            f"{p}/src", mode="append"
+        )
+        ingest_stream(spark, f"{p}/src", schema, f"{p}/sink", f"{p}/ckpt")
+        # re-run with nothing new: MUST be a no-op (exactly-once across runs)
+        ingest_stream(spark, f"{p}/src", schema, f"{p}/sink", f"{p}/ckpt")
+
+    _materialize_once(base, _build)
+    return spark.read.parquet(f"{base}/sink").select(*cols).orderBy("event_id")
+
+
+__all__ = ["q36", "q37", "q38", "q39", "q40", "q41"]
