@@ -12,6 +12,7 @@ from . import relational  # noqa: F401
 from . import scalar  # noqa: F401
 from . import ingest_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import udf_queries  # noqa: F401
 from .registry import REGISTRY, Query
 
 
