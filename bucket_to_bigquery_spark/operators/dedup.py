@@ -1,0 +1,238 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.C
+Q46-Q47; BASELINE north star).
+
+Four methods, each with a different cost/recall point:
+
+- **Exact** (`exact_dedup_groups`): sha256 over normalized text, hash
+  group-by. One shuffle on a 32-byte key; the canonical first pass at any
+  scale.
+- **n-gram Jaccard** (`ngram_jaccard_pairs`): exact set similarity via an
+  inverted shingle index — pairs are generated ONLY for docs sharing a
+  shingle (never all-pairs), with a document-frequency cap dropping
+  ubiquitous shingles so no hot key explodes the self-join.
+- **SimHash** (`simhash_col`): a per-doc fingerprint whose Hamming
+  distance approximates cosine/token overlap; computed entirely with
+  JVM-side higher-order functions from md5 token hashes (md5 chosen
+  because every engine agrees on it — the DuckDB oracle reproduces the
+  exact fingerprint).
+- **MinHash LSH** (`minhash_candidate_pairs`): `pyspark.ml` MinHashLSH
+  ``approxSimilarityJoin`` over hashed shingle features — the sub-quadratic
+  scale path: candidate pairs come from banded hash-bucket joins, never a
+  cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Normalization + shingling (shared by every method)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col) -> Column:
+    """Whitespace-collapse → trim → lower, all JVM-side (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(col) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when len(tokens) < n."""
+    return F.when(
+        F.size(tokens_col) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-group exact duplicates: → (text_hash, n_copies, keep_id).
+
+    ``keep_id = min(id)`` is the deterministic survivor rule. One hash
+    shuffle on sha256(normalized text); survivors come from a semi-join of
+    the input against this frame (never a window over raw text).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.sha2(normalize_text(text_col), 256).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted shingle index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """All pairs with Jaccard(shingle sets) >= threshold, exactly.
+
+    Plan shape (scale-first):
+    1. explode DISTINCT shingles per doc → inverted index (shingle, doc);
+    2. drop shingles present in > ``max_shingle_df`` docs — a boilerplate
+       shingle shared by k docs would emit k² pairs, so the cap bounds the
+       per-key join fan-out (AQE skew-join splits whatever remains);
+    3. self-join the index on shingle with ``id_a < id_b`` → common counts
+       (map-side combine: groupBy before the jaccard math);
+    4. jaccard from exact integer set sizes.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    sh = (
+        toks.select("doc_id", F.explode(shingles(F.col("t"), n)).alias("shingle"))
+        .distinct()  # shingle SETS, not bags
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where(F.col("df_count") > max_shingle_df)
+        .select("shingle")
+    )
+    idx = sh.join(hot, "shingle", "left_anti")
+
+    a = idx.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+    b = idx.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (cross-engine exact: md5-derived token hashes)
+# ---------------------------------------------------------------------------
+
+
+def token_hash(tok: Column) -> Column:
+    """32-bit token hash from the md5 hex prefix — identical in any engine
+    that has md5 (the DuckDB oracle mirrors this literally)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash_col(tokens_col: Column, bits: int = 32) -> Column:
+    """SimHash over DISTINCT tokens: bit j of the fingerprint is set iff
+    Σ_tokens (±1 by bit j of token_hash) > 0. Pure higher-order functions —
+    no shuffle, no UDF; the bit loop is unrolled in Python (shift amounts
+    must be literals) into one projection expression."""
+    hs = F.transform(F.array_distinct(tokens_col), token_hash)
+    zero = F.lit(0).cast("long")
+
+    def vote(j: int):
+        # closure factory: a default-arg lambda would change the visible
+        # arity and flip PySpark into the wrong lambda variant
+        def fold(acc: Column, h: Column) -> Column:
+            return acc + (F.shiftright(h, j).bitwiseAND(1) * 2 - 1)
+
+        return fold
+
+    total: Column = zero
+    for j in range(bits):
+        bit = F.when(
+            F.aggregate(hs, zero, vote(j)) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(zero)
+        total = total + bit
+    return total
+
+
+def rolling_fingerprint(tokens_col: Column, base: int = 31,
+                        mod: int = 2_147_483_647) -> Column:
+    """Order-sensitive polynomial rolling hash over the token sequence:
+    ``fold(acc*base + token_hash mod m)`` — the document fingerprint for
+    shift-detection (unlike SimHash it changes when order changes)."""
+    return F.aggregate(
+        F.transform(tokens_col, token_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * base + h) % mod,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH (the sub-quadratic near-dup scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    jaccard_distance_threshold: float = 0.4,
+    num_hash_tables: int = 6,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHashLSH ``approxSimilarityJoin``.
+
+    Shingles → HashingTF sparse binary vectors → banded MinHash buckets;
+    the join touches only bucket-colliding candidates (sub-quadratic), then
+    filters by exact Jaccard distance of the hashed feature sets. Fixed
+    seed ⇒ deterministic buckets. Returns (id_a, id_b, jaccard_dist) with
+    id_a < id_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    sh = toks.select(
+        "doc_id", shingles(F.col("t"), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features",
+                   numFeatures=num_features, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )

@@ -1,0 +1,90 @@
+"""Multimodal column pattern (SURVEY §2.C Q50): media as opaque binary
+columns with typed metadata, processed by Arrow-vectorized batch UDFs.
+
+The pattern at 100 TB: heavy payloads ride as ``binary`` cells (or lazy
+URIs fetched executor-side), metadata rides as plain typed columns, and
+every decode/feature step is a ``mapInPandas`` stage so bytes cross the
+JVM↔Python boundary in Arrow batches, never row by row. Partitioning is by
+the metadata (date/source), so media operators inherit pruning for free.
+
+Real media codecs aren't available in this environment, so ``decode_media``
+is an explicit stub (NotImplementedError) — the Spark-side plumbing
+(schema, batch shape, byte stats) is real and tested via the deterministic
+byte-level feature extractor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "uri string, mime string, payload binary"
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str,
+                   source_col: str) -> DataFrame:
+    """Testdata seam: synthesize a deterministic binary payload column from
+    the document text (UTF-8 bytes) plus uri/mime metadata. In production
+    the payload arrives from the storage layer; everything downstream is
+    identical."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            F.lit("mem://"), F.col(source_col), F.lit("/"),
+            F.col(id_col).cast("string"), F.lit(".txt"),
+        ).alias("uri"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def payload_magic(payload: Column, n: int = 4) -> Column:
+    """Hex of the first ``n`` bytes — the format-sniff ('magic number')."""
+    return F.hex(F.substring(payload, 1, n))
+
+
+def decode_media(mime: str, payload: bytes):
+    """STUB — media decoding (image/audio/video) requires codec libraries
+    not present in this environment. The call signature and dispatch are
+    the real surface; plug Pillow/torchaudio/pyav here in production."""
+    raise NotImplementedError(
+        f"no codec available for {mime!r}; install a decoder and register "
+        "it in DECODERS"
+    )
+
+
+DECODERS: dict[str, object] = {}  # mime prefix -> decoder callable
+
+
+def byte_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level 'feature extraction' over Arrow batches —
+    the stand-in for a decode step. mean_byte is exact-int-sum / length
+    (bit-stable across engines); first/last bytes are raw metadata."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n = payloads.str.len().astype("int64")
+        sums = payloads.map(lambda b: sum(b)).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "byte_sum": sums,
+                "mean_byte": sums / n,
+                "first_byte": payloads.map(lambda b: b[0]).astype("int64"),
+                "last_byte": payloads.map(lambda b: b[-1]).astype("int64"),
+            }
+        )
+
+
+def extract_byte_features(media: DataFrame) -> DataFrame:
+    """mapInPandas over (doc_id, payload): one output row per media row
+    with exact byte statistics. Batch-vectorized; schema declared up
+    front so Catalyst prunes every other column out of the scan."""
+    return media.select("doc_id", "payload").mapInPandas(
+        byte_feature_batches,
+        "doc_id long, n_bytes long, byte_sum long, mean_byte double, "
+        "first_byte long, last_byte long",
+    )

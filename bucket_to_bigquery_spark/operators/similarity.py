@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (SURVEY §2.C Q48).
+
+Two paths, as the north star prescribes:
+
+- **Exact brute-force top-k** (`cosine_topk_exact`): O(N·Q) — each corpus
+  row meets each of the (few, broadcast) query vectors once; no shuffle
+  except the final per-query top-k. The oracle-checkable reference path.
+  Cross-engine determinism: dot products and norms are sums of per-element
+  scaled integers (round(x·y·1e12) as int64 — identical IEEE multiply +
+  half-away-from-zero round in Spark and DuckDB), so the cosine doubles
+  are bit-identical and ties can't flip.
+- **LSH ANN** (`ann_topk_lsh`): BucketedRandomProjectionLSH over
+  L2-normalized vectors — on the unit sphere, euclidean distance is
+  monotone in cosine (d² = 2 − 2cos), so nearest-by-euclidean IS
+  nearest-by-cosine. ``approxNearestNeighbors``/bucket joins touch only
+  candidate buckets: the sub-quadratic scale path for large query sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def norm_e12(vec: Column) -> Column:
+    """Σ round(x²·1e12) as an exact int64 (order-independent)."""
+    return F.aggregate(
+        F.transform(
+            vec, lambda x: F.round(x.cast("double") * x.cast("double") * 1e12).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_e12(a: Column, b: Column) -> Column:
+    """Σ round(xᵢ·yᵢ·1e12) as an exact int64."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e12).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_from_e12(dot: Column, na: Column, nb: Column) -> Column:
+    """cos = dot/(‖a‖·‖b‖); the 1e12 scales cancel exactly."""
+    return dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def cosine_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is broadcast (small by contract); every corpus partition
+    scores its rows against all queries locally — the only shuffle is the
+    per-query top-k window over N·Q scored rows. Self-pairs are excluded.
+    Deterministic: ties broken by neighbor id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_e12(F.col(vec_col)).alias("q_norm"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm_e12(F.col(vec_col)).alias("n_norm"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_from_e12(
+                dot_e12(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_norm"),
+                F.col("n_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "n_id", "cosine")
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via euclidean LSH on normalized
+    vectors. Deterministic for a fixed seed; recall is checked against
+    `cosine_topk_exact` in tests (driver records a rows-only check —
+    bucketing is not SQL-expressible)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("raw"),
+        )
+        return Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(v)
+
+    c = prep(corpus, "n")
+    q = prep(queries, "q")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(c)
+    # candidate pairs from bucket joins only; 2.0 covers the whole unit
+    # sphere (max distance) so ranking is by true distance among candidates
+    joined = model.approxSimilarityJoin(q, c, 2.0, distCol="euclid")
+    w = Window.partitionBy("q_id").orderBy(F.col("euclid").asc(), F.col("n_id").asc())
+    return (
+        joined.select(
+            F.col("datasetA.q_id").alias("q_id"),
+            F.col("datasetB.n_id").alias("n_id"),
+            F.col("euclid"),
+        )
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "n_id", "euclid")
+    )

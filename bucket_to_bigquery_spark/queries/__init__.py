@@ -13,6 +13,7 @@ from . import scalar  # noqa: F401
 from . import ingest_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import udf_queries  # noqa: F401
+from . import llm_queries  # noqa: F401
 from .registry import REGISTRY, Query
 
 

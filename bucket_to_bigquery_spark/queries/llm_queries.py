@@ -1,0 +1,488 @@
+"""Q46-Q50 — LLM training-data pipeline operators (the north star), each a
+declared, oracle-checked query over ``documents`` / ``embeddings``.
+
+The testdata has no duplicate documents at sf0.01, so the dedup queries
+build a corpus with KNOWN duplicates — documents unioned with exact copies
+(ids +100000) and near copies with three appended tokens (ids +200000) —
+constructed identically in Spark and in the oracle SQL. Results are
+therefore non-vacuous: every dedup query finds the planted structure.
+
+Cross-engine determinism (see operators/dedup.py, operators/similarity.py):
+token hashes come from md5 hex prefixes, vector math from per-element
+scaled integers, ratios from exact-int numerators/denominators — both
+engines execute the same IEEE ops in the same order, so value hashes match
+bit-for-bit with no tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+    rolling_fingerprint,
+    simhash_col,
+    tokens,
+)
+from ..operators.multimodal import attach_payload, extract_byte_features, payload_magic
+from ..operators.similarity import ann_topk_lsh, cosine_topk_exact
+from .registry import query, tables
+
+# ---------------------------------------------------------------------------
+# Shared corpus-with-planted-duplicates (both engines, literally)
+# ---------------------------------------------------------------------------
+
+_NEAR_TAIL = " zz9 qq8 vv7"
+
+CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 200000 AS doc_id, text || '" + _NEAR_TAIL + "' AS text "
+    "FROM documents WHERE doc_id % 10 = 1"
+)
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_TOKHASH_SQL = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT)"
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+# ---------------------------------------------------------------------------
+# Q46 — exact dedup + SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_exact_dedup",
+    oracle=(
+        f"WITH corpus AS ({CORPUS_SQL}) "
+        f"SELECT sha256({_NORM_SQL}) AS text_hash, "
+        "COUNT(*) AS n_copies, MIN(doc_id) AS keep_id "
+        "FROM corpus GROUP BY text_hash ORDER BY text_hash"
+    ),
+    description=(
+        "Q46: exact dedup — sha256 over normalized text, hash group-by "
+        "with min-id survivor rule. One shuffle on a 32-byte key; the "
+        "planted exact copies collapse into n_copies=2 groups."
+    ),
+    tags=("llm",),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        exact_dedup_groups(_dedup_corpus(spark, sf_dir), "doc_id", "text")
+        .orderBy("text_hash")
+    )
+
+
+@query(
+    "q46b_simhash_fingerprint",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"list_transform(list_distinct({_TOKS_SQL}), t -> "
+        + _TOKHASH_SQL.format(t="t")
+        + ") AS hs FROM documents) "
+        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> "
+        "CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
+        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash "
+        "FROM t ORDER BY doc_id"
+    ),
+    description=(
+        "Q46b: 32-bit SimHash per document from md5 token hashes — pure "
+        "higher-order functions, no shuffle, no UDF; Hamming distance on "
+        "the fingerprint approximates token-set overlap (the banded "
+        "grouping for simhash near-dup joins on fingerprint bands)."
+    ),
+    tags=("llm",),
+)
+def q46b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", simhash_col(tokens("text"), bits=32).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q47 — near-dup: exact n-gram Jaccard + MinHash LSH
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q47_ngram_jaccard_pairs",
+    oracle=(
+        f"WITH corpus AS ({CORPUS_SQL}), "
+        f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle "
+        "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id), "
+        "hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100), "
+        "idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)), "
+        "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
+        "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard "
+        "FROM common JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.6 "
+        "ORDER BY id_a, id_b"
+    ),
+    description=(
+        "Q47: exact near-dup pairs — word-3-gram shingle sets, inverted "
+        "index self-join (pairs only for docs sharing a shingle; document-"
+        "frequency cap bounds hot-shingle fan-out), Jaccard >= 0.6. Finds "
+        "all planted exact (j=1.0) and near (j≈0.9) pairs."
+    ),
+    tags=("llm",),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ngram_jaccard_pairs(
+            _dedup_corpus(spark, sf_dir), "doc_id", "text",
+            n=3, threshold=0.6, max_shingle_df=100,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q47b_minhash_lsh_pairs",
+    oracle=None,  # LSH bucketing is not SQL-expressible; rows-only check +
+    # the recall-vs-exact assertion lives in tests/test_llm_ops.py
+    description=(
+        "Q47b: near-dup candidates via MinHashLSH approxSimilarityJoin — "
+        "shingles → hashed binary features → banded min-hash buckets; the "
+        "join touches only bucket collisions (sub-quadratic — the 100 TB "
+        "path; an all-pairs cosine/jaccard crossJoin never appears). Fixed "
+        "seed; tests assert 100% recall of the planted pairs vs q47."
+    ),
+    tags=("llm", "approx"),
+)
+def q47b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        minhash_candidate_pairs(
+            _dedup_corpus(spark, sf_dir), "doc_id", "text",
+            n=3, jaccard_distance_threshold=0.4,
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — similarity search
+# ---------------------------------------------------------------------------
+
+_NORM_E12_SQL = (
+    "CAST(list_sum(list_transform({v}, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)"
+)
+_DOT_E12_SQL = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+    "CAST(round(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12) AS BIGINT)))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q48_cosine_topk",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, "
+        + _NORM_E12_SQL.format(v="embedding")
+        + " AS q_norm FROM embeddings WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec, "
+        + _NORM_E12_SQL.format(v="embedding")
+        + " AS n_norm FROM embeddings), "
+        "scored AS (SELECT q_id, n_id, "
+        "CAST(" + _DOT_E12_SQL.format(a="q_vec", b="n_vec") + " AS DOUBLE) / "
+        "(sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(n_norm AS DOUBLE))) AS cosine "
+        "FROM c, q WHERE n_id != q_id) "
+        "SELECT q_id, CAST(row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank, "
+        "n_id, cosine FROM scored "
+        "QUALIFY rank <= 5 ORDER BY q_id, rank"
+    ),
+    description=(
+        "Q48: exact top-5 cosine neighbors for 10 query vectors — the "
+        "brute-force reference path: queries broadcast, corpus scored "
+        "locally (O(N·Q), no shuffle before the per-query top-k window). "
+        "Scaled-int dot/norms make the cosine bit-identical cross-engine."
+    ),
+    tags=("llm",),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return (
+        cosine_topk_exact(emb, emb.where(F.col("vec_id") < 10), k=5)
+        .orderBy("q_id", "rank")
+    )
+
+
+@query(
+    "q48b_ann_lsh_topk",
+    oracle=None,  # random-projection buckets are not SQL-expressible;
+    # rows-only check + recall-vs-exact assertion in tests/test_llm_ops.py
+    description=(
+        "Q48b: approximate top-5 neighbors via BucketedRandomProjectionLSH "
+        "over L2-normalized vectors (unit sphere: euclidean rank == cosine "
+        "rank). Bucket joins only — the ANN scale path when Q is large; "
+        "fixed seed, recall checked against q48 in tests."
+    ),
+    tags=("llm", "approx"),
+)
+def q48b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return (
+        ann_topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5)
+        .select("q_id", "rank", "n_id")
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "and", "of", "is", "in", "to", "a", "it"]
+_LANG_PROFILES = {
+    "de": ["der", "die", "und", "ist", "das"],
+    "en": ["the", "and", "of", "is", "in"],
+    "es": ["el", "los", "y", "es", "una"],
+    "fr": ["le", "la", "et", "est", "les"],
+}
+
+
+@query(
+    "q49_text_stats",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, "
+        f"length({_NORM_SQL}) AS n_chars_norm FROM documents) "
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(n_chars_norm AS BIGINT) AS n_chars_norm, "
+        "CAST(n_chars_norm - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_tok_len, "
+        "CAST(ceil(n_chars_norm / 4.0) AS BIGINT) AS est_bpe_tokens, "
+        "CAST(len(list_filter(toks, x -> list_contains("
+        "['the','and','of','is','in','to','a','it'], x))) AS BIGINT) AS stop_hits, "
+        "CAST(len(list_filter(toks, x -> list_contains("
+        "['the','and','of','is','in','to','a','it'], x))) AS DOUBLE) / len(toks) "
+        "AS stop_ratio, "
+        "(len(toks) BETWEEN 5 AND 500) AND "
+        "((CAST(n_chars_norm - (len(toks) - 1) AS DOUBLE) / len(toks)) "
+        "BETWEEN 2 AND 12) AS is_quality "
+        "FROM t ORDER BY doc_id"
+    ),
+    description=(
+        "Q49: per-document text statistics — token count, normalized char "
+        "count, exact average token length (chars minus separators over "
+        "count: integer-derived), chars/4 BPE-ish token estimate, stopword "
+        "hits/ratio, and a quality flag (length + token-shape gates). All "
+        "JVM-side builtins; the full-corpus quality filter is one "
+        "predicate on these columns."
+    ),
+    tags=("llm",),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    toks = tokens("text")
+    d = t["documents"].select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length(normalize_text("text")).alias("n_chars_norm"),
+    )
+    n_tok = F.size("toks")
+    avg_len = (F.col("n_chars_norm") - (n_tok - 1)).cast("double") / n_tok
+    stop_hits = F.size(F.filter(F.col("toks"), lambda x: x.isin(_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+        avg_len.alias("avg_tok_len"),
+        F.ceil(F.col("n_chars_norm") / 4.0).cast("long").alias("est_bpe_tokens"),
+        stop_hits.cast("long").alias("stop_hits"),
+        (stop_hits.cast("double") / n_tok).alias("stop_ratio"),
+        (n_tok.between(5, 500) & avg_len.between(2, 12)).alias("is_quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q49b_length_histogram",
+    oracle=(
+        "SELECT lang, n_chars // 100 AS bucket, COUNT(*) AS n_docs, "
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+        "FROM documents GROUP BY lang, bucket ORDER BY lang, bucket"
+    ),
+    description=(
+        "Q49b: document-length distribution per language (100-char "
+        "buckets) — the corpus-profiling aggregate; map-side combinable, "
+        "output cardinality is langs × buckets regardless of corpus size."
+    ),
+    tags=("llm",),
+)
+def q49b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang", F.expr("n_chars div 100").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in _LANG_PROFILES.items():
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"CAST(len(list_filter(toks, x -> list_contains({lst}, x))) AS BIGINT)"
+            f" AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@query(
+    "q49c_language_id",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM t) "
+        "SELECT doc_id, lang AS actual, s_de, s_en, s_es, s_fr, "
+        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+        "WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        "ELSE 'fr' END AS predicted "
+        "FROM s ORDER BY doc_id"
+    ),
+    description=(
+        "Q49c: language identification by stopword-profile scoring — count "
+        "profile hits per language over the token bag, argmax with a fixed "
+        "alphabetical tie-break, 'und' when nothing matches. The n-gram-"
+        "profile generalization swaps the token lists for char-n-gram "
+        "lists; the plan shape (one projection, no shuffle) is identical."
+    ),
+    tags=("llm",),
+)
+def q49c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", F.col("lang").alias("actual"),
+                              tokens("text").alias("toks"))
+    def hits(words: list[str]):
+        # NB: a `lambda x, w=words:` shortcut would be read by F.filter as
+        # the two-arg (element, index) lambda form — closure factory instead
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(words))).cast("long")
+
+    scores = {lang: hits(words) for lang, words in _LANG_PROFILES.items()}
+    d = d.select("doc_id", "actual",
+                 *[c.alias(f"s_{lang}") for lang, c in scores.items()])
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_PROFILES])
+    predicted = (
+        F.when(m == 0, "und")
+        .when(F.col("s_de") == m, "de")
+        .when(F.col("s_en") == m, "en")
+        .when(F.col("s_es") == m, "es")
+        .otherwise("fr")
+    )
+    return d.withColumn("predicted", predicted).orderBy("doc_id")
+
+
+@query(
+    "q49d_doc_fingerprint",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) "
+        "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, t -> " + _TOKHASH_SQL.format(t="t") + ")), "
+        "(acc, h) -> (acc * 31 + h) % 2147483647) AS BIGINT) AS fingerprint "
+        "FROM t ORDER BY doc_id"
+    ),
+    description=(
+        "Q49d: order-sensitive document fingerprint — polynomial rolling "
+        "hash folded over md5 token hashes (acc*31 + h mod 2^31-1). "
+        "Unlike q46's content hash it distinguishes reordered docs; one "
+        "projection, no shuffle."
+    ),
+    tags=("llm",),
+)
+def q49d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", rolling_fingerprint(tokens("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q50 — multimodal binary column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_multimodal_bytes",
+    oracle=(
+        "WITH m AS (SELECT doc_id, "
+        "concat('mem://', source, '/', CAST(doc_id AS VARCHAR), '.txt') AS uri, "
+        "'text/plain' AS mime, text, octet_length(encode(text)) AS n_bytes "
+        "FROM documents) "
+        "SELECT doc_id, uri, mime, hex(encode(substr(text, 1, 4))) AS magic, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "CAST(list_sum(list_transform(range(1, length(text) + 1), i -> "
+        "ord(substr(text, i, 1)))) AS BIGINT) AS byte_sum, "
+        "CAST(list_sum(list_transform(range(1, length(text) + 1), i -> "
+        "ord(substr(text, i, 1)))) AS DOUBLE) / n_bytes AS mean_byte, "
+        "CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte, "
+        "CAST(ord(substr(text, length(text), 1)) AS BIGINT) AS last_byte "
+        "FROM m ORDER BY doc_id"
+    ),
+    description=(
+        "Q50: multimodal column pattern — opaque binary payloads with "
+        "typed metadata (uri/mime), format sniff (magic bytes), and an "
+        "Arrow-batched mapInPandas feature extractor over the raw bytes "
+        "(the real-decoder seam; codecs plug into operators/multimodal."
+        "DECODERS — decode_media is an explicit stub in this environment). "
+        "The oracle recomputes byte stats from the ASCII source text."
+    ),
+    tags=("llm",),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    media = attach_payload(t["documents"], "doc_id", "text", "source")
+    feats = extract_byte_features(media)
+    meta = media.select(
+        "doc_id", "uri", "mime", payload_magic(F.col("payload")).alias("magic")
+    )
+    return (
+        meta.join(feats, "doc_id")
+        .select(
+            "doc_id", "uri", "mime", "magic",
+            "n_bytes", "byte_sum", "mean_byte", "first_byte", "last_byte",
+        )
+        .orderBy("doc_id")
+    )
+
+
+__all__ = [
+    "q46", "q46b", "q47", "q47b", "q48", "q48b",
+    "q49", "q49b", "q49c", "q49d", "q50",
+]

@@ -1,0 +1,52 @@
+"""Recall/quality checks for the approximate LLM operators — the part of
+Q47b/Q48b the rows-only driver check can't see (SURVEY §5.3: approx ops
+are tolerance/recall-checked, not hash-checked)."""
+
+from __future__ import annotations
+
+from bucket_to_bigquery_spark.queries import all_queries
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_q47b_lsh_recall_of_exact_pairs(spark, sf_dir):
+    qs = all_queries()
+    exact = _pairs(qs["q47_ngram_jaccard_pairs"].builder(spark, sf_dir))
+    lsh = _pairs(qs["q47b_minhash_lsh_pairs"].builder(spark, sf_dir))
+    assert exact, "exact jaccard found no planted pairs — corpus broken"
+    # every planted exact/near duplicate (jaccard >= 0.6 ⇒ distance <= 0.4,
+    # the LSH join threshold) must be recalled; MinHashLSH with 6 tables has
+    # vanishing miss probability at j >= 0.6
+    missed = exact - lsh
+    recall = 1 - len(missed) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.2f}; missed {sorted(missed)[:5]}"
+
+
+def test_q48b_ann_recall_vs_exact(spark, sf_dir):
+    qs = all_queries()
+    exact = qs["q48_cosine_topk"].builder(spark, sf_dir).collect()
+    ann = qs["q48b_ann_lsh_topk"].builder(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert set(ann_sets) == set(exact_sets)  # every query answered
+    hits = sum(len(exact_sets[q] & ann_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    # 8 hash tables with full-sphere candidate search: candidates are ranked
+    # by TRUE distance, so recall loss comes only from bucket misses
+    assert recall >= 0.6, f"ANN recall@5 = {recall:.2f}"
+
+
+def test_q46_dedup_finds_planted_copies(spark, sf_dir):
+    df = all_queries()["q46_exact_dedup"].builder(spark, sf_dir)
+    groups = df.collect()
+    dups = [g for g in groups if g["n_copies"] > 1]
+    assert len(dups) >= 40  # ~50 planted exact copies at every sf
+    # survivor rule: keep_id is always the original (min) id
+    assert all(g["keep_id"] < 100000 for g in dups)
