@@ -486,19 +486,25 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Q19: approximate distinct users per event_type via HyperLogLog++ "
         "(approx_count_distinct, rsd=0.01). At 100 TB this replaces the "
-        "shuffle-heavy exact distinct; checked against exact with tolerance."
+        "shuffle-heavy exact distinct; checked against exact with tolerance. "
+        "The exact and approx aggregations run SEPARATELY and join on the "
+        "tiny key set: combined in one .agg(), Catalyst plans the approx "
+        "sketch into the per-(type,user) expansion — one 16 KB HLL per "
+        "USER (measured 10× slower at sf0.1, unbounded memory at scale)."
     ),
     tags=("approx",),
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
+    ev = t["events"]
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
     return (
-        t["events"]
-        .groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        )
+        exact.join(approx, "event_type")
         .select(
             "event_type",
             "exact_users",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import local_time_col
-from .registry import query, tables
+from .registry import dsum_sql, query, tables
 
 
 @query(
@@ -124,6 +124,58 @@ def q31b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("local_time", local_time_col(F.col("ts"), offset_hours))
         .drop("ts", "props")  # SELECT * EXCEPT(timestamp, utc_offset) parity
         .orderBy("event_id")
+    )
+
+
+@query(
+    "q31c_stacked_views",
+    oracle=(
+        "WITH events_ordered AS (SELECT event_id, user_id, event_type, value, "
+        "ts + to_minutes(CAST(round(((user_id % 49) - 24) / 2.0 * 60) AS BIGINT)) "
+        "AS local_time FROM events), "
+        "events_hourly AS (SELECT date_trunc('hour', local_time) AS local_hour, "
+        "event_type, COUNT(*) AS n, " + dsum_sql("value", "total")
+        + " FROM events_ordered GROUP BY local_hour, event_type) "
+        "SELECT local_hour, event_type, n, total FROM events_hourly "
+        "WHERE event_type IN ('click', 'view') "
+        "ORDER BY local_hour, event_type"
+    ),
+    description=(
+        "Q31c (B8): stacked views — `<table>_ordered` on the base view, an "
+        "hourly rollup view on THAT, queried through spark.sql with a "
+        "predicate on top. Views are expanded and optimized by Catalyst, "
+        "so the event_type filter pushes through both view layers into the "
+        "parquet scan (better than the reference's BigQuery result cache: "
+        "optimization crosses view boundaries). The hot intermediate view "
+        "is cached — the readme's 'views can be cached' claim (readme."
+        "md:43-48), Spark-native."
+    ),
+)
+def q31c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)  # base temp views (catalog layer)
+    offset_sql = (
+        "ts + make_interval(0, 0, 0, 0, 0, "
+        "cast(round(((user_id % 49) - 24) / 2.0 * 60) as int), 0)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW events_ordered AS "
+        f"SELECT event_id, user_id, event_type, value, {offset_sql} AS local_time "
+        "FROM events"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW events_hourly AS "
+        "SELECT date_trunc('hour', local_time) AS local_hour, event_type, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total "
+        "FROM events_ordered GROUP BY local_hour, event_type"
+    )
+    spark.catalog.cacheTable("events_hourly")
+    return spark.sql(
+        "SELECT local_hour, event_type, n, total FROM events_hourly "
+        "WHERE event_type IN ('click', 'view') "
+        "ORDER BY local_hour, event_type"
     )
 
 
