@@ -1,0 +1,86 @@
+"""Plan-shape regression tests: the physical plans the 100 TB design
+depends on, asserted structurally so a regression can't hide behind a
+still-correct result (SURVEY §4; VERDICT round-1 plan audit)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bucket_to_bigquery_spark.queries import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q10_dims_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_broadcast_join_agg")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+
+
+def test_q16_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_tpch_q3_shape")
+    assert "BroadcastExchange" in plan
+
+
+def test_q06_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q06_project_filter")
+    # the ship-date range must reach the parquet reader, not sit post-scan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("l_shipdate" in ln or "IsNotNull" in ln for ln in pushed)
+
+
+def test_q06_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q06_project_filter")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    # lineitem has 16 columns; the projection needs a handful — the scan
+    # must not read l_comment
+    assert "l_comment" not in read[0]
+
+
+def test_q14_range_join_is_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q14_range_join")
+    # the bucketed rewrite must produce an equi-join, not O(n*m) BNLJ
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q27_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q27_global_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q47_pair_generation_never_cross_joins(spark, sf_dir):
+    for name in ("q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q48_scoring_is_broadcast_not_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q48_cosine_topk")
+    # N×Q scoring must broadcast the small query side (nested-loop over a
+    # broadcast is the intended shape for a crossJoin with 10 rows)
+    assert "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_covers_scalar_queries(spark, sf_dir):
+    for name in ("q17_tpch_q1_shape", "q30_string_funcs", "q32_math_funcs"):
+        df = all_queries()[name].builder(spark, sf_dir)
+        df.collect()  # finalize THIS dataset's AQE plan (a write is a new one)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        # codegen stages render as `*(n)` operator prefixes in the final plan
+        assert "*(" in plan, name
+
+
+@pytest.mark.parametrize("name", ["q46b_simhash_fingerprint", "q49d_doc_fingerprint"])
+def test_fingerprints_are_single_stage_no_shuffle(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # one scan → projection → (ordered output); no Exchange before the
+    # final presentation sort
+    body = plan.split("Sort", 1)[-1]
+    assert "hashpartitioning" not in body, name
