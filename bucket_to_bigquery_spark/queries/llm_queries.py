@@ -237,6 +237,89 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q47c_embedding_neardup",
+    oracle=(
+        # exact all-pairs ground truth (oracle side only — the Spark side
+        # generates candidates via LSH buckets and verifies exactly)
+        "WITH corpus AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 10000 AS vec_id, "
+        "list_transform(range(1, len(embedding) + 1), i -> CAST(CASE WHEN i = 1 "
+        "THEN CAST(embedding[1] AS DOUBLE) + 0.01 ELSE CAST(embedding[i] AS DOUBLE) "
+        "END AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 5 = 0), "
+        "n AS (SELECT vec_id, embedding, "
+        + _NORM_E12_SQL.format(v="embedding")
+        + " AS nrm FROM corpus) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(" + _DOT_E12_SQL.format(a="a.embedding", b="b.embedding")
+        + " AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) "
+        "AS cosine FROM n a, n b WHERE a.vec_id < b.vec_id "
+        "AND CAST(" + _DOT_E12_SQL.format(a="a.embedding", b="b.embedding")
+        + " AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) "
+        ">= 0.95 ORDER BY id_a, id_b"
+    ),
+    description=(
+        "Q47c: embedding-cosine near-duplicate pairs (cosine >= 0.95) over "
+        "a corpus with planted perturbed copies. Candidate generation is "
+        "BucketedRandomProjectionLSH bucket joins on normalized vectors "
+        "(cos >= 0.95 ⟺ euclid <= 0.316 on the unit sphere; join threshold "
+        "0.35 gives margin), then EXACT scaled-int cosine verification "
+        "decides membership — candidates-then-verify, never all-pairs. "
+        "The oracle computes the exact all-pairs ground truth; a hash "
+        "match therefore also certifies 100% recall of the LSH stage."
+    ),
+    tags=("llm",),
+)
+def q47c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    from ..operators.similarity import cosine_from_e12, dot_e12, norm_e12
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    perturbed = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, (x.cast("double") + 0.01).cast("float"))
+            .otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionAll(perturbed)
+    prepped = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        corpus.select(
+            "vec_id",
+            "embedding",
+            norm_e12(F.col("embedding")).alias("nrm"),
+            array_to_vector(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("raw"),
+        )
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=0.5, numHashTables=8, seed=42,
+    )
+    model = lsh.fit(prepped)
+    cand = model.approxSimilarityJoin(prepped, prepped, 0.35, distCol="euclid")
+    cosine = cosine_from_e12(
+        dot_e12(F.col("datasetA.embedding"), F.col("datasetB.embedding")),
+        F.col("datasetA.nrm"),
+        F.col("datasetB.nrm"),
+    )
+    return (
+        cand.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.95)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "q48b_ann_lsh_topk",
     oracle=None,  # random-projection buckets are not SQL-expressible;
     # rows-only check + recall-vs-exact assertion in tests/test_llm_ops.py
