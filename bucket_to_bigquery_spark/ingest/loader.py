@@ -267,7 +267,15 @@ class BatchLoader:
         )
 
     def load_task(self, task: Task, task_index: int = 0, job_id_prefix: str = "",
-                  candidate_files: list[str] | None = None) -> LoadReport:
+                  candidate_files: list[str] | None = None,
+                  dry_run: bool = False) -> LoadReport:
+        """Plan and (unless ``dry_run``) execute one task's load.
+
+        ``dry_run=True`` is the reference's ``DRY_RUN`` seam (index.js:
+        79-80): the full plan — files resolved, headers sniffed, schema
+        expanded, audit anti-joined — is computed and reported, but
+        nothing is written and nothing is audited.
+        """
         report = LoadReport(table=task.qualified_table,
                             job_id=self._job_id(job_id_prefix, task_index))
         files = self.resolve_files(task, candidate_files)
@@ -286,7 +294,7 @@ class BatchLoader:
         report.files_already_imported = self.files_already_imported(task, files)
         to_load = sorted(set(files) - set(report.files_already_imported))
         report.files_loaded = to_load
-        if not to_load:
+        if not to_load or dry_run:
             return report
 
         raw = self._read_csv(to_load, fields)
@@ -336,10 +344,11 @@ class BatchLoader:
         return report
 
     def run(self, manifest: Manifest,
-            candidate_files: list[str] | None = None) -> list[LoadReport]:
+            candidate_files: list[str] | None = None,
+            dry_run: bool = False) -> list[LoadReport]:
         """The ``loadCreatedFiles`` driver loop (index.js:37-98), batch mode."""
         return [
-            self.load_task(t, i, manifest.job_id_prefix, candidate_files)
+            self.load_task(t, i, manifest.job_id_prefix, candidate_files, dry_run)
             for i, t in enumerate(manifest.tasks)
         ]
 

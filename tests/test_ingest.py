@@ -332,3 +332,19 @@ def test_widest_headers_first_vs_last(spark, workdir):
     assert [f.name for f in r.schema_fields] == ["timestamp", "utc_offset", "location", "ch1"]
     # file a's rows null-fill ch1
     assert loader.read_table(_manifest(workdir).tasks[0]).where("ch1 IS NULL").count() == 1
+
+
+def test_dry_run_plans_without_writing(spark, workdir):
+    _write_csv(f"{workdir}/src/a.csv",
+               ["timestamp", "utc_offset", "location", "ch1"],
+               [["2024-01-01 00:00:00", "1.5", "syd", "10.0"]])
+    loader = BatchLoader(spark, f"{workdir}/warehouse")
+    (r,) = loader.run(_manifest(workdir), dry_run=True)
+    # full plan computed...
+    assert r.files_loaded == [f"{workdir}/src/a.csv"]
+    assert [f.name for f in r.schema_fields] == ["timestamp", "utc_offset", "location", "ch1"]
+    assert r.partition_field == "timestamp"
+    # ...but nothing written, nothing audited — a later real run loads it all
+    assert not os.path.exists(f"{workdir}/warehouse/d.readings")
+    (r2,) = loader.run(_manifest(workdir))
+    assert r2.rows_loaded == 1
