@@ -229,7 +229,10 @@ def minhash_candidate_pairs(
     ).where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features",
                    numFeatures=num_features, binary=True)
-    feats = tf.transform(sh)
+    # persist: the self-join otherwise re-runs shingling+hashing for BOTH
+    # join sides (measured 2× the whole query's cost). At warehouse scale
+    # this persist becomes a checkpoint/table of the feature column.
+    feats = tf.transform(sh).persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(feats)

@@ -260,20 +260,18 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Q47c: embedding-cosine near-duplicate pairs (cosine >= 0.95) over "
         "a corpus with planted perturbed copies. Candidate generation is "
-        "BucketedRandomProjectionLSH bucket joins on normalized vectors "
-        "(cos >= 0.95 ⟺ euclid <= 0.316 on the unit sphere; join threshold "
-        "0.35 gives margin), then EXACT scaled-int cosine verification "
-        "decides membership — candidates-then-verify, never all-pairs. "
-        "The oracle computes the exact all-pairs ground truth; a hash "
-        "match therefore also certifies 100% recall of the LSH stage."
+        "sign-band blocking (4 bands × 12 sign bits of fixed random "
+        "projections — SimHash for vectors; see operators/similarity."
+        "sign_band_neardup_pairs for why single-projection BRP-LSH "
+        "degrades to all-pairs here), then EXACT scaled-int cosine "
+        "verification decides membership. The oracle computes the exact "
+        "all-pairs ground truth; a hash match therefore also certifies "
+        "100% recall of the blocking stage."
     ),
     tags=("llm",),
 )
 def q47c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
-
-    from ..operators.similarity import cosine_from_e12, dot_e12, norm_e12
+    from ..operators.similarity import sign_band_neardup_pairs
 
     t = tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
@@ -286,35 +284,8 @@ def q47c(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionAll(perturbed)
-    prepped = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
-        corpus.select(
-            "vec_id",
-            "embedding",
-            norm_e12(F.col("embedding")).alias("nrm"),
-            array_to_vector(
-                F.transform("embedding", lambda x: x.cast("double"))
-            ).alias("raw"),
-        )
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes",
-        bucketLength=0.5, numHashTables=8, seed=42,
-    )
-    model = lsh.fit(prepped)
-    cand = model.approxSimilarityJoin(prepped, prepped, 0.35, distCol="euclid")
-    cosine = cosine_from_e12(
-        dot_e12(F.col("datasetA.embedding"), F.col("datasetB.embedding")),
-        F.col("datasetA.nrm"),
-        F.col("datasetB.nrm"),
-    )
     return (
-        cand.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("id_a"),
-            F.col("datasetB.vec_id").alias("id_b"),
-            cosine.alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.95)
+        sign_band_neardup_pairs(corpus, "vec_id", "embedding", 0.95)
         .orderBy("id_a", "id_b")
     )
 

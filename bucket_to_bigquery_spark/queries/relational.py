@@ -19,7 +19,10 @@ from ..operators.asof_join import asof_join
 from ..operators.range_join import range_join_bucketed
 from .registry import davg, davg_sql, dsum, dsum_sql, query, tables
 
-_TMP = "/tmp/b2bqs"
+# Scratch root is version-salted: materialize-once artifacts persist across
+# processes (marker files), so a layout change in any builder must land in a
+# fresh directory — bump the salt whenever scratch-data layout changes.
+_TMP = "/tmp/b2bqs/v2"
 _MATERIALIZED: set[str] = set()
 
 
