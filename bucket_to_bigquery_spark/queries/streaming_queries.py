@@ -141,6 +141,76 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q38b_custom_stateful_sessions",
+    oracle=(
+        "WITH marked AS (SELECT user_id, ts, "
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "<= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session "
+        "FROM events), numbered AS (SELECT *, SUM(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM marked) "
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_no, MIN(ts) AS s_start, "
+        "MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n "
+        "FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_no"
+    ),
+    description=(
+        "Q38b: CUSTOM stateful streaming operator via applyInPandasWithState "
+        "— per-user sessionization written as an arbitrary Python state "
+        "machine instead of the session_window builtin (the extension seam "
+        "for operators Spark has no builtin for). GroupState persists the "
+        "running session counter across micro-batches; under the harness's "
+        "single-batch AvailableNow run each group sees all its rows, so "
+        "output is batch-equivalent and oracle-checkable. Arrow batches in/"
+        "out; state is a tiny tuple per key (bounded by key cardinality)."
+    ),
+    tags=("streaming", "udf"),
+)
+def q38b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def sessionize(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        base = state.get[0] if state.exists else 0  # sessions emitted so far
+        out = {"user_id": [], "session_no": [], "s_start": [], "s_end": [], "n": []}
+        start = prev = None
+        n = 0
+        sid = base
+
+        def close(end_ts):
+            out["user_id"].append(key[0])
+            out["session_no"].append(sid)
+            out["s_start"].append(start)
+            out["s_end"].append(end_ts + pd.Timedelta(minutes=30))
+            out["n"].append(n)
+
+        for ts in rows["ts"]:
+            if prev is not None and (ts - prev) <= pd.Timedelta(minutes=30):
+                n += 1
+            else:
+                if prev is not None:
+                    close(prev)
+                sid += 1
+                start, n = ts, 1
+            prev = ts
+        if prev is not None:
+            close(prev)
+        state.update((sid,))
+        yield pd.DataFrame(out)
+
+    s = _events_stream(spark, sf_dir).select("user_id", "ts")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, session_no long, s_start timestamp, "
+        "s_end timestamp, n long",
+        stateStructType="sessions_emitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(out, "append").orderBy("user_id", "session_no")
+
+
+@query(
     "q39_watermark_append",
     oracle=(
         # append mode emits a window iff w_end <= final watermark
