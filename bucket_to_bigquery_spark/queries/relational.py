@@ -568,6 +568,39 @@ def q20b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q20c_pivot",
+    oracle=(
+        "SELECT user_id % 10 AS cohort, "
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, "
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS error, "
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, "
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS view "
+        "FROM events GROUP BY cohort ORDER BY cohort"
+    ),
+    description=(
+        "Q20c: pivot — event counts per user cohort, one column per event "
+        "type. Pivot values are declared explicitly, so Spark skips the "
+        "extra distinct-values scan and plans a single hash aggregate of "
+        "conditional counts (exactly the oracle's FILTER form)."
+    ),
+)
+def q20c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    df = (
+        t["events"]
+        .groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return df.select(
+        "cohort", *[F.col(c).alias(c) for c in types]
+    ).orderBy("cohort")
+
+
+@query(
     "q21_filtered_agg",
     oracle=(
         "SELECT user_id, "
