@@ -376,6 +376,47 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q15b_asof_join_tolerance",
+    oracle=(
+        "SELECT c.event_id, "
+        "CASE WHEN c.ts - v.ts <= INTERVAL '1 hour' THEN v.event_id END "
+        "AS view_id_fresh FROM "
+        "(SELECT * FROM events WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+        "ON c.user_id = v.user_id AND c.ts >= v.ts "
+        "ORDER BY c.event_id"
+    ),
+    description=(
+        "Q15b: as-of join with staleness tolerance (pandas merge_asof "
+        "tolerance semantics): the latest preceding match counts only if "
+        "it is within 1 hour — an older-but-fresh row does NOT substitute. "
+        "Implemented by carrying the matched right timestamp through the "
+        "as-of join and nulling stale matches; same single key-shuffle."
+    ),
+)
+def q15b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    clicks = t["events"].where(F.col("event_type") == "click")
+    views = t["events"].where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["view_id", "view_ts"], suffix="_asof",
+    )
+    fresh = F.when(
+        F.col("ts").cast("long") - F.col("view_ts_asof").cast("long") <= 3600,
+        F.col("view_id_asof"),
+    )
+    return out.select(
+        "event_id", fresh.alias("view_id_fresh")
+    ).orderBy("event_id")
+
+
+@query(
     "q16_tpch_q3_shape",
     oracle=(
         "SELECT l_orderkey, o_orderdate, "
@@ -564,6 +605,34 @@ def q20b(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
             F.col("o_orderstatus").asc_nulls_first(),
         )
+    )
+
+
+@query(
+    "q20d_grouping_sets",
+    oracle=(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt, "
+        + dsum_sql("o_totalprice", "total")
+        + " FROM orders GROUP BY GROUPING SETS ((o_orderpriority), "
+        "(o_orderstatus), ()) "
+        "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"
+    ),
+    description=(
+        "Q20d: explicit GROUPING SETS — per-priority, per-status, and grand "
+        "total in one aggregation pass (completes Q20's rollup/cube/"
+        "grouping-sets triple via the spark.sql path over registered views)."
+    ),
+)
+def q20d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), "
+        "(o_orderstatus), ()) "
+        "ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"
     )
 
 
