@@ -36,6 +36,7 @@ import glob
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
@@ -351,6 +352,34 @@ class BatchLoader:
             self.load_task(t, i, manifest.job_id_prefix, candidate_files, dry_run)
             for i, t in enumerate(manifest.tasks)
         ]
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, task: Task) -> int:
+        """Compact the table: rewrite so each DAY partition holds one file.
+
+        Append-per-batch accumulates one file per partition per batch; at
+        daily cadence over years that's the small-files problem that slows
+        every downstream scan (file listing + footer reads dominate). The
+        rewrite repartitions by the partition column (each date → one
+        task → one file), writes beside the live data, then swaps
+        directories. Returns the file count after compaction. At warehouse
+        scale, run per recent-partition instead of whole-table.
+        """
+        data = self._data_path(task)
+        reg = self._load_registry(task)
+        df = self.read_table_partitioned(task)
+        tmp, old = data + ".compacting", data + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if reg is not None and reg[1]:
+            df.repartition(F.col(_PDATE)).write.partitionBy(_PDATE).parquet(tmp)
+        else:
+            df.coalesce(max(1, df.rdd.getNumPartitions() // 8)).write.parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(data, old)
+        os.rename(tmp, data)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(glob.glob(f"{data}/**/*.parquet", recursive=True))
 
     # -- read side ----------------------------------------------------------
 

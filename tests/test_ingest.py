@@ -348,3 +348,27 @@ def test_dry_run_plans_without_writing(spark, workdir):
     assert not os.path.exists(f"{workdir}/warehouse/d.readings")
     (r2,) = loader.run(_manifest(workdir))
     assert r2.rows_loaded == 1
+
+
+def test_compact_merges_partition_files(spark, workdir):
+    # three batches append three files into the same DAY partition;
+    # compact() rewrites to one file per partition, content unchanged
+    for batch in range(3):
+        _write_csv(
+            f"{workdir}/src/b{batch}.csv",
+            ["timestamp", "utc_offset", "location"],
+            [[f"2024-01-01 0{batch}:00:00", "1.5", f"loc{batch}"],
+             [f"2024-01-02 0{batch}:00:00", "1.5", f"loc{batch}"]],
+        )
+        loader = BatchLoader(spark, f"{workdir}/warehouse")
+        loader.run(_manifest(workdir))
+    task = _manifest(workdir).tasks[0]
+    import glob as g
+    data = f"{workdir}/warehouse/d.readings/data"
+    before = loader.read_table(task).orderBy("timestamp", "location").collect()
+    files_before = len(g.glob(f"{data}/**/*.parquet", recursive=True))
+    assert files_before >= 6  # ≥3 files in each of the 2 partitions
+    n_after = loader.compact(task)
+    assert n_after == 2  # one file per DAY partition
+    after = loader.read_table(task).orderBy("timestamp", "location").collect()
+    assert after == before

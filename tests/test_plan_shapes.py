@@ -84,3 +84,28 @@ def test_fingerprints_are_single_stage_no_shuffle(spark, sf_dir, name):
     # final presentation sort
     body = plan.split("Sort", 1)[-1]
     assert "hashpartitioning" not in body, name
+
+
+def test_pre_partitioned_join_reuses_partitioning(spark, sf_dir):
+    # Co-location without a metastore: repartitioning both sides by the
+    # join key satisfies the join's distribution requirement, so Catalyst
+    # plans NO additional exchange — the 100 TB recipe for reusing one
+    # shuffle across several joins/aggregations on the same key.
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].repartition(16, "o_custkey")
+    cust = (
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey")
+        .repartition(16, "o_custkey")
+    )
+    joined = orders.join(cust, "o_custkey").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # exactly the two explicit repartitions; no ENSURE_REQUIREMENTS exchange
+    # for the join or the post-join aggregation on the same key
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    assert "ENSURE_REQUIREMENTS" not in plan
