@@ -312,6 +312,31 @@ def q48b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q48c_ivf_topk",
+    oracle=None,  # KMeans partitioning is not SQL-expressible; rows-only +
+    # recall-vs-exact assertion in tests/test_llm_ops.py
+    description=(
+        "Q48c: IVF-style ANN — KMeans coarse quantization into 16 inverted "
+        "lists, queries probe their 4 nearest lists, exact scaled-int "
+        "cosine re-ranks candidates (≈4× less scoring than brute force at "
+        "equal recall here; ratio scales with n_lists/n_probe). Fixed "
+        "seed; recall checked against q48 in tests."
+    ),
+    tags=("llm", "approx"),
+)
+def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return (
+        ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+        .select("q_id", "rank", "n_id")
+        .orderBy("q_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q49 — text analysis
 # ---------------------------------------------------------------------------

@@ -50,3 +50,20 @@ def test_q46_dedup_finds_planted_copies(spark, sf_dir):
     assert len(dups) >= 40  # ~50 planted exact copies at every sf
     # survivor rule: keep_id is always the original (min) id
     assert all(g["keep_id"] < 100000 for g in dups)
+
+
+def test_q48c_ivf_recall_vs_exact(spark, sf_dir):
+    qs = all_queries()
+    exact = qs["q48_cosine_topk"].builder(spark, sf_dir).collect()
+    ivf = qs["q48c_ivf_topk"].builder(spark, sf_dir).collect()
+    exact_sets, ivf_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in ivf:
+        ivf_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert set(ivf_sets) == set(exact_sets)
+    hits = sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in exact_sets)
+    recall = hits / sum(len(s) for s in exact_sets.values())
+    # random 64-dim embeddings have weak cluster structure, so probing 4/16
+    # lists bounds recall well below 1.0 — the explicit cost/recall trade
+    assert recall >= 0.4, f"IVF recall@5 = {recall:.2f}"
