@@ -123,36 +123,45 @@ def sign_band_neardup_pairs(
     scaled-int cosine then decides membership, so output semantics are
     exact given candidate coverage.
 
-    Everything is JVM-side DataFrame ops: projections are plan literals,
-    band codes one projection, candidates one equi-join on (band, code).
+    Band codes are computed by an Arrow-batched numpy matmul (one
+    (batch×dim)·(dim×bands·bits) product per batch) — the documented
+    "drop to pandas UDF" case: expressing bands·bits dot products as
+    column expressions bloats the plan with thousands of literals and
+    dominates runtime with analysis/codegen, while the batched matmul is
+    one BLAS call. Candidates then come from one equi-join on (band,
+    code); verification stays JVM-side.
     """
     import numpy as np
+    import pandas as pd
 
     dim = len(df.select(vec_col).first()[0])  # one-row driver action
     rng = np.random.RandomState(seed)
     proj = rng.standard_normal((bands, bits, dim))
+    proj_flat = proj.reshape(bands * bits, dim).T  # (dim, bands*bits)
+    weights = (1 << np.arange(bits)).astype("int64")
 
-    def band_code(b: int) -> Column:
-        code = F.lit(0).cast("long")
-        for j in range(bits):
-            r = F.array(*[F.lit(float(v)) for v in proj[b][j]])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), r, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            code = code + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return code
+    def codes(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["__vec"]]
+            )  # (n, dim)
+            signs = (x @ proj_flat) > 0  # (n, bands*bits)
+            band_codes = (
+                signs.reshape(len(pdf), bands, bits) @ weights
+            )  # (n, bands)
+            out = pdf.loc[pdf.index.repeat(bands)].reset_index(drop=True)
+            out["band"] = np.tile(np.arange(bands), len(pdf))
+            out["code"] = band_codes.reshape(-1)
+            yield out
 
-    hashed = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("__vec"),
         norm_e12(F.col(vec_col)).alias("__nrm"),
-        F.posexplode(F.array(*[band_code(b) for b in range(bands)])).alias(
-            "band", "code"
-        ),
+    )
+    hashed = base.mapInPandas(
+        codes,
+        f"doc_id long, __vec array<float>, __nrm long, band int, code long",
     )
     a = hashed.select("band", "code", F.col("doc_id").alias("id_a"),
                       F.col("__vec").alias("va"), F.col("__nrm").alias("na"))
