@@ -59,6 +59,51 @@ def decode_media(mime: str, payload: bytes):
 DECODERS: dict[str, object] = {}  # mime prefix -> decoder callable
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — image resize needs a codec (Pillow/opencv), absent here.
+    Production: register a decoder in DECODERS and implement as
+    decode → resize → re-encode inside :func:`frame_batches`-style
+    mapInPandas stages (bytes in, bytes out, Arrow-batched)."""
+    raise NotImplementedError("no image codec in this environment")
+
+
+def sample_frame_batches(n_frames: int, frame_bytes: int = 16):
+    """One-to-many frame sampling over binary payloads (the video
+    frame-sample pattern): each payload row yields ``n_frames`` rows with
+    evenly-spaced byte slices standing in for decoded frames.
+
+    The Spark-side structure — mapInPandas expansion, declared schema,
+    deterministic frame positions — is the real surface; a video codec
+    would replace the slice with an actual frame decode at the marked
+    point, nothing else changes.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_pos": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(1, len(payload) // n_frames)
+                for k in range(n_frames):
+                    pos = k * step
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_pos"].append(pos)
+                    # >>> codec seam: replace slice with real frame decode <<<
+                    out["frame"].append(payload[pos:pos + frame_bytes])
+            yield pd.DataFrame(out)
+
+    return sample
+
+
+def sample_payload_frames(media: DataFrame, n_frames: int = 4,
+                          frame_bytes: int = 16) -> DataFrame:
+    """mapInPandas one-to-many: (doc_id, payload) → n_frames rows each."""
+    return media.select("doc_id", "payload").mapInPandas(
+        sample_frame_batches(n_frames, frame_bytes),
+        "doc_id long, frame_idx long, frame_pos long, frame binary",
+    )
+
+
 def byte_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic byte-level 'feature extraction' over Arrow batches —
     the stand-in for a decode step. mean_byte is exact-int-sum / length

@@ -561,7 +561,42 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q50b_frame_sampling",
+    oracle=(
+        "WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n "
+        "FROM documents) "
+        "SELECT doc_id, CAST(f.k AS BIGINT) AS frame_idx, "
+        "CAST(f.k * greatest(1, n // 4) AS BIGINT) AS frame_pos, "
+        "md5(substr(text, f.k * greatest(1, n // 4) + 1, 16)) AS frame_md5 "
+        "FROM m, LATERAL unnest(range(0, 4)) AS f(k) "
+        "ORDER BY doc_id, frame_idx"
+    ),
+    description=(
+        "Q50b: frame sampling — one media row expands to 4 evenly-spaced "
+        "frames via mapInPandas (deterministic byte slices standing in for "
+        "the codec decode, which is the marked stub seam in operators/"
+        "multimodal.sample_frame_batches); frame hashes verified against "
+        "the oracle recomputing the same slices from the ASCII source."
+    ),
+    tags=("llm",),
+)
+def q50b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_payload_frames
+
+    t = tables(spark, sf_dir)
+    media = attach_payload(t["documents"], "doc_id", "text", "source")
+    frames = sample_payload_frames(media, n_frames=4, frame_bytes=16)
+    return (
+        frames.select(
+            "doc_id", "frame_idx", "frame_pos",
+            F.md5("frame").alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 __all__ = [
-    "q46", "q46b", "q47", "q47b", "q48", "q48b",
-    "q49", "q49b", "q49c", "q49d", "q50",
+    "q46", "q46b", "q47", "q47b", "q47c", "q48", "q48b", "q48c",
+    "q49", "q49b", "q49c", "q49d", "q50", "q50b",
 ]
