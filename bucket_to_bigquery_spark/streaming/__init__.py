@@ -84,4 +84,19 @@ def ingest_stream(
     q.awaitTermination()
 
 
-__all__ = ["run_stream_to_memory", "ingest_stream"]
+def idempotent_batch_writer(sink_dir: str):
+    """A retry-safe ``foreachBatch`` sink: each micro-batch overwrites its
+    OWN batch-id-keyed directory, so a batch re-attempted after a crash
+    between write and checkpoint commit replaces itself instead of
+    appending a duplicate. This is the exactly-once recipe for sinks
+    without a transaction log (the parquet file sink has its own; use
+    this for arbitrary destinations). Verified under an injected
+    mid-stream crash in tests/test_streaming_recovery.py."""
+
+    def write(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
+
+    return write
+
+
+__all__ = ["run_stream_to_memory", "ingest_stream", "idempotent_batch_writer"]

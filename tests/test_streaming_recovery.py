@@ -41,11 +41,12 @@ def test_exactly_once_across_midstream_crash(spark, workdir):
     sink = f"{workdir}/sink"
     crashed_marker = f"{workdir}/crashed"
 
-    def idempotent_batch_writer(batch_df, batch_id: int) -> None:
-        # the retry-safe sink pattern: each batch overwrites its OWN
-        # batch-id-keyed directory, so a re-attempted batch replaces
-        # itself instead of appending a duplicate
-        batch_df.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+    from bucket_to_bigquery_spark.streaming import idempotent_batch_writer
+
+    inner = idempotent_batch_writer(sink)
+
+    def crashing_writer(batch_df, batch_id: int) -> None:
+        inner(batch_df, batch_id)
         if batch_id == 1 and not os.path.exists(crashed_marker):
             with open(crashed_marker, "w") as fh:
                 fh.write("x")
@@ -58,7 +59,7 @@ def test_exactly_once_across_midstream_crash(spark, workdir):
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 2)
             .parquet(src)
-            .writeStream.foreachBatch(idempotent_batch_writer)
+            .writeStream.foreachBatch(crashing_writer)
             .option("checkpointLocation", f"{workdir}/ckpt")
             .trigger(availableNow=True)
             .start()
