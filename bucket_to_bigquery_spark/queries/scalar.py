@@ -284,7 +284,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q33b_vector_norm",
     oracle=(
-        "SELECT vec_id, SUM(CAST(round((x * x) * 1e12) AS BIGINT)) AS norm_sq_e12 "
+        "SELECT vec_id, CAST(SUM(CAST(round((x * x) * 1e12) AS BIGINT)) AS BIGINT) AS norm_sq_e12 "
         "FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) "
         "GROUP BY vec_id ORDER BY vec_id"
     ),

@@ -59,6 +59,47 @@ def canon_rows(columns: list[str], rows) -> list[str]:
     return sorted("|".join(canon(row[i]) for i in order) for row in rows)
 
 
+def canon_pd(v):
+    """Canonicalize a cell AFTER it has been routed through a pandas
+    DataFrame — i.e. with the driver's dtype coercions applied.
+
+    This is the layer that catches divergence the plain python-object
+    ``canon`` cannot: DuckDB HUGEINT (SUM over BIGINT) becomes float64 in
+    ``.df()`` while Spark emits int64, so the same value hashes as
+    ``f:6.4e+13`` vs ``i:64000000000000`` (round-2 q33b failure mode).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return "∅"
+    try:
+        if pd.isna(v):
+            return "∅" if isinstance(v, (pd.Timestamp, type(pd.NaT))) else "f:nan"
+    except (TypeError, ValueError):
+        pass  # arrays etc. — fall through
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "f:nan" if math.isnan(f) else f"f:{f!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
+    return canon(v)
+
+
+def canon_rows_pdf(pdf) -> list[str]:
+    """Driver-faithful canonicalization: sort columns by name, canonicalize
+    each cell with pandas dtypes intact, return sorted row strings."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return sorted(
+        "|".join(canon_pd(c) for c in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+
+
 def driver_canon_check(columns: list[str], rows) -> str | None:
     """Replicate the DRIVER's canonicalization path (pandas sort_values over
     all columns) and return an error string if it would die there.
@@ -92,6 +133,13 @@ def run_oracle(con, sql: str):
     return cols, rows
 
 
+def run_oracle_pdf(con, sql: str):
+    """Fetch the oracle result the way the driver does — via ``.df()`` —
+    so DuckDB's pandas dtype coercions (HUGEINT→float64, Decimal→object,
+    NULL-int→NaN) are visible to the comparison."""
+    return con.execute(sql).df()
+
+
 def compare(qname: str, spark, con, sf_dir: str, registry) -> list[str]:
     """Return a list of human-readable problems (empty = pass)."""
     q = registry[qname]
@@ -120,5 +168,17 @@ def compare(qname: str, spark, con, sf_dir: str, registry) -> list[str]:
         problems.append(
             f"value mismatch ({sum(1 for a, b in zip(s_canon, o_canon) if a != b)} rows differ); "
             f"first diffs {diffs!r}; spark-only sample {only_s!r}"
+        )
+    # Driver-faithful pass: both sides through pandas, dtype coercion intact.
+    import pandas as pd
+
+    s_pdf = pd.DataFrame(list(s_rows), columns=s_cols)
+    o_pdf = run_oracle_pdf(con, q.oracle)
+    s_canon_pd = canon_rows_pdf(s_pdf)
+    o_canon_pd = canon_rows_pdf(o_pdf)
+    if s_canon_pd != o_canon_pd:
+        diffs = [(a, b) for a, b in zip(s_canon_pd, o_canon_pd) if a != b][:3]
+        problems.append(
+            f"pandas-dtype mismatch (driver hash would differ): first diffs {diffs!r}"
         )
     return problems
