@@ -11,10 +11,13 @@ table for idempotency. This package reproduces those semantics natively:
   expansion (:286-321), the timestamp-column heuristic (:27-30), and CSV
   header sniffing (:124-140).
 - :mod:`.loader` — the batch load pipeline (:248-397): sniff → schema
-  resolve/expand → ``_imported`` anti-join → partitioned append →
-  audit append. The audit write happens AFTER a successful data write,
-  upgrading the reference's mark-after-launch hazard (index.js:88-89)
-  to effectively-once semantics.
+  resolve/expand → ``_imported`` anti-join → staged batch write →
+  idempotent publish → audit append. The audit write happens AFTER a
+  successful publish (fixing the reference's mark-after-launch hazard,
+  index.js:88-89), and the publish itself is retry-idempotent: each batch
+  stages under a deterministic key and replaces its own files on retry,
+  so a crash anywhere in the write→publish→audit window re-converges to
+  exactly-once output instead of appending duplicates.
 """
 
 from .manifest import Field, Manifest, Task, parse_manifest

@@ -33,6 +33,7 @@ never a full-table collect.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import re
@@ -323,7 +324,17 @@ class BatchLoader:
             )
         data = raw.select(*typed_cols)
 
-        writer = data
+        # Idempotent staged commit: the batch is written to a staging dir
+        # keyed by a DETERMINISTIC hash of the file set, then published
+        # into the live table under batch-keyed file names. A retry after
+        # a crash anywhere in write→publish→audit re-stages and re-publishes
+        # the SAME names (replacing any partial output) instead of
+        # appending duplicates — plain `mode("append")` would make the
+        # crash window between data write and audit append at-least-once.
+        batch_key = hashlib.sha1("\n".join(to_load).encode()).hexdigest()[:16]
+        data_dir = self._data_path(task)
+        staging = f"{data_dir}.staging/{batch_key}"
+        shutil.rmtree(staging, ignore_errors=True)
         if partition_field:
             # DAY time-partitioning (BucketToBigQuery.js:350-354): an internal
             # date column drives the layout; read_table() hides it, and date
@@ -335,14 +346,43 @@ class BatchLoader:
             # in exactly one task → one well-sized file per day per batch.
             writer = data.withColumn(_PDATE, F.to_date(F.col(partition_field)))
             writer = writer.repartition(F.col(_PDATE))
-            writer.write.mode("append").partitionBy(_PDATE).parquet(self._data_path(task))
+            writer.write.mode("overwrite").partitionBy(_PDATE).parquet(staging)
         else:
-            writer.write.mode("append").parquet(self._data_path(task))
+            data.write.mode("overwrite").parquet(staging)
+        self._commit_staged(staging, data_dir, batch_key)
         report.rows_loaded = n_rows
 
         self._save_registry(task, fields, partition_field)
-        self.store_as_imported(task, to_load)  # AFTER the successful write
+        self.store_as_imported(task, to_load)  # AFTER the successful publish
         return report
+
+    def _commit_staged(self, staging: str, data_dir: str, batch_key: str) -> None:
+        """Publish one staged batch into the live table, idempotently.
+
+        Staged part files move to deterministic batch-keyed names
+        (``part-<seq>-<batch_key>.parquet`` per partition directory), after
+        deleting anything a previous partial publish of THIS batch left
+        behind — so publish converges to exactly-once output no matter how
+        many times the batch is retried. Local/HDFS rename is the commit
+        primitive here; on an object store without atomic rename this same
+        staged-commit pattern is what a transactional table format's commit
+        log provides — swap this method for a Delta/Iceberg append there.
+        """
+        os.makedirs(data_dir, exist_ok=True)
+        for stale in glob.glob(
+            f"{data_dir}/**/*-{batch_key}.parquet", recursive=True
+        ):
+            os.remove(stale)
+        staged = sorted(glob.glob(f"{staging}/**/*.parquet", recursive=True))
+        seq: dict[str, int] = {}
+        for src in staged:
+            rel_dir = os.path.dirname(os.path.relpath(src, staging))
+            tgt_dir = os.path.join(data_dir, rel_dir) if rel_dir else data_dir
+            os.makedirs(tgt_dir, exist_ok=True)
+            i = seq.get(tgt_dir, 0)
+            seq[tgt_dir] = i + 1
+            os.replace(src, os.path.join(tgt_dir, f"part-{i:05d}-{batch_key}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
 
     def run(self, manifest: Manifest,
             candidate_files: list[str] | None = None,

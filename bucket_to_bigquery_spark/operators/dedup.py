@@ -91,7 +91,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_df: int = 100,
 ) -> DataFrame:
-    """All pairs with Jaccard(shingle sets) >= threshold, exactly.
+    """All pairs with Jaccard(shingle sets) >= threshold — exact Jaccard
+    over the document-frequency-filtered shingle universe: shingles in more
+    than ``max_shingle_df`` docs are excluded from BOTH the intersection
+    and the set sizes, so within that universe the score is exact, and
+    pairs whose overlap is purely hot/boilerplate shingles are out of
+    scope by construction (a recall trade-off, deliberate: at 100 TB those
+    pairs are boilerplate matches, not near-duplicates).
 
     Plan shape (scale-first):
     1. explode DISTINCT shingles per doc → inverted index (shingle, doc);
@@ -107,8 +113,6 @@ def ngram_jaccard_pairs(
         toks.select("doc_id", F.explode(shingles(F.col("t"), n)).alias("shingle"))
         .distinct()  # shingle SETS, not bags
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_count"))
@@ -116,6 +120,11 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     idx = sh.join(hot, "shingle", "left_anti")
+    # sizes over the SAME filtered universe as the join numerator: the
+    # result is exact Jaccard over non-hot shingles. Counting all shingles
+    # here while the numerator skips hot ones would systematically
+    # underestimate similarity for pairs sharing boilerplate.
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = idx.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
     b = idx.select(F.col("shingle"), F.col("doc_id").alias("id_b"))

@@ -131,9 +131,9 @@ def q46b(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
         "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle "
         "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
-        "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id), "
         "hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100), "
         "idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM idx GROUP BY doc_id), "
         "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
         "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
         "GROUP BY 1, 2) "
@@ -145,10 +145,12 @@ def q46b(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY id_a, id_b"
     ),
     description=(
-        "Q47: exact near-dup pairs — word-3-gram shingle sets, inverted "
-        "index self-join (pairs only for docs sharing a shingle; document-"
-        "frequency cap bounds hot-shingle fan-out), Jaccard >= 0.6. Finds "
-        "all planted exact (j=1.0) and near (j≈0.9) pairs."
+        "Q47: near-dup pairs — word-3-gram shingle sets, inverted index "
+        "self-join (pairs only for docs sharing a shingle). Jaccard is "
+        "EXACT over the DF-capped shingle universe: hot/boilerplate "
+        "shingles (>100 docs) are excluded from intersection AND sizes, "
+        "bounding hot-key fan-out. Jaccard >= 0.6; finds all planted "
+        "exact (j=1.0) and near (j≈0.9) pairs."
     ),
     tags=("llm",),
 )

@@ -407,8 +407,12 @@ def q15b(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
         value_cols=["view_id", "view_ts"], suffix="_asof",
     )
+    # microsecond precision, matching the oracle's exact INTERVAL compare —
+    # cast('long') truncates to seconds, which can disagree with the true
+    # interval for sub-second timestamps at the 1-hour boundary
     fresh = F.when(
-        F.col("ts").cast("long") - F.col("view_ts_asof").cast("long") <= 3600,
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts_asof"))
+        <= 3_600_000_000,
         F.col("view_id_asof"),
     )
     return out.select(

@@ -372,3 +372,37 @@ def test_compact_merges_partition_files(spark, workdir):
     assert n_after == 2  # one file per DAY partition
     after = loader.read_table(task).orderBy("timestamp", "location").collect()
     assert after == before
+
+
+def test_load_retry_after_crash_is_exactly_once(spark, workdir):
+    """Crash window between data publish and audit append: the retry must
+    replace the batch's own staged output (deterministic batch-keyed file
+    names), not append duplicate rows — batch loads are exactly-once on
+    retry, not at-least-once."""
+    _write_csv(
+        f"{workdir}/src/2024/01/a.csv",
+        ["timestamp", "utc_offset", "location"],
+        [["2024-01-01 00:00:00", "1.5", "syd"],
+         ["2024-01-02 00:00:00", "1.5", "syd"]],
+    )
+    _write_csv(
+        f"{workdir}/src/2024/01/b.csv",
+        ["timestamp", "utc_offset", "location"],
+        [["2024-01-02 12:00:00", "-4.0", "nyc"]],
+    )
+    loader = BatchLoader(spark, f"{workdir}/warehouse", job_id_seed="seed")
+    manifest = _manifest(workdir)
+    task = manifest.tasks[0]
+
+    (r1,) = loader.run(manifest)
+    assert r1.rows_loaded == 3 and loader.read_table(task).count() == 3
+
+    # simulate: publish succeeded, audit append crashed before landing
+    shutil.rmtree(f"{workdir}/warehouse/d.readings/_imported")
+
+    (r2,) = loader.run(manifest)
+    assert len(r2.files_loaded) == 2  # audit lost -> files retried...
+    assert loader.read_table(task).count() == 3  # ...but rows NOT duplicated
+
+    (r3,) = loader.run(manifest)  # audit restored -> clean no-op
+    assert r3.files_loaded == [] and loader.read_table(task).count() == 3
