@@ -29,6 +29,7 @@ from .schema_registry import (
     same_or_super_set,
     sniff_csv_headers,
 )
+from .events import events_to_candidates, finalize_object_uris
 from .loader import BatchLoader, LoadReport
 
 __all__ = [

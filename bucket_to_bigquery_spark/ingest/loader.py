@@ -54,6 +54,7 @@ from .schema_registry import (
     expand_schema,
     infer_partition_field,
     sniff_file_headers,
+    spark_type as spark_type_of,
 )
 
 _PDATE = "__pdate"  # internal DAY-partition column (invisible on read_table)
@@ -449,6 +450,43 @@ class BatchLoader:
 
     def read_audit(self, task: Task) -> DataFrame:
         return self.spark.read.schema(AUDIT_SCHEMA).parquet(self._audit_path(task))
+
+    def register_catalog_table(self, task: Task) -> str:
+        """Register the loaded table in the Spark catalog (A16's
+        ``tables.insert`` analog) so plain ``spark.sql`` sees it without
+        manual view registration.
+
+        An EXTERNAL datasource table over the live ``data/`` directory:
+        the registry schema is declared explicitly (so pre-expansion files
+        null-fill new columns exactly like :meth:`read_table`), the DAY
+        partition column is declared PARTITIONED BY and recovered from the
+        directory layout — date predicates on it prune partitions through
+        the catalog too. Re-run after a load that expanded the schema or
+        added partitions (CREATE OR REPLACE + recover: metadata-only).
+        Returns the qualified identifier.
+        """
+        reg = self._load_registry(task)
+        if reg is None:
+            raise ValueError(f"table {task.qualified_table} has no registry")
+        fields, partition_field = reg
+        db, tbl = task.dataset, task.table
+        ident = f"`{db}`.`{tbl}`"
+        cols = ", ".join(
+            f"`{f.name}` {spark_type_of(f.type).simpleString()}" for f in fields
+        )
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        part = ""
+        if partition_field:
+            cols += f", `{_PDATE}` date"
+            part = f"PARTITIONED BY (`{_PDATE}`)"
+        self.spark.sql(
+            f"CREATE TABLE {ident} ({cols}) USING parquet {part} "
+            f"LOCATION '{self._data_path(task)}'"
+        )
+        if partition_field:
+            self.spark.catalog.recoverPartitions(f"{db}.{tbl}")
+        return f"{db}.{tbl}"
 
 
 __all__ = ["BatchLoader", "LoadReport", "AUDIT_SCHEMA", "SchemaCompatError"]

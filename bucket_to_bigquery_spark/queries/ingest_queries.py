@@ -159,4 +159,32 @@ def q04c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["q04", "q04b", "q04c"]
+@query(
+    "q04d_catalog_sql",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        + dsum_sql("o_totalprice", "total_price")
+        + " FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    description=(
+        "Q4d (A16): the ingested table registered in the Spark catalog as "
+        "an external partitioned parquet table (CREATE TABLE ... USING "
+        "parquet PARTITIONED BY ... LOCATION + recoverPartitions), then "
+        "queried with plain spark.sql — no view registration, and the "
+        "__pdate predicate prunes partitions through the catalog."
+    ),
+    tags=("ingest", "catalog"),
+)
+def q04d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loader, task = _ingested_loader(spark, sf_dir)
+    ident = loader.register_catalog_table(task)
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        + dsum_sql("o_totalprice", "total_price")
+        + f" FROM {ident} WHERE __pdate >= DATE '1996-01-01' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+__all__ = ["q04", "q04b", "q04c", "q04d"]

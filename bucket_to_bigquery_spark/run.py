@@ -46,15 +46,34 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dry-run", action="store_true",
                     help="plan loads and print them as JSON; write nothing")
     ap.add_argument("--mock-files", nargs="*", default=None,
-                    help="candidate file URIs (the mockEvents seam); "
+                    help="candidate file URIs (bypasses event decode); "
                          "omit to glob the manifest sources")
+    ap.add_argument("--mock-events", default=None,
+                    help="JSON file or literal: a list of PubSub push "
+                         "envelopes (the reference's context.mockEvents "
+                         "seam) — decoded via OBJECT_FINALIZE filter, "
+                         "base64 data parse, kind filter, selfLink dedup")
+    ap.add_argument("--uri-format", default=None,
+                    help="URI template for decoded events "
+                         "(default gs://{bucket}/{name}); local test seam")
     args = ap.parse_args(argv)
 
     dry = args.dry_run or bool(os.environ.get("DRY_RUN"))
     manifest = parse_manifest(args.manifest)
     spark = get_spark("b2bqs-run")
     loader = BatchLoader(spark, args.warehouse)
-    reports = loader.run(manifest, candidate_files=args.mock_files, dry_run=dry)
+    candidates = args.mock_files
+    if args.mock_events is not None:
+        from .ingest.events import GS_URI_FORMAT, events_to_candidates
+
+        raw = args.mock_events
+        if os.path.exists(raw):
+            with open(raw) as fh:
+                raw = fh.read()
+        candidates = events_to_candidates(
+            spark, json.loads(raw), uri_format=args.uri_format or GS_URI_FORMAT
+        )
+    reports = loader.run(manifest, candidate_files=candidates, dry_run=dry)
     print(json.dumps({"dryRun": dry, "tasks": [_report_json(r) for r in reports]},
                      indent=2))
     return 0

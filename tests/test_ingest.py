@@ -3,6 +3,7 @@ semantics, plus §5.2 golden end-to-end idempotency/expansion runs."""
 
 from __future__ import annotations
 
+import base64
 import csv
 import json
 import os
@@ -406,3 +407,69 @@ def test_load_retry_after_crash_is_exactly_once(spark, workdir):
 
     (r3,) = loader.run(manifest)  # audit restored -> clean no-op
     assert r3.files_loaded == [] and loader.read_table(task).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# A7: event-envelope decode (getTriggeredTaskInfos front half, js:208-246)
+# ---------------------------------------------------------------------------
+
+
+def _envelope(event_type, kind, self_link, bucket, name):
+    data = base64.b64encode(json.dumps(
+        {"kind": kind, "selfLink": self_link, "bucket": bucket, "name": name}
+    ).encode()).decode()
+    return {"message": {"attributes": {"eventType": event_type}, "data": data}}
+
+
+def test_event_envelope_decode_semantics(spark):
+    from bucket_to_bigquery_spark.ingest import events_to_candidates
+
+    evs = [
+        _envelope("OBJECT_FINALIZE", "storage#object", "sl1", "bkt", "drop/a.csv"),
+        _envelope("OBJECT_FINALIZE", "storage#object", "sl1", "bkt", "drop/a.csv"),  # redelivered: dedup by selfLink
+        _envelope("OBJECT_DELETE", "storage#object", "sl2", "bkt", "drop/b.csv"),    # wrong eventType
+        _envelope("OBJECT_FINALIZE", "storage#notobject", "sl3", "bkt", "drop/c.csv"),  # wrong kind
+        {"message": {"attributes": {"eventType": "OBJECT_FINALIZE"}, "data": None}},  # no payload -> fails kind filter
+        _envelope("OBJECT_FINALIZE", "storage#object", "sl4", "bkt2", "x/y.csv"),
+    ]
+    assert events_to_candidates(spark, evs) == [
+        "gs://bkt/drop/a.csv", "gs://bkt2/x/y.csv"
+    ]
+    assert events_to_candidates(spark, []) == []
+
+
+def test_cli_mock_events_dry_run(spark, workdir, capsys):
+    from bucket_to_bigquery_spark.run import main
+
+    _write_csv(f"{workdir}/src/a.csv",
+               ["timestamp", "utc_offset", "location"],
+               [["2024-01-01 00:00:00", "1.5", "syd"]])
+    _write_csv(f"{workdir}/src/b.csv",
+               ["timestamp", "utc_offset", "location"],
+               [["2024-01-02 00:00:00", "1.5", "nyc"]])
+    # only a.csv was notified; b.csv exists but no event arrived
+    events = [_envelope("OBJECT_FINALIZE", "storage#object", "s1",
+                        "unused", f"{workdir.lstrip('/')}/src/a.csv")]
+    events_path = f"{workdir}/events.json"
+    with open(events_path, "w") as fh:
+        json.dump(events, fh)
+    manifest = {
+        "project": "test",
+        "tasks": [{
+            "sources": [f"{workdir}/src/**/*.csv"],
+            "dataset": "d", "table": "readings",
+            "fields": [{"name": "timestamp", "type": "timestamp"},
+                       {"name": "utc_offset", "type": "float"},
+                       {"name": "location", "type": "string"}],
+        }],
+    }
+    rc = main(["--manifest", json.dumps(manifest),
+               "--warehouse", f"{workdir}/warehouse",
+               "--dry-run", "--mock-events", events_path,
+               "--uri-format", "/{name}"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["dryRun"] is True
+    (t,) = out["tasks"]
+    assert t["filesToLoad"] == [f"{workdir}/src/a.csv"]
+    assert not os.path.isdir(f"{workdir}/warehouse/d.readings")  # dry: nothing written

@@ -28,3 +28,20 @@ def test_q04_round_trip_schema(spark, sf_dir):
         "o_orderdate": "timestamp",
         "o_orderpriority": "string",
     }
+
+
+def test_q04d_catalog_scan_is_partition_pruned(spark, sf_dir):
+    """The catalog route (CREATE TABLE ... PARTITIONED BY + recover) must
+    prune partitions exactly like the path-based reader."""
+    df = all_queries()["q04d_catalog_sql"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__pdate" in pf, f"no partition filter on __pdate: {pf!r}"
+
+
+def test_q04d_catalog_table_visible_to_sql(spark, sf_dir):
+    all_queries()["q04d_catalog_sql"].builder(spark, sf_dir)  # registers
+    assert spark.sql("SHOW TABLES IN wh").where("tableName = 'orders_ing'").count() == 1
+    n = spark.sql("SELECT COUNT(*) AS n FROM wh.orders_ing").first()["n"]
+    assert n > 0
