@@ -25,6 +25,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     normalize_text,
     rolling_fingerprint,
+    shingles,
     simhash_col,
     tokens,
 )
@@ -514,6 +515,160 @@ def q49d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49e_quality_filter",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, "
+        f"length({_NORM_SQL}) AS nc FROM documents), "
+        "g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "len(toks) >= 5 AS len_ok, "
+        "(CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks)) BETWEEN 2 AND 12 "
+        "AS tok_shape_ok, "
+        "NOT EXISTS (SELECT 1 FROM unnest(toks) AS u(x) WHERE length(x) > 25) "
+        "AS no_megatoken, "
+        "len(list_filter(toks, x -> list_contains("
+        "['the','and','of','is','in','to','a','it'], x))) >= 1 "
+        "OR len(list_filter(toks, x -> list_contains("
+        "['der','die','und','ist','das','el','los','y','es','una',"
+        "'le','la','et','est','les'], x))) >= 1 AS has_stopwords FROM t) "
+        "SELECT doc_id, n_tokens, len_ok, tok_shape_ok, no_megatoken, "
+        "has_stopwords, "
+        "len_ok AND tok_shape_ok AND no_megatoken AND has_stopwords AS kept "
+        "FROM g ORDER BY doc_id"
+    ),
+    description=(
+        "Q49e: C4-style corpus cleaning — per-document quality gates "
+        "(min length, sane mean token length, no >25-char megatokens, "
+        "any-language stopword evidence) with per-gate audit flags and "
+        "the combined keep decision. One projection, no shuffle, no UDF; "
+        "the retained corpus is `WHERE kept` and each drop is "
+        "attributable to its gate — the filter-with-audit shape a 100 TB "
+        "cleaning pass needs (you never get to ask 'why was this doc "
+        "dropped' twice)."
+    ),
+    tags=("llm",),
+)
+def q49e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    all_stop = (_STOPWORDS
+                + _LANG_PROFILES["de"] + _LANG_PROFILES["es"]
+                + _LANG_PROFILES["fr"])
+    d = t["documents"].select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        F.length(normalize_text("text")).alias("nc"),
+    )
+    n_tok = F.size("toks")
+    avg_len = (F.col("nc") - (n_tok - 1)).cast("double") / n_tok
+    # NB: closure-free lambdas — isin on a literal list stays JVM-side
+    stop_en = F.size(F.filter(F.col("toks"), lambda x: x.isin(_STOPWORDS)))
+    stop_any = F.size(F.filter(F.col("toks"), lambda x: x.isin(all_stop)))
+    gates = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (n_tok >= 5).alias("len_ok"),
+        avg_len.between(2, 12).alias("tok_shape_ok"),
+        (~F.exists(F.col("toks"), lambda x: F.length(x) > 25)).alias("no_megatoken"),
+        ((stop_en >= 1) | (stop_any >= 1)).alias("has_stopwords"),
+    )
+    return gates.withColumn(
+        "kept",
+        F.col("len_ok") & F.col("tok_shape_ok")
+        & F.col("no_megatoken") & F.col("has_stopwords"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q49f_repetition_ratio",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+        "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(1, len(toks) - 1), i -> "
+        "array_to_string(toks[i:i+2], ' ')) ELSE [] END AS sh FROM t) "
+        "SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, "
+        "CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct, "
+        "CASE WHEN len(sh) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END "
+        "AS rep_ratio, "
+        "CASE WHEN len(sh) = 0 THEN FALSE ELSE "
+        "1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) > 0.2 END "
+        "AS is_repetitive FROM s ORDER BY doc_id"
+    ),
+    description=(
+        "Q49f: within-document repetition (Gopher-style quality signal) — "
+        "duplicate word-3-gram fraction: 1 - distinct/total shingles. "
+        "Boilerplate and degenerate generated text score high; docs "
+        "shorter than one shingle score 0. Pure array builtins per row, "
+        "no shuffle — composable with q49e's gates as one cleaning pass."
+    ),
+    tags=("llm",),
+)
+def q49f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", shingles(tokens("text"), 3).alias("sh")
+    )
+    n_sh = F.size("sh")
+    n_dist = F.size(F.array_distinct("sh"))
+    ratio = F.when(n_sh == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_dist.cast("double") / n_sh
+    )
+    return d.select(
+        "doc_id",
+        n_sh.cast("long").alias("n_shingles"),
+        n_dist.cast("long").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+        F.when(n_sh == 0, F.lit(False)).otherwise(
+            F.lit(1.0) - n_dist.cast("double") / n_sh > 0.2
+        ).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+_SAMPLE_QUOTA = {"de": 50, "en": 80, "es": 30, "fr": 10}  # percent kept
+
+
+@query(
+    "q49g_stratified_sample",
+    oracle=(
+        "SELECT doc_id, lang, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 100 AS bucket_pct, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 100 < CASE lang WHEN 'de' THEN 50 WHEN 'en' THEN 80 "
+        "WHEN 'es' THEN 30 WHEN 'fr' THEN 10 ELSE 0 END AS kept "
+        "FROM documents ORDER BY doc_id"
+    ),
+    description=(
+        "Q49g: deterministic stratified sampling — per-language keep "
+        "quotas applied via md5(doc_id) mod 100 (identical in any engine, "
+        "any partitioning, any rerun), NOT sampleBy's per-partition RNG: "
+        "reproducible training mixtures need the sample to be a pure "
+        "function of the row. One projection, no shuffle; the mixture is "
+        "`WHERE kept` and changing quotas is a constant edit, not a "
+        "re-shuffle."
+    ),
+    tags=("llm",),
+)
+def q49g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    quota = F.lit(0)
+    for lang, pct in _SAMPLE_QUOTA.items():
+        quota = F.when(F.col("lang") == lang, pct).otherwise(quota)
+    return (
+        t["documents"]
+        .select(
+            "doc_id", "lang",
+            bucket.alias("bucket_pct"),
+            (bucket < quota).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q50 — multimodal binary column
 # ---------------------------------------------------------------------------
@@ -600,5 +755,5 @@ def q50b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 __all__ = [
     "q46", "q46b", "q47", "q47b", "q47c", "q48", "q48b", "q48c",
-    "q49", "q49b", "q49c", "q49d", "q50", "q50b",
+    "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q50", "q50b",
 ]
