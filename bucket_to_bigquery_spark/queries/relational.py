@@ -22,7 +22,7 @@ from .registry import davg, davg_sql, dsum, dsum_sql, query, tables
 # Scratch root is version-salted: materialize-once artifacts persist across
 # processes (marker files), so a layout change in any builder must land in a
 # fresh directory — bump the salt whenever scratch-data layout changes.
-_TMP = "/tmp/b2bqs/v2"
+_TMP = "/tmp/b2bqs/v3"
 _MATERIALIZED: set[str] = set()
 
 
