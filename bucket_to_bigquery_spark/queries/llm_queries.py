@@ -120,6 +120,74 @@ def q46b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q47_PAIR_CTES = (
+    f"corpus AS ({CORPUS_SQL}), "
+    f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle "
+    "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+    "hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100), "
+    "idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM idx GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
+    "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.6)"
+)
+
+
+@query(
+    "q46c_dedup_clusters",
+    oracle=(
+        f"WITH RECURSIVE {_Q47_PAIR_CTES}, "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+        "reach(a, b) AS (SELECT doc_id, doc_id FROM corpus "
+        "UNION SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b), "
+        "lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a) "
+        "SELECT doc_id, cluster_id, "
+        "CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, "
+        "doc_id = cluster_id AS is_canonical "
+        "FROM lab ORDER BY doc_id"
+    ),
+    description=(
+        "Q46c: dedup cluster assignment — the transitive closure over the "
+        "q47 near-dup pair graph via distributed min-label propagation "
+        "(operators/graph.py): every document gets its component's min id "
+        "as cluster_id, the size of its cluster, and the canonical-survivor "
+        "flag. Each propagation round is one shuffle with lineage "
+        "truncated by localCheckpoint; convergence is a scalar changed-count "
+        "aggregate, never a driver-side label collect. The oracle computes "
+        "the same closure with a recursive CTE."
+    ),
+    tags=("llm",),
+)
+def q46c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=corpus.select("doc_id"), node_col="doc_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .select(
+            "doc_id", "cluster_id",
+            F.count("*").over(w).cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q47 — near-dup: exact n-gram Jaccard + MinHash LSH
 # ---------------------------------------------------------------------------
@@ -816,6 +884,157 @@ def q49h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer over normalized (lowercase, single-space) text:
+# contraction suffixes, space-prefixed word runs, digit runs, punctuation
+# runs. Restricted to constructs Java regex and RE2 interpret identically
+# (no lookaround, leftmost-first alternation in both).
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+# The corpus is alpha-only; without digits/punctuation the pretokenizer
+# degenerates to whitespace splitting (a vacuous pass). A deterministic
+# version/build suffix exercises the digit-run and punctuation-run branches
+# — constructed identically in both engines, like the dedup corpus.
+_BPE_AUG_SQL = (
+    "text || ' rev ' || doc_id || '.0 build-' || (doc_id % 97) AS text"
+)
+
+
+@query(
+    "q49i_bpe_pretokenize",
+    oracle=(
+        f"WITH aug AS (SELECT doc_id, {_BPE_AUG_SQL} FROM documents), "
+        f"n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM aug), "
+        "b AS (SELECT doc_id, length(norm) AS nc, "
+        "len(string_split(norm, ' ')) AS n_words, "
+        f"regexp_extract_all(norm, '{_BPE_PAT_SQL}', 0) AS bpe FROM n) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(len(bpe) AS BIGINT) AS n_bpe, "
+        "CAST(len(list_distinct(bpe)) AS BIGINT) AS n_bpe_distinct, "
+        "CASE WHEN len(bpe) = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(nc AS DOUBLE) / len(bpe) END AS chars_per_token "
+        "FROM b ORDER BY doc_id"
+    ),
+    description=(
+        "Q49i: token counting with a BPE-style regex pretokenizer — the "
+        "pre-merge segmentation step of GPT-2-family tokenizers (contraction "
+        "suffixes / space-prefixed word / digit / punctuation runs), giving "
+        "a far better token-budget estimate than whitespace counts. Pure "
+        "JVM regexp_extract_all projection: no shuffle, no UDF; the "
+        "pattern is restricted to the Java-regex ∩ RE2 common subset so "
+        "the oracle segments identically."
+    ),
+    tags=("llm",),
+)
+def q49i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"), F.lit(" rev "), did.cast("string"),
+        F.lit(".0 build-"), (did % 97).cast("string"),
+    )
+    d = t["documents"].select(
+        "doc_id", normalize_text(aug).alias("norm")
+    ).select(
+        "doc_id",
+        F.length("norm").alias("nc"),
+        F.size(F.split("norm", " ")).alias("n_words"),
+        F.regexp_extract_all(F.col("norm"), F.lit(_BPE_PAT), F.lit(0)).alias("bpe"),
+    )
+    n_bpe = F.size("bpe")
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        n_bpe.cast("long").alias("n_bpe"),
+        F.size(F.array_distinct("bpe")).cast("long").alias("n_bpe_distinct"),
+        F.when(n_bpe == 0, F.lit(0.0))
+        .otherwise(F.col("nc").cast("double") / n_bpe)
+        .alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+# PII patterns in the Java-regex ∩ RE2 common subset (\b word boundaries,
+# bounded repeats, character classes — no lookaround).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+# The synthetic corpus has no PII, so the query plants it deterministically
+# (same construction in both engines — the dedup-corpus pattern): every
+# 7th doc an email, phone, or IPv4 host line appended from doc_id.
+_PII_AUG_SQL = (
+    "CASE doc_id % 7 "
+    "WHEN 0 THEN text || ' contact user' || doc_id || '@example.com now' "
+    "WHEN 1 THEN text || ' call ' || (200 + doc_id % 700) || '-' || "
+    "(1000 + doc_id % 9000) || ' today' "
+    "WHEN 2 THEN text || ' host 10.' || (doc_id % 256) || '.' || "
+    "((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) || ' up' "
+    "ELSE text END"
+)
+
+
+@query(
+    "q49j_pii_redaction",
+    oracle=(
+        f"WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents), "
+        "red AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips, "
+        f"CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones, "
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_IP}', '<IP>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g') AS redacted FROM aug) "
+        "SELECT doc_id, n_emails, n_ips, n_phones, "
+        "n_emails + n_ips + n_phones = 0 AS is_clean, "
+        "sha256(redacted) AS redacted_sha FROM red ORDER BY doc_id"
+    ),
+    description=(
+        "Q49j: PII detection + redaction — email/IPv4/phone regex scrub "
+        "with per-class counts, a clean flag, and sha256 of the redacted "
+        "text (the hash proves byte-exact replacement parity, not just "
+        "matching counts). Patterns live in the Java-regex ∩ RE2 subset; "
+        "replacements apply in a fixed order. Pure projection: no "
+        "shuffle, no UDF — at 100 TB this runs at scan speed."
+    ),
+    tags=("llm",),
+)
+def q49j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = (
+        F.when(did % 7 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com now")))
+        .when(did % 7 == 1, F.concat(
+            F.col("text"), F.lit(" call "), (did % 700 + 200).cast("string"),
+            F.lit("-"), (did % 9000 + 1000).cast("string"), F.lit(" today")))
+        .when(did % 7 == 2, F.concat(
+            F.col("text"), F.lit(" host 10."), (did % 256).cast("string"),
+            F.lit("."), ((did * 7) % 256).cast("string"),
+            F.lit("."), ((did * 13) % 256).cast("string"), F.lit(" up")))
+        .otherwise(F.col("text"))
+    )
+    d = t["documents"].select("doc_id", aug.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    n_em = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long")
+    n_ip = F.regexp_count(F.col("text"), F.lit(_PII_IP)).cast("long")
+    n_ph = F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).cast("long")
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_ph.alias("n_phones"),
+        (n_em + n_ip + n_ph == 0).alias("is_clean"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Q50 — multimodal binary column
 # ---------------------------------------------------------------------------
@@ -901,7 +1120,9 @@ def q50b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
-    "q46", "q46b", "q47", "q47b", "q47c", "q47d", "q48", "q48b", "q48c",
+    "q46", "q46b", "q46c", "q47", "q47b", "q47c", "q47d",
+    "q48", "q48b", "q48c",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
+    "q49i", "q49j",
     "q50", "q50b",
 ]

@@ -90,6 +90,25 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q02b_orc_scan_roundtrip",
+    oracle="SELECT * FROM orders ORDER BY o_orderkey",
+    description=(
+        "Q2b: ORC sink + scan roundtrip — the second columnar format a "
+        "warehouse load path must speak. Schema, timestamps and decimals "
+        "survive the roundtrip bit-exact; ORC scans get the same "
+        "column-pruning/predicate-pushdown treatment as parquet."
+    ),
+)
+def q02b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    path = _materialize_once(
+        _scratch("q02b_orc", sf_dir),
+        lambda p: t["orders"].write.mode("overwrite").orc(f"{p}/data"),
+    ) + "/data"
+    return spark.read.orc(path).orderBy("o_orderkey")
+
+
+@query(
     "q03_json_extract",
     oracle=(
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "

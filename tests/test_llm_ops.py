@@ -67,3 +67,23 @@ def test_q48c_ivf_recall_vs_exact(spark, sf_dir):
     # random 64-dim embeddings have weak cluster structure, so probing 4/16
     # lists bounds recall well below 1.0 — the explicit cost/recall trade
     assert recall >= 0.4, f"IVF recall@5 = {recall:.2f}"
+
+
+def test_connected_components_multihop_chain(spark):
+    """The gate corpus's dup clusters are near-cliques (diameter ~1), so
+    this proves the part q46c can't: multi-hop label propagation. A
+    30-node chain plus two rings must converge to exact components, with
+    singletons preserved from the node universe."""
+    from bucket_to_bigquery_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 130)]          # diameter 30
+    ring = [(200 + i, 200 + (i + 1) % 8) for i in range(8)]  # cycle
+    edges = spark.createDataFrame(chain + ring, ["src", "dst"])
+    nodes = spark.createDataFrame([(n,) for n in
+                                   list(range(100, 131)) + list(range(200, 208))
+                                   + [999]], ["node"])
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert all(got[n] == 100 for n in range(100, 131)), "chain not converged"
+    assert all(got[n] == 200 for n in range(200, 208)), "ring not converged"
+    assert got[999] == 999, "singleton lost"
