@@ -109,3 +109,27 @@ def test_pre_partitioned_join_reuses_partitioning(spark, sf_dir):
     # for the join or the post-join aggregation on the same key
     assert plan.count("REPARTITION_BY_NUM") == 2
     assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_q47d_benchmark_side_is_broadcast(spark, sf_dir):
+    # decontamination joins the exploded corpus against the (small)
+    # benchmark shingle set — the benchmark MUST broadcast; a shuffle of
+    # the corpus explosion on shingle is the 100 TB failure mode
+    plan = _plan(spark, sf_dir, "q47d_benchmark_decontamination")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["q49i_bpe_pretokenize", "q49j_pii_redaction"])
+def test_text_projections_have_no_shuffle(spark, sf_dir, name):
+    # pure scan-speed projections: no Exchange besides the presentation sort
+    plan = _plan(spark, sf_dir, name)
+    body = plan.split("Sort", 1)[-1]
+    assert "hashpartitioning" not in body, name
+
+
+def test_q49h_single_shuffle_on_shard_key(spark, sf_dir):
+    # shard assignment is THE write plan: exactly one hash shuffle (on the
+    # shard key, for both window functions), then the presentation sort
+    plan = _plan(spark, sf_dir, "q49h_shard_assignment")
+    assert plan.count("hashpartitioning") == 1, plan
