@@ -188,6 +188,139 @@ def sign_band_neardup_pairs(
     ).where(F.col("cosine") >= cosine_threshold)
 
 
+def _featurize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_e12(F.col(vec_col)).alias("nrm"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+
+
+def _ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Probe phase shared by the inline and prebuilt IVF paths: rank the
+    broadcast centroids per query, equi-join the ``n_probe`` nearest lists
+    against the assignments, exact-cosine re-rank the candidates."""
+    q = _featurize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"), F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("q_id", "q_vec", "q_norm", "list_id")
+    )
+    scored = (
+        probes.join(assigned, "list_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_from_e12(
+                dot_e12(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_norm"),
+                F.col("n_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "n_id", "cosine")
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    fit_sample_size: int = 4096,
+    fit_max_iter: int = 8,
+) -> None:
+    """Build and persist an IVF index: ``<path>/centroids`` (n_lists rows)
+    and ``<path>/assigned`` (one row per corpus vector with its list id,
+    written partitioned BY list id so a probe reads only its lists).
+
+    This is the 100 TB deployment shape: the KMeans fit + full-corpus
+    assignment pass runs ONCE (per corpus version) as an offline job; the
+    online path (:func:`ivf_probe_prebuilt`) only reads the index. Seeded
+    sample-fit ⇒ rebuilding from the same corpus reproduces the index."""
+    from pyspark.ml.clustering import KMeans
+
+    c = _featurize(corpus, id_col, vec_col).persist()
+    n = c.count()  # materializes the cache; sizes the fit sample
+    fit_input = (
+        c if n <= fit_sample_size
+        else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
+                featuresCol="features", predictionCol="list_id")
+    model = km.fit(fit_input)
+    (
+        model.transform(c)
+        .select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+            F.col("nrm").alias("n_norm"), "list_id",
+        )
+        # one file per inverted list (lists ≈ balanced by KMeans): probing
+        # p of L lists scans p/L of the data via partition pruning
+        .repartition("list_id")
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(f"{path}/assigned")
+    )
+    corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in
+         enumerate(model.clusterCenters())],
+        ["list_id", "centroid"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    c.unpersist()
+
+
+def ivf_probe_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a prebuilt :func:`ivf_build_index` index — the
+    online serving path: centroids broadcast from a tiny parquet, probed
+    lists read via partition pruning, exact cosine re-rank. No fit, no
+    full-corpus pass in the query."""
+    assigned = spark.read.parquet(f"{path}/assigned")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return _ivf_probe(assigned, centroids, queries, id_col, vec_col, k, n_probe)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -219,19 +352,8 @@ def ivf_topk(
     small sample; only the cheap assignment pass touches the full corpus.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    def featurize(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            norm_e12(F.col(vec_col)).alias("nrm"),
-            array_to_vector(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            ).alias("features"),
-        )
-
-    c = featurize(corpus).persist()
+    c = _featurize(corpus, id_col, vec_col).persist()
     n = c.count()  # materializes the cache; sizes the fit sample
     fit_input = (
         c if n <= fit_sample_size
@@ -244,54 +366,12 @@ def ivf_topk(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
         F.col("nrm").alias("n_norm"), "list_id",
     )
-
-    centroids = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in ctr]) for i, ctr in
-             enumerate(model.clusterCenters())],
-            ["list_id", "centroid"],
-        )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in
+         enumerate(model.clusterCenters())],
+        ["list_id", "centroid"],
     )
-    q = featurize(queries).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        F.col("nrm").alias("q_norm"),
-    )
-    # distance² to each centroid; keep the n_probe nearest lists per query
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"), F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
-    probes = (
-        q.crossJoin(centroids)
-        .withColumn("d2", d2)
-        .withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= n_probe)
-        .select("q_id", "q_vec", "q_norm", "list_id")
-    )
-    scored = (
-        probes.join(assigned, "list_id")
-        .where(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "n_id",
-            cosine_from_e12(
-                dot_e12(F.col("q_vec"), F.col("n_vec")),
-                F.col("q_norm"),
-                F.col("n_norm"),
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", F.col("rank").cast("long").alias("rank"), "n_id", "cosine")
-    )
+    return _ivf_probe(assigned, centroids, queries, id_col, vec_col, k, n_probe)
 
 
 def ann_topk_lsh(

@@ -500,6 +500,38 @@ def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q48d_ivf_prebuilt",
+    oracle=None,  # KMeans partitioning is not SQL-expressible; rows-only +
+    # an exact prebuilt==inline equality assertion in tests/test_llm_ops.py
+    description=(
+        "Q48d: ANN against a PREBUILT IVF index — the 100 TB serving "
+        "shape: the KMeans fit + full-corpus assignment pass runs once "
+        "offline (ivf_build_index → centroids parquet + assignments "
+        "partitioned BY list id), and the query path only broadcasts the "
+        "tiny centroid table, partition-prunes to its probed lists, and "
+        "exact-cosine re-ranks. Same seed/params as q48c, so the result "
+        "is identical — tests assert probe-of-prebuilt == inline-built."
+    ),
+    tags=("llm", "approx"),
+)
+def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_build_index, ivf_probe_prebuilt
+    from .relational import _materialize_once, _scratch
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    path = _materialize_once(
+        _scratch("q48d_ivf_index", sf_dir),
+        lambda p: ivf_build_index(emb, f"{p}/index"),
+    ) + "/index"
+    return (
+        ivf_probe_prebuilt(spark, path, emb.where(F.col("vec_id") < 10), k=5)
+        .select("q_id", "rank", "n_id")
+        .orderBy("q_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q49 — text analysis
 # ---------------------------------------------------------------------------
@@ -1121,7 +1153,7 @@ def q50b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 __all__ = [
     "q46", "q46b", "q46c", "q47", "q47b", "q47c", "q47d",
-    "q48", "q48b", "q48c",
+    "q48", "q48b", "q48c", "q48d",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
     "q49i", "q49j",
     "q50", "q50b",

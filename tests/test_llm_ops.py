@@ -87,3 +87,15 @@ def test_connected_components_multihop_chain(spark):
     assert all(got[n] == 100 for n in range(100, 131)), "chain not converged"
     assert all(got[n] == 200 for n in range(200, 208)), "ring not converged"
     assert got[999] == 999, "singleton lost"
+
+
+def test_q48d_prebuilt_index_matches_inline_ivf(spark, sf_dir):
+    """The prebuilt-index probe must reproduce the inline-built IVF result
+    exactly: same seed + same sample-fit ⇒ same centroids ⇒ same lists ⇒
+    same candidates ⇒ same exact-cosine re-rank."""
+    qs = all_queries()
+    inline = [tuple(r) for r in
+              qs["q48c_ivf_topk"].builder(spark, sf_dir).collect()]
+    prebuilt = [tuple(r) for r in
+                qs["q48d_ivf_prebuilt"].builder(spark, sf_dir).collect()]
+    assert prebuilt == inline
