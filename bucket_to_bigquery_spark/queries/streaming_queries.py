@@ -310,4 +310,86 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/sink").select(*cols).orderBy("event_id")
 
 
-__all__ = ["q36", "q37", "q38", "q39", "q40", "q41"]
+@query(
+    "q41b_stream_static_enrich",
+    oracle=(
+        "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value "
+        "FROM events e JOIN customer c ON c.c_custkey = e.user_id "
+        "ORDER BY e.event_id"
+    ),
+    description=(
+        "Q41b: stream-static enrichment join — the streaming events feed "
+        "joined to the static customer dimension (broadcast: the dim is "
+        "small by contract, so each micro-batch enriches map-side with "
+        "ZERO stream-side shuffle). The static side is re-read per "
+        "micro-batch, so dimension updates are picked up between batches "
+        "— the streaming analog of the reference's lookup-enrich step."
+    ),
+    tags=("streaming",),
+)
+def q41b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import tables
+
+    cust = F.broadcast(
+        tables(spark, sf_dir)["customer"]
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    s = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    joined = s.join(cust, s["user_id"] == cust["c_custkey"]).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+    return run_stream_to_memory(joined, "append").orderBy("event_id")
+
+
+@query(
+    "q41c_stream_stream_join",
+    oracle=(
+        "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, "
+        "c.ts AS click_ts, p.ts AS purchase_ts "
+        "FROM events c JOIN events p ON p.user_id = c.user_id "
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour' "
+        "ORDER BY click_id, purchase_id"
+    ),
+    description=(
+        "Q41c: stream-stream interval join — clicks matched to purchases "
+        "by the same user within the following hour, both sides "
+        "watermarked so the join state store evicts rows once they can no "
+        "longer match (the event-time range condition is what BOUNDS "
+        "state at 100 TB; an unconstrained stream-stream join retains "
+        "everything forever). Inner join in append mode; under the "
+        "single AvailableNow batch every qualifying pair is emitted, so "
+        "the batch SQL oracle is exact."
+    ),
+    tags=("streaming",),
+)
+def q41c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _events_stream(spark, sf_dir)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    return run_stream_to_memory(joined, "append").orderBy("click_id", "purchase_id")
+
+
+__all__ = ["q36", "q37", "q38", "q39", "q40", "q41", "q41b", "q41c"]
