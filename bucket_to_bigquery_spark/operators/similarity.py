@@ -276,10 +276,14 @@ def ivf_build_index(
 
     c = _featurize(corpus, id_col, vec_col).persist()
     n = c.count()  # materializes the cache; sizes the fit sample
+    # the fit input is <= fit_sample_size rows BY CONSTRUCTION, so one
+    # partition is correct at any corpus scale — and each KMeans iteration
+    # becomes one task instead of one task per corpus partition (measured:
+    # the fit was pure scheduling overhead on small partitions)
     fit_input = (
         c if n <= fit_sample_size
         else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
-    )
+    ).coalesce(1)
     km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
                 featuresCol="features", predictionCol="list_id")
     model = km.fit(fit_input)
@@ -355,10 +359,11 @@ def ivf_topk(
 
     c = _featurize(corpus, id_col, vec_col).persist()
     n = c.count()  # materializes the cache; sizes the fit sample
+    # sample-sized by construction → one partition (see ivf_build_index)
     fit_input = (
         c if n <= fit_sample_size
         else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
-    )
+    ).coalesce(1)
     km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
                 featuresCol="features", predictionCol="list_id")
     model = km.fit(fit_input)
