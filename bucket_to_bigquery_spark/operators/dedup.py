@@ -110,7 +110,14 @@ def ngram_jaccard_pairs(
     """
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
     sh = (
-        toks.select("doc_id", F.explode(shingles(F.col("t"), n)).alias("shingle"))
+        # hash inside the array, before the explode: every downstream
+        # exchange (distinct, hot-count, self-join) moves 8-byte longs
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(shingles(F.col("t"), n), shingle_hash)
+            ).alias("shingle"),
+        )
         .distinct()  # shingle SETS, not bags
     )
     hot = (
@@ -160,6 +167,16 @@ def token_hash(tok: Column) -> Column:
     """32-bit token hash from the md5 hex prefix — identical in any engine
     that has md5 (the DuckDB oracle mirrors this literally)."""
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """60-bit shingle hash (15 md5 hex chars) — wide enough that collisions
+    are negligible (p ≈ n²/2⁶¹), narrow enough to stay a positive int64.
+    Shuffling/joining the inverted index on an 8-byte long instead of a
+    ~25-byte shingle string shrinks every exchange in the pair pipeline;
+    both engines compute the identical hash, so even a collision would be
+    mirrored and cross-engine parity is unaffected."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
 
 
 def simhash_col(tokens_col: Column, bits: int = 32) -> Column:

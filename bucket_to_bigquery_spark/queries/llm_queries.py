@@ -120,10 +120,17 @@ def q46b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by q47 (pairs + jaccard) and q46c (pair graph → clusters).
+# Shingles are 60-bit md5-prefix hashes — mirroring the Spark side, which
+# shuffles/joins the inverted index on 8-byte longs instead of shingle
+# strings (operators/dedup.shingle_hash; collisions are mirrored, so
+# parity is exact by construction).
 _Q47_PAIR_CTES = (
     f"corpus AS ({CORPUS_SQL}), "
     f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
-    "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) "
+    "AS shingle "
     "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
     "hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100), "
     "idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)), "
@@ -131,7 +138,9 @@ _Q47_PAIR_CTES = (
     "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
     "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
     "GROUP BY 1, 2), "
-    "pairs AS (SELECT id_a, id_b FROM common "
+    "pairs AS (SELECT id_a, id_b, "
+    "CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard "
+    "FROM common "
     "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
     "WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.6)"
 )
@@ -196,22 +205,8 @@ def q46c(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q47_ngram_jaccard_pairs",
     oracle=(
-        f"WITH corpus AS ({CORPUS_SQL}), "
-        f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle "
-        "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
-        "hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100), "
-        "idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)), "
-        "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM idx GROUP BY doc_id), "
-        "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
-        "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
-        "GROUP BY 1, 2) "
-        "SELECT id_a, id_b, "
-        "CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard "
-        "FROM common JOIN sizes sa ON sa.doc_id = id_a "
-        "JOIN sizes sb ON sb.doc_id = id_b "
-        "WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.6 "
-        "ORDER BY id_a, id_b"
+        f"WITH {_Q47_PAIR_CTES} "
+        "SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
     ),
     description=(
         "Q47: near-dup pairs — word-3-gram shingle sets, inverted index "
@@ -1067,6 +1062,75 @@ def q49j(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "q49k_tfidf_topterms",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), "
+        "df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term "
+        "FROM tok) GROUP BY term), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "CAST(round(tf.tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / "
+        "(CAST(df.df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) AS score_e6 "
+        "FROM tf JOIN df USING (term) CROSS JOIN n) "
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_e6 DESC, term ASC) AS BIGINT) AS rank, "
+        "term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_e6 "
+        "FROM scored QUALIFY rank <= 5 ORDER BY doc_id, rank"
+    ),
+    description=(
+        "Q49k: TF-IDF top-5 terms per document — the keyword-extraction / "
+        "quality-signal pass of a text pipeline. tf and df are exact "
+        "integer aggregates (one shuffle each over (doc, term)); N is a "
+        "broadcast scalar; idf = ln((N+1)/(df+1)) is the one "
+        "transcendental, scaled to an integer score (round(x*1e6)) so "
+        "ranking and the cross-engine hash compare are exact-int, with "
+        "ties broken by term. The corpus's tiny synthetic vocabulary "
+        "makes df large and discriminative."
+    ),
+    tags=("llm",),
+)
+def q49k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df reuses the SAME (doc, term) aggregate: distinct (doc, term) is
+    # exactly tf's grouping — no second pass over the exploded tokens
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                * 1e6
+            ).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "rank", "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score_e6")
+        .orderBy("doc_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q50 — multimodal binary column
 # ---------------------------------------------------------------------------
@@ -1155,6 +1219,6 @@ __all__ = [
     "q46", "q46b", "q46c", "q47", "q47b", "q47c", "q47d",
     "q48", "q48b", "q48c", "q48d",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
-    "q49i", "q49j",
+    "q49i", "q49j", "q49k",
     "q50", "q50b",
 ]
