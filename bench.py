@@ -41,13 +41,14 @@ def main() -> None:
 
     # Warm-up: JVM JIT, codegen cache, filesystem metadata, and every
     # one-time builder-side setup (scratch CSV exports, the q04 ingest
-    # warehouse, the streaming source dir, q41's checkpointed sink) — all
+    # warehouse, the streaming source dir, q41's checkpointed sink, q48d's
+    # offline-built IVF index) — all
     # materialize-once artifacts, so the timed loop measures query
     # execution, not fixture construction. q36/q41 run one extra stream
     # here purely to materialize the shared source.
     errors: dict[str, str] = {}
     for name in sorted(registry):
-        if name.startswith(("q02", "q04", "q05", "q36", "q41")):
+        if name.startswith(("q02", "q04", "q05", "q36", "q41", "q48d")):
             try:
                 registry[name].builder(spark, sf_dir)
             except Exception as e:  # noqa: BLE001

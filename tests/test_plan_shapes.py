@@ -128,6 +128,23 @@ def test_text_projections_have_no_shuffle(spark, sf_dir, name):
     assert "hashpartitioning" not in body, name
 
 
+def test_q48d_prebuilt_index_scan_prunes_partitions(spark, sf_dir):
+    # The prebuilt-IVF serving path must read ONLY the probed inverted
+    # lists: the assignments table is written partitioned BY list_id, and
+    # the probe equi-join must reach it as a dynamic-partition-pruning
+    # filter on the scan — a full-index scan is the 100 TB failure mode.
+    plan = _plan(spark, sf_dir, "q48d_ivf_prebuilt")
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "q48d_ivf_index" in ln and "/assigned" in ln
+    ]
+    assert scans, "prebuilt assigned-index scan not found in plan"
+    assert any(
+        "dynamicpruning" in ln and "list_id" in ln.split("PartitionFilters", 1)[-1]
+        for ln in scans
+    ), scans
+
+
 def test_q49h_single_shuffle_on_shard_key(spark, sf_dir):
     # shard assignment is THE write plan: exactly one hash shuffle (on the
     # shard key, for both window functions), then the presentation sort
