@@ -32,12 +32,10 @@ never a full-table collect.
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import json
 import os
 import re
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
@@ -47,13 +45,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
 from ..session import tune
+from .fs import fs_for, rel_path, uri_parts
 from .manifest import Field, Manifest, Task
 from .schema_registry import (
     SchemaCompatError,
     build_struct,
     expand_schema,
     infer_partition_field,
-    sniff_file_headers,
+    sniff_csv_headers,
     spark_type as spark_type_of,
 )
 
@@ -126,6 +125,15 @@ class BatchLoader:
         # newlines inside quotes.
         self.allow_quoted_newlines = allow_quoted_newlines
 
+    # -- filesystem ---------------------------------------------------------
+
+    def _fs_of(self, uri: str):
+        """The FS implementation for ``uri`` — POSIX for plain paths, the
+        Hadoop ``FileSystem`` API for any ``scheme:`` URI (``file://``,
+        ``hdfs://``, ``gs://``…), mirroring the reference's direct
+        object-store access (GetStorageToBuffer.js:14-42)."""
+        return fs_for(self.spark, uri)
+
     # -- paths / metadata ---------------------------------------------------
 
     def _root(self, task: Task) -> str:
@@ -141,23 +149,24 @@ class BatchLoader:
         return os.path.join(self._root(task), "_schema.json")
 
     def _load_registry(self, task: Task) -> tuple[list[Field], str | None] | None:
-        try:
-            with open(self._schema_path(task)) as fh:
-                raw = json.load(fh)
-            return ([Field(f["name"], f["type"]) for f in raw["fields"]],
-                    raw.get("partition_field"))
-        except OSError:
+        path = self._schema_path(task)
+        fs = self._fs_of(path)
+        if not fs.exists(path):
             return None
+        raw = json.loads(fs.read_bytes(path).decode("utf-8"))
+        return ([Field(f["name"], f["type"]) for f in raw["fields"]],
+                raw.get("partition_field"))
 
     def _save_registry(self, task: Task, fields: list[Field],
                        partition_field: str | None) -> None:
-        os.makedirs(self._root(task), exist_ok=True)
-        with open(self._schema_path(task), "w") as fh:
-            json.dump(
-                {"fields": [{"name": f.name, "type": f.type} for f in fields],
-                 "partition_field": partition_field},
-                fh,
-            )
+        payload = json.dumps(
+            {"fields": [{"name": f.name, "type": f.type} for f in fields],
+             "partition_field": partition_field}
+        ).encode("utf-8")
+        self._fs_of(self._root(task)).mkdirs(self._root(task))
+        self._fs_of(self._schema_path(task)).write_bytes(
+            self._schema_path(task), payload
+        )
 
     def _job_id(self, prefix: str, task_index: int) -> str:
         """A18 (BucketToBigQuery.js:225,230):
@@ -168,18 +177,24 @@ class BatchLoader:
 
     # -- file resolution ----------------------------------------------------
 
-    @staticmethod
-    def resolve_files(task: Task, candidate_files: list[str] | None = None) -> list[str]:
+    def resolve_files(self, task: Task, candidate_files: list[str] | None = None) -> list[str]:
         """Files for a task: either glob the source patterns (batch mode) or
         match injected candidates against them (the event-driven path —
         ``minimatch`` over notification URIs, BucketToBigQuery.js:237-240;
-        mock seam per index.js:49-50). Sorted for determinism."""
+        mock seam per index.js:49-50). Globbing goes through the per-URI
+        filesystem, so ``file://``/``gs://`` patterns list remotely; the
+        candidate match compares scheme-insensitive path components
+        (``file:/x`` == ``file:///x``). Sorted for determinism."""
         out: set[str] = set()
         for pattern in task.sources:
             if candidate_files is None:
-                out.update(glob.glob(pattern, recursive=True))
+                out.update(self._fs_of(pattern).glob(pattern))
             else:
-                out.update(f for f in candidate_files if glob_match(f, pattern))
+                ps, pa, pp = uri_parts(pattern)
+                for f in candidate_files:
+                    cs, ca, cp = uri_parts(f)
+                    if (cs, ca) == (ps, pa) and glob_match(cp, pp):
+                        out.add(f)
         return sorted(out)
 
     # -- schema resolution --------------------------------------------------
@@ -188,16 +203,19 @@ class BatchLoader:
         """First parseable + last parseable file; LONGER header list wins
         (BucketToBigQuery.js:256-282 — assumes columns only ever grow, so
         sniffing every file is unnecessary; each sniff reads ≤4 KB)."""
+        def sniff(f: str) -> list[str] | None:
+            return sniff_csv_headers(self._fs_of(f).read_head(f, 4000))
+
         first = None
         for f in files:
-            if first := sniff_file_headers(f):
+            if first := sniff(f):
                 break
         if not first:
             return None
         last = None
         if len(files) > 1:
             for f in reversed(files):
-                if last := sniff_file_headers(f):
+                if last := sniff(f):
                     break
         return first if not last or len(first) >= len(last) else last
 
@@ -225,7 +243,7 @@ class BatchLoader:
         uri within the candidate batch. The filter is pushed into the audit
         scan; only the (bounded) batch's matches reach the driver."""
         path = self._audit_path(task)
-        if not os.path.isdir(path):
+        if not self._fs_of(path).is_dir(path):
             return []
         hit = (
             self.spark.read.schema(AUDIT_SCHEMA).parquet(path)
@@ -335,7 +353,7 @@ class BatchLoader:
         batch_key = hashlib.sha1("\n".join(to_load).encode()).hexdigest()[:16]
         data_dir = self._data_path(task)
         staging = f"{data_dir}.staging/{batch_key}"
-        shutil.rmtree(staging, ignore_errors=True)
+        self._fs_of(staging).delete(staging)
         if partition_field:
             # DAY time-partitioning (BucketToBigQuery.js:350-354): an internal
             # date column drives the layout; read_table() hides it, and date
@@ -364,26 +382,30 @@ class BatchLoader:
         (``part-<seq>-<batch_key>.parquet`` per partition directory), after
         deleting anything a previous partial publish of THIS batch left
         behind — so publish converges to exactly-once output no matter how
-        many times the batch is retried. Local/HDFS rename is the commit
-        primitive here; on an object store without atomic rename this same
-        staged-commit pattern is what a transactional table format's commit
-        log provides — swap this method for a Delta/Iceberg append there.
+        many times the batch is retried. FileSystem.rename is the commit
+        primitive here (atomic on local/HDFS); on an object store without
+        atomic rename this same staged-commit pattern is what a
+        transactional table format's commit log provides — swap this
+        method for a Delta/Iceberg append there.
         """
-        os.makedirs(data_dir, exist_ok=True)
-        for stale in glob.glob(
-            f"{data_dir}/**/*-{batch_key}.parquet", recursive=True
-        ):
-            os.remove(stale)
-        staged = sorted(glob.glob(f"{staging}/**/*.parquet", recursive=True))
+        fs = self._fs_of(data_dir)
+        fs.mkdirs(data_dir)
+        for stale in fs.list_recursive(data_dir):
+            if stale.endswith(f"-{batch_key}.parquet"):
+                fs.delete(stale)
+        staged = sorted(
+            f for f in fs.list_recursive(staging) if f.endswith(".parquet")
+        )
         seq: dict[str, int] = {}
         for src in staged:
-            rel_dir = os.path.dirname(os.path.relpath(src, staging))
-            tgt_dir = os.path.join(data_dir, rel_dir) if rel_dir else data_dir
-            os.makedirs(tgt_dir, exist_ok=True)
+            rel_dir = os.path.dirname(rel_path(src, staging))
+            tgt_dir = f"{data_dir}/{rel_dir}" if rel_dir else data_dir
             i = seq.get(tgt_dir, 0)
             seq[tgt_dir] = i + 1
-            os.replace(src, os.path.join(tgt_dir, f"part-{i:05d}-{batch_key}.parquet"))
-        shutil.rmtree(staging, ignore_errors=True)
+            fs.rename_overwrite(
+                src, f"{tgt_dir}/part-{i:05d}-{batch_key}.parquet"
+            )
+        fs.delete(staging)
 
     def run(self, manifest: Manifest,
             candidate_files: list[str] | None = None,
@@ -408,19 +430,22 @@ class BatchLoader:
         scale, run per recent-partition instead of whole-table.
         """
         data = self._data_path(task)
+        fs = self._fs_of(data)
         reg = self._load_registry(task)
         df = self.read_table_partitioned(task)
         tmp, old = data + ".compacting", data + ".old"
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(tmp)
         if reg is not None and reg[1]:
             df.repartition(F.col(_PDATE)).write.partitionBy(_PDATE).parquet(tmp)
         else:
             df.coalesce(max(1, df.rdd.getNumPartitions() // 8)).write.parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(data, old)
-        os.rename(tmp, data)
-        shutil.rmtree(old, ignore_errors=True)
-        return len(glob.glob(f"{data}/**/*.parquet", recursive=True))
+        fs.delete(old)
+        fs.rename_overwrite(data, old)
+        fs.rename_overwrite(tmp, data)
+        fs.delete(old)
+        return sum(
+            1 for f in fs.list_recursive(data) if f.endswith(".parquet")
+        )
 
     # -- read side ----------------------------------------------------------
 
