@@ -50,6 +50,16 @@ def uri_parts(uri: str) -> tuple[str, str, str]:
     return p.scheme, p.netloc, p.path
 
 
+def glob_base(pattern: str) -> str:
+    """The deepest non-glob prefix of ``pattern`` — the directory (or exact
+    file) that must be reachable for the pattern to ever match."""
+    m = _GLOB_META.search(pattern)
+    if not m:
+        return pattern
+    cut = pattern.rfind("/", 0, m.start())
+    return pattern[:cut] if cut > 0 else "/"
+
+
 def rel_path(child: str, root: str) -> str:
     """``child``'s path relative to ``root``, scheme-insensitively (Hadoop
     listings return ``file:/x`` even when the root was ``file:///x``)."""
@@ -210,4 +220,7 @@ class HadoopFS:
         return sorted(out)
 
 
-__all__ = ["LocalFS", "HadoopFS", "fs_for", "has_scheme", "uri_parts", "rel_path"]
+__all__ = [
+    "LocalFS", "HadoopFS", "fs_for", "has_scheme", "uri_parts", "rel_path",
+    "glob_base",
+]

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import re
 import time
@@ -89,7 +90,12 @@ AUDIT_SCHEMA = StructType(
 
 @dataclass
 class LoadReport:
-    """What one task's load did — the observable the golden tests assert."""
+    """What one task's load did — the observable the golden tests assert.
+
+    ``metrics`` carries the structured operational counters the reference
+    logs as ``METRIC B2BQ.*`` lines (index.js:16,55,59,77,87,90,95,98):
+    per-stage wall seconds (``t_*``) plus count checkpoints, emitted via
+    :func:`LoadReport.log_metrics` in the same greppable shape."""
 
     table: str
     job_id: str
@@ -100,6 +106,13 @@ class LoadReport:
     schema_fields: list[Field] = dc_field(default_factory=list)
     expanded_fields: list[Field] = dc_field(default_factory=list)
     partition_field: str | None = None
+    metrics: dict[str, float] = dc_field(default_factory=dict)
+
+    def log_metrics(self, logger=None) -> None:
+        """Emit ``METRIC b2bqs.<name> <value>`` lines (reference parity)."""
+        log = logger or logging.getLogger("b2bqs.metrics")
+        for name, value in sorted(self.metrics.items()):
+            log.info("METRIC b2bqs.%s.%s %s", self.table, name, value)
 
 
 class BatchLoader:
@@ -299,24 +312,48 @@ class BatchLoader:
         """
         report = LoadReport(table=task.qualified_table,
                             job_id=self._job_id(job_id_prefix, task_index))
-        files = self.resolve_files(task, candidate_files)
-        report.files_seen = files
-        if not files:
+        t_start = last = time.perf_counter()
+
+        def mark(stage: str) -> None:  # per-stage wall checkpoint (METRIC)
+            nonlocal last
+            now = time.perf_counter()
+            report.metrics[f"t_{stage}"] = round(now - last, 4)
+            last = now
+
+        def finish() -> LoadReport:
+            report.metrics.update(
+                files_seen=len(report.files_seen),
+                files_skipped_imported=len(report.files_already_imported),
+                files_loaded=len(report.files_loaded),
+                rows_loaded=report.rows_loaded,
+                schema_expansions=len(report.expanded_fields),
+                t_total=round(time.perf_counter() - t_start, 4),
+            )
+            report.log_metrics()
             return report
 
+        files = self.resolve_files(task, candidate_files)
+        report.files_seen = files
+        mark("resolve_files")
+        if not files:
+            return finish()
+
         headers = self._widest_headers(files)
+        mark("sniff_headers")
         if headers is None:  # no parseable file → skip task (js:263-264)
-            return report
+            return finish()
 
         fields, added, partition_field = self._resolve_schema(task, headers)
         report.schema_fields, report.expanded_fields = fields, added
         report.partition_field = partition_field
+        mark("resolve_schema")
 
         report.files_already_imported = self.files_already_imported(task, files)
         to_load = sorted(set(files) - set(report.files_already_imported))
         report.files_loaded = to_load
+        mark("audit_anti_join")
         if not to_load or dry_run:
-            return report
+            return finish()
 
         raw = self._read_csv(to_load, fields)
         # A cell is BAD iff its raw text is present but fails the typed cast
@@ -335,6 +372,7 @@ class BatchLoader:
         n_rows, n_bad = raw.select(
             F.count(F.lit(1)), F.count(F.when(bad_row, 1))
         ).first()
+        mark("validate")
         if n_bad:
             sample = raw.where(bad_row).first()
             raise ValueError(
@@ -368,12 +406,15 @@ class BatchLoader:
             writer.write.mode("overwrite").partitionBy(_PDATE).parquet(staging)
         else:
             data.write.mode("overwrite").parquet(staging)
+        mark("stage_write")
         self._commit_staged(staging, data_dir, batch_key)
+        mark("publish")
         report.rows_loaded = n_rows
 
         self._save_registry(task, fields, partition_field)
         self.store_as_imported(task, to_load)  # AFTER the successful publish
-        return report
+        mark("audit_append")
+        return finish()
 
     def _commit_staged(self, staging: str, data_dir: str, batch_key: str) -> None:
         """Publish one staged batch into the live table, idempotently.

@@ -12,6 +12,16 @@ index.js:49-50). Same surface here::
         --mock-files /drop/a.csv /drop/b.csv   # event-driven candidates
 
 ``DRY_RUN=1`` in the environment is honored like the reference's env seam.
+
+``setup`` validates an installation before any load runs — the analog of
+the reference's ``setupBucket``/``ensureNotification`` provisioning step
+(BucketToBigQuery.js:94-97, 66-78; its PubSub wiring has no Spark
+counterpart, so validation here means: manifest well-formed, every source
+pattern's base directory reachable, warehouse writable, and the resolved
+schema/partition plan printed per task)::
+
+    python -m bucket_to_bigquery_spark.run setup --manifest m.json \
+        --warehouse /data/wh        # exit 0 iff everything checks out
 """
 
 from __future__ import annotations
@@ -39,7 +49,95 @@ def _report_json(r) -> dict:
     }
 
 
+def setup_main(argv: list[str]) -> int:
+    """Validate manifest, source reachability, warehouse writability, and
+    print the resolved schema/partition plan (no data written, nothing
+    audited). Exit 0 iff every check passes."""
+    from .ingest.fs import fs_for, glob_base
+    from .ingest.schema_registry import TYPE_MAP, SchemaCompatError
+
+    ap = argparse.ArgumentParser(prog="bucket_to_bigquery_spark.run setup")
+    ap.add_argument("--manifest", required=True, help="manifest JSON file/string")
+    ap.add_argument("--warehouse", required=True, help="warehouse root")
+    args = ap.parse_args(argv)
+
+    try:
+        manifest = parse_manifest(args.manifest)
+    except (OSError, ValueError, KeyError) as e:
+        print(json.dumps({"ok": False,
+                          "manifest": {"ok": False, "error": str(e)}}, indent=2))
+        return 1
+
+    spark = get_spark("b2bqs-setup")
+    loader = BatchLoader(spark, args.warehouse)
+
+    # warehouse writability: write/read-back/delete a probe object
+    wh = {"path": args.warehouse, "ok": True}
+    probe = f"{args.warehouse.rstrip('/')}/.b2bqs_setup_probe"
+    try:
+        fs = fs_for(spark, args.warehouse)
+        fs.write_bytes(probe, b"ok")
+        wh["ok"] = fs.read_bytes(probe) == b"ok"
+        fs.delete(probe)
+    except Exception as e:  # noqa: BLE001 — any FS failure is the finding
+        wh.update(ok=False, error=f"{type(e).__name__}: {e}")
+
+    tasks_out, ok = [], wh["ok"]
+    if not manifest.tasks:
+        ok = False
+    for task in manifest.tasks:
+        problems: list[str] = []
+        if not task.table:
+            problems.append("task has no table")
+        if not task.dataset:
+            problems.append("task has no dataset")
+        for f in task.fields:
+            if f.type.lower() not in TYPE_MAP:
+                problems.append(
+                    f"field {f.name!r}: unknown type {f.type!r} degrades to string"
+                )
+        for pattern in task.sources:
+            base = glob_base(pattern)
+            try:
+                if not fs_for(spark, base).exists(base):
+                    problems.append(f"source base not reachable: {base}")
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"source {pattern}: {type(e).__name__}: {e}")
+        files = [] if problems else loader.resolve_files(task)
+        plan = {}
+        if files:
+            headers = loader._widest_headers(files)
+            if headers is None:
+                problems.append("no parseable file among matches")
+            else:
+                try:
+                    fields, _added, pfield = loader._resolve_schema(task, headers)
+                    plan = {
+                        "schema": [{"name": f.name, "type": f.type}
+                                   for f in fields],
+                        "timePartitioningField": pfield,
+                    }
+                except SchemaCompatError as e:
+                    problems.append(str(e))
+        tasks_out.append({
+            "table": task.qualified_table,
+            "sources": task.sources,
+            "filesMatched": len(files),
+            **plan,
+            "problems": problems,
+            "ok": not problems,
+        })
+        ok = ok and not problems
+    print(json.dumps(
+        {"ok": ok, "warehouse": wh, "tasks": tasks_out}, indent=2
+    ))
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "setup":
+        return setup_main(argv[1:])
     ap = argparse.ArgumentParser(prog="bucket_to_bigquery_spark.run")
     ap.add_argument("--manifest", required=True, help="manifest JSON file/string")
     ap.add_argument("--warehouse", required=True, help="warehouse root directory")
