@@ -25,10 +25,13 @@ Scale notes (100 TB):
   changed labels), never by collecting labels to the driver;
 - pointer jumping keeps rounds logarithmic in the diameter; if label-key
   skew ever dominates (one giant component funneling the min-aggregate),
-  the next step is star-contraction (alternating large-star/small-star,
-  Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14) with O(log² n) rounds and provably balanced keys. Dedup
-  graphs do not need it; the seam to add it is this function.
+  pass ``skew_safe=True`` to switch to star-contraction (alternating
+  large-star/small-star, Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14): O(log² n) rounds with per-round
+  aggregation keys that stay balanced because every operation regroups
+  edges by LOCAL node neighborhoods — the giant component never funnels
+  through its minimum's key until the final (by-then tiny) star. Both
+  paths return identical labels (asserted in tests).
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iterations: int = 25,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Assign every node its connected component's minimum node id.
 
@@ -57,9 +61,17 @@ def connected_components(
         Optional node universe (one column ``node_col``). Nodes with no
         edges become singleton clusters. Defaults to the ids appearing
         in ``edges``.
+    skew_safe:
+        ``True`` switches to star-contraction (see module docstring) —
+        same result, balanced aggregation keys when one giant component
+        would otherwise funnel the min-aggregate.
 
     Returns ``(node, cluster_id)`` — one row per node.
     """
+    if skew_safe:
+        return _star_contraction(
+            edges, src, dst, nodes, node_col, max_iterations
+        )
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     # Edges drive a join per iteration: materialize once, reuse each round.
@@ -111,3 +123,96 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def _star_contraction(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None,
+    node_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14, Algorithm 2 "Two-Phase").
+
+    Each round transforms the edge set (all edges kept oriented
+    ``u > v``):
+
+    - **large-star**: group the SYMMETRIC neighborhood of every node
+      ``s``; with ``m = min(Γ(s) ∪ {s})``, re-attach every larger
+      neighbor ``d > s`` directly to ``m``. Long chains halve; every
+      aggregation key is a single node's (local) neighborhood.
+    - **small-star**: group by the larger endpoint ``u``; with
+      ``m = min`` of its smaller neighbors, re-attach ``u`` and all its
+      smaller neighbors to ``m``.
+
+    The edge set converges to stars centered at each component's minimum
+    in O(log² n) rounds; convergence is detected with a scalar
+    symmetric-difference count, never a driver collect. Labels then read
+    straight off the final stars.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = sym.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        # large-star: m(s) = min over the full neighborhood (self included)
+        mins = (
+            sym.groupBy("s")
+            .agg(F.min("d").alias("mn"))
+            .select("s", F.least(F.col("s"), F.col("mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over (u > v) edges: m(u) = min smaller neighbor
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(smins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).select(F.lit(1)).unionAll(
+                e.exceptAll(small).select(F.lit(1))
+            ).limit(1).count()
+        )
+        e.unpersist()
+        e = small
+        if changed == 0:
+            break
+
+    # final stars: every non-root points at its component minimum
+    non_roots = e.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("node"), "cluster_id"
+    )
+    if nodes is None:
+        universe = (
+            edges.select(F.col(src).alias("node"))
+            .unionAll(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    else:
+        universe = nodes.select(F.col(node_col).alias("node")).distinct()
+    roots = universe.join(non_roots, "node", "left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    out = non_roots.unionAll(roots)
+    e.unpersist()
+    return out
