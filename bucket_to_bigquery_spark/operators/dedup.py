@@ -111,14 +111,26 @@ def ngram_jaccard_pairs(
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
     sh = (
         # hash inside the array, before the explode: every downstream
-        # exchange (distinct, hot-count, self-join) moves 8-byte longs
+        # exchange (hot-count, self-join) moves 8-byte longs. Dedup to
+        # shingle SETS with array_distinct INSIDE the row — a per-doc
+        # local dedup needs no cross-row guarantee, so the global
+        # `.distinct()` shuffle it replaces was pure waste.
         toks.select(
             "doc_id",
             F.explode(
-                F.transform(shingles(F.col("t"), n), shingle_hash)
+                F.array_distinct(
+                    F.transform(shingles(F.col("t"), n), shingle_hash)
+                )
             ).alias("shingle"),
         )
-        .distinct()  # shingle SETS, not bags
+        # the tokenize→shingle→md5 pipeline feeds FOUR consumers (hot
+        # counts, sizes, both self-join sides). One explicit shuffle on
+        # the self-join key turns all of them into ReusedExchange reads:
+        # the expensive text work runs ONCE, lands shuffle-local
+        # partitioned by shingle, and the self-join needs no further
+        # exchange. (A .persist() here measured strictly worse: it
+        # replaces compact shuffle files with deserialized row caching.)
+        .repartition("shingle")
     )
     hot = (
         sh.groupBy("shingle")
@@ -126,7 +138,10 @@ def ngram_jaccard_pairs(
         .where(F.col("df_count") > max_shingle_df)
         .select("shingle")
     )
-    idx = sh.join(hot, "shingle", "left_anti")
+    # the hot list is boilerplate-sized (shingles in >max_df docs), orders
+    # of magnitude smaller than the index: broadcast it so the anti-join
+    # never shuffles the index rows
+    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # sizes over the SAME filtered universe as the join numerator: the
     # result is exact Jaccard over non-hot shingles. Counting all shingles
     # here while the numerator skips hot ones would systematically

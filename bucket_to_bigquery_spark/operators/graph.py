@@ -96,7 +96,23 @@ def connected_components(
             labels.unionAll(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
+        # convergence check BEFORE the pointer jump: if the min-propagate
+        # step changed nothing, the jump can't either (it only reads
+        # labels the step just produced), so the final confirming round
+        # skips the jump join entirely. isEmpty short-circuits at the
+        # first differing row instead of counting them all.
+        converged = (
+            stepped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        if converged:
+            labels = stepped
+            break
         # pointer jumping: lbl(v) ← min(lbl(v), lbl(lbl(v))). Plain
         # propagation moves the component minimum ONE hop per round
         # (O(diameter) rounds — a 30-node chain needs 30 shuffles); the
@@ -106,21 +122,12 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        new_labels = (
+        labels = (
             stepped.join(jump, "lbl")
             .select("node", F.least("lbl", "lbl2").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        stepped.unpersist()
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
