@@ -188,6 +188,12 @@ def sign_band_neardup_pairs(
     ).where(F.col("cosine") >= cosine_threshold)
 
 
+# Bump when the quantizer/index layout changes: consumers key their
+# persisted-index scratch paths on this so a params change can never
+# silently reuse a stale on-disk index.
+IVF_INDEX_VERSION = 2
+
+
 def _featurize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
@@ -262,7 +268,7 @@ def ivf_build_index(
     n_lists: int = 16,
     seed: int = 42,
     fit_sample_size: int = 4096,
-    fit_max_iter: int = 8,
+    fit_max_iter: int = 4,
 ) -> None:
     """Build and persist an IVF index: ``<path>/centroids`` (n_lists rows)
     and ``<path>/assigned`` (one row per corpus vector with its list id,
@@ -285,6 +291,8 @@ def ivf_build_index(
         else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
     ).coalesce(1)
     km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
+                initMode="random",  # coarse quantizer + exact re-rank: k-means||'s
+                # extra init passes buy nothing but scheduler overhead
                 featuresCol="features", predictionCol="list_id")
     model = km.fit(fit_input)
     (
@@ -335,7 +343,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     fit_sample_size: int = 4096,
-    fit_max_iter: int = 8,
+    fit_max_iter: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantization + n-probe bucket search.
 
@@ -365,6 +373,8 @@ def ivf_topk(
         else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
     ).coalesce(1)
     km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
+                initMode="random",  # coarse quantizer + exact re-rank: k-means||'s
+                # extra init passes buy nothing but scheduler overhead
                 featuresCol="features", predictionCol="list_id")
     model = km.fit(fit_input)
     assigned = model.transform(c).select(

@@ -514,10 +514,15 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_build_index, ivf_probe_prebuilt
     from .relational import _materialize_once, _scratch
 
+    from ..operators.similarity import IVF_INDEX_VERSION
+
     t = tables(spark, sf_dir)
     emb = t["embeddings"]
+    # the scratch key embeds the index-format/params version: a change to
+    # the quantizer would otherwise silently reuse a stale on-disk index
+    # (the done-marker persists across processes) and diverge from q48c
     path = _materialize_once(
-        _scratch("q48d_ivf_index", sf_dir),
+        _scratch(f"q48d_ivf_index_{IVF_INDEX_VERSION}", sf_dir),
         lambda p: ivf_build_index(emb, f"{p}/index"),
     ) + "/index"
     return (
