@@ -165,6 +165,34 @@ def test_golden_load_over_file_uris(spark, workdir):
     assert df.where("ch2 IS NULL").count() == 2
 
 
+def test_crash_retry_exactly_once_over_file_uris(spark, workdir):
+    """The staged-commit retry guarantee must hold on the Hadoop FS path
+    too: crash window between data publish and audit append → the retry
+    replaces the batch's own batch-keyed files, never duplicating rows."""
+    _write_csv(
+        f"{workdir}/src/a.csv",
+        ["timestamp", "utc_offset", "location"],
+        [["2024-01-01 00:00:00", "1.5", "syd"],
+         ["2024-01-02 00:00:00", "1.5", "syd"]],
+    )
+    loader = BatchLoader(spark, f"file://{workdir}/warehouse")
+    manifest = _manifest(workdir)
+    task = manifest.tasks[0]
+
+    (r1,) = loader.run(manifest)
+    assert r1.rows_loaded == 2 and loader.read_table(task).count() == 2
+
+    # simulate: publish succeeded, audit append crashed before landing
+    shutil.rmtree(f"{workdir}/warehouse/d.readings/_imported")
+
+    (r2,) = loader.run(manifest)
+    assert len(r2.files_loaded) == 1          # audit lost → file retried...
+    assert loader.read_table(task).count() == 2  # ...rows NOT duplicated
+
+    (r3,) = loader.run(manifest)              # audit restored → clean no-op
+    assert r3.files_loaded == [] and loader.read_table(task).count() == 2
+
+
 def test_event_candidates_match_across_uri_spellings(spark, workdir):
     # notification URIs may spell the scheme differently than the manifest
     # pattern (file:/x vs file:///x) — the match is on path components
