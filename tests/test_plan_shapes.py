@@ -128,6 +128,20 @@ def test_text_projections_have_no_shuffle(spark, sf_dir, name):
     assert "hashpartitioning" not in body, name
 
 
+def test_q47_inverted_index_exchange_is_reused(spark, sf_dir):
+    # the tokenize→shingle→md5 pipeline feeds four consumers through ONE
+    # explicit repartition("shingle"); at runtime AQE must dedupe those
+    # identical shuffle stages (ReusedExchange) — if this disappears, the
+    # text work silently runs once per consumer again
+    from bucket_to_bigquery_spark.queries import all_queries as _aq
+
+    df = _aq()["q47_ngram_jaccard_pairs"].builder(spark, sf_dir)
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
 def test_q48d_prebuilt_index_scan_prunes_partitions(spark, sf_dir):
     # The prebuilt-IVF serving path must read ONLY the probed inverted
     # lists: the assignments table is written partitioned BY list_id, and
