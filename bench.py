@@ -67,6 +67,12 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+        # Queries that persist() intermediates (LSH features, inverted
+        # indexes) cannot unpersist them — they return lazy frames. Left
+        # in place across 85 unrelated queries the leaked caches inflate
+        # late-run timings 2-3x with GC/eviction pressure, so drop them
+        # between queries (outside the timed window).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     out = {
