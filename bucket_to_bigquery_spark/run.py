@@ -22,6 +22,14 @@ schema/partition plan printed per task)::
 
     python -m bucket_to_bigquery_spark.run setup --manifest m.json \
         --warehouse /data/wh        # exit 0 iff everything checks out
+
+``compact`` rewrites each task's table so every DAY partition holds one
+file — the periodic maintenance pass that counters append-per-batch
+small-file accumulation (the readme's partition-pruning claim,
+readme.md:38-41, assumes well-sized partitions)::
+
+    python -m bucket_to_bigquery_spark.run compact --manifest m.json \
+        --warehouse /data/wh
 """
 
 from __future__ import annotations
@@ -134,10 +142,35 @@ def setup_main(argv: list[str]) -> int:
     return 0 if ok else 1
 
 
+def compact_main(argv: list[str]) -> int:
+    """Compact every manifest task's table (one file per DAY partition)."""
+    ap = argparse.ArgumentParser(prog="bucket_to_bigquery_spark.run compact")
+    ap.add_argument("--manifest", required=True, help="manifest JSON file/string")
+    ap.add_argument("--warehouse", required=True, help="warehouse root")
+    args = ap.parse_args(argv)
+    manifest = parse_manifest(args.manifest)
+    spark = get_spark("b2bqs-compact")
+    loader = BatchLoader(spark, args.warehouse)
+    out = []
+    for task in manifest.tasks:
+        try:
+            n_files = loader.compact(task)
+            out.append({"table": task.qualified_table, "files": n_files,
+                        "ok": True})
+        except Exception as e:  # noqa: BLE001 — report per-table, keep going
+            out.append({"table": task.qualified_table, "ok": False,
+                        "error": f"{type(e).__name__}: {e}"})
+    ok = all(t["ok"] for t in out)
+    print(json.dumps({"ok": ok, "tables": out}, indent=2))
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "setup":
         return setup_main(argv[1:])
+    if argv and argv[0] == "compact":
+        return compact_main(argv[1:])
     ap = argparse.ArgumentParser(prog="bucket_to_bigquery_spark.run")
     ap.add_argument("--manifest", required=True, help="manifest JSON file/string")
     ap.add_argument("--warehouse", required=True, help="warehouse root directory")

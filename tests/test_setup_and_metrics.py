@@ -117,6 +117,39 @@ def test_setup_validates_uri_warehouse(spark, workdir, capsys):
     assert rc == 0 and out["warehouse"]["ok"] is True
 
 
+def test_compact_subcommand_one_file_per_partition(spark, workdir, capsys):
+    # two loads → two files per touched DAY partition; compact → one each
+    _write_csv(
+        f"{workdir}/src/a.csv",
+        ["timestamp", "utc_offset", "location", "ch1"],
+        [["2024-01-01 00:00:00", "1.5", "syd", "1.0"]],
+    )
+    mpath = _manifest_file(workdir)
+    wh = f"{workdir}/warehouse"
+    assert run_main(["--manifest", mpath, "--warehouse", wh]) == 0
+    _write_csv(
+        f"{workdir}/src/b.csv",
+        ["timestamp", "utc_offset", "location", "ch1"],
+        [["2024-01-01 06:00:00", "1.5", "syd", "2.0"]],
+    )
+    assert run_main(["--manifest", mpath, "--warehouse", wh]) == 0
+    capsys.readouterr()
+    import glob as g
+    part = f"{wh}/d.readings/data/__pdate=2024-01-01"
+    assert len(g.glob(f"{part}/*.parquet")) == 2
+
+    rc = run_main(["compact", "--manifest", mpath, "--warehouse", wh])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["ok"] is True
+    assert out["tables"][0]["files"] == 1
+    assert len(g.glob(f"{part}/*.parquet")) == 1
+    # rows intact after the rewrite
+    from bucket_to_bigquery_spark.ingest import BatchLoader as BL
+
+    assert BL(spark, wh).read_table(
+        parse_manifest(mpath).tasks[0]).count() == 2
+
+
 def test_load_report_metrics_counters(spark, workdir):
     _write_csv(
         f"{workdir}/src/a.csv",
