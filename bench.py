@@ -31,6 +31,32 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _sweep_state(spark) -> int:
+    """Drop ALL leaked cached state between queries; return #RDDs dropped.
+
+    ``spark.catalog.clearCache()`` only empties the SQL cache (``persist``
+    on DataFrames). localCheckpoint blocks — q46c truncates its iterative
+    lineage with them — live on raw RDDs the cache manager never tracks,
+    so they accumulated across the 85-query session and inflated late-run
+    queries 2-3× (r4: q47b/q48c/q48d) with block/GC pressure. Sweep both.
+    """
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = jmap.size()
+    for rdd in jmap.values():
+        rdd.unpersist(False)
+    return n
+
+
+def _jvm_stats(spark) -> tuple[int, int]:
+    """(cumulative GC ms, current heap-used bytes) of the local JVM —
+    driver == executors on local[*], so this covers the whole engine."""
+    mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    gc_ms = sum(b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans())
+    heap = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+    return gc_ms, heap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -58,21 +84,30 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["_warmup"] = f"{type(e).__name__}: {e}"
 
+    _sweep_state(spark)  # warm-up leftovers out of the timed window
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name in sorted(registry):
         q = registry[name]
+        gc0, _ = _jvm_stats(spark)
         t0 = time.perf_counter()
         try:
             _execute(q.builder(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
-        # Queries that persist() intermediates (LSH features, inverted
-        # indexes) cannot unpersist them — they return lazy frames. Left
-        # in place across 85 unrelated queries the leaked caches inflate
-        # late-run timings 2-3x with GC/eviction pressure, so drop them
-        # between queries (outside the timed window).
-        spark.catalog.clearCache()
+        # Queries that persist()/localCheckpoint intermediates cannot
+        # unpersist them — they return lazy frames. Sweep between queries
+        # (outside the timed window) and record what leaked: a nonzero
+        # ``leaked_rdds`` fingers the query that would otherwise degrade
+        # the rest of the session.
+        gc1, heap = _jvm_stats(spark)
+        leaked = _sweep_state(spark)
+        stats[name] = {
+            "gc_s": round((gc1 - gc0) / 1000.0, 3),
+            "heap_mb": round(heap / 1048576.0, 1),
+            "leaked_rdds": leaked,
+        }
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -80,6 +115,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_stats": stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

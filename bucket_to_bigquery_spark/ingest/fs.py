@@ -82,7 +82,8 @@ class LocalFS:
             return fh.read()
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if os.path.dirname(path):  # bare filename → cwd, nothing to create
+            os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as fh:
             fh.write(data)
 
@@ -102,7 +103,8 @@ class LocalFS:
             os.remove(path)
 
     def rename_overwrite(self, src: str, dst: str) -> None:
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.dirname(dst):  # bare filename → cwd, nothing to create
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
         if os.path.isdir(dst):
             shutil.rmtree(dst)
         os.replace(src, dst)

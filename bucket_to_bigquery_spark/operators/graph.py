@@ -36,8 +36,43 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def _checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint(eager=True)`` plus the ids of the RDDs it persisted.
+
+    ``DataFrame.unpersist`` on a checkpointed frame is a NO-OP: the blocks
+    belong to an internal RDD the SQL cache manager never tracks, so an
+    iterative algorithm would leak one RDD's blocks per round — and the
+    leak survives ``spark.catalog.clearCache()`` for the life of the
+    session (measured: the r4 driver bench ran its late ML queries 2-3×
+    their isolated time under the accumulated block/GC pressure). Diff the
+    context's persistent-RDD map around the checkpoint call so the caller
+    can later free exactly those blocks. Single-threaded callers only: a
+    concurrent checkpoint in another thread would land in the diff.
+    """
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    return out, [i for i in after if i not in before]
+
+
+def _free(df: DataFrame, rdd_ids: list[int]) -> None:
+    """Drop checkpoint blocks by RDD id. Irrecoverable (a localCheckpoint
+    has no lineage to rebuild from) — call only after every consumer of
+    the checkpointed frame has itself been eagerly materialized."""
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for i in rdd_ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
 
 
 def connected_components(
@@ -75,15 +110,16 @@ def connected_components(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     # Edges drive a join per iteration: materialize once, reuse each round.
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym, sym_ids = _checkpoint(sym.distinct())
 
     if nodes is None:
         labels = sym.select(F.col("s").alias("node")).distinct()
     else:
         labels = nodes.select(F.col(node_col).alias("node")).distinct()
     labels = labels.select("node", F.col("node").alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
+    labels, labels_ids = _checkpoint(labels)
 
+    converged = False
     for _ in range(max_iterations):
         # neighbor messages: every node hears its neighbors' current labels
         msgs = (
@@ -92,11 +128,10 @@ def connected_components(
         )
         # new label = min(own, neighbors') — one shuffle on node id with
         # map-side partial min
-        stepped = (
+        stepped, stepped_ids = _checkpoint(
             labels.unionAll(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
         # convergence check BEFORE the pointer jump: if the min-propagate
         # step changed nothing, the jump can't either (it only reads
@@ -109,9 +144,9 @@ def connected_components(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .isEmpty()
         )
-        labels.unpersist()
+        _free(labels, labels_ids)  # stepped is materialized; old round safe
         if converged:
-            labels = stepped
+            labels, labels_ids = stepped, stepped_ids
             break
         # pointer jumping: lbl(v) ← min(lbl(v), lbl(lbl(v))). Plain
         # propagation moves the component minimum ONE hop per round
@@ -122,13 +157,20 @@ def connected_components(
         jump = stepped.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        labels = (
+        labels, labels_ids = _checkpoint(
             stepped.join(jump, "lbl")
             .select("node", F.least("lbl", "lbl2").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
-        stepped.unpersist()
-    sym.unpersist()
+        _free(stepped, stepped_ids)
+    if not converged:
+        logger.warning(
+            "connected_components: max_iterations=%d exhausted before "
+            "convergence — labels may not be component minima",
+            max_iterations,
+        )
+    _free(sym, sym_ids)
+    # the FINAL labels' blocks stay persisted — the caller consumes the
+    # returned frame lazily; session-level sweeps (bench.py) reclaim them
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
@@ -159,16 +201,16 @@ def _star_contraction(
     symmetric-difference count, never a driver collect. Labels then read
     straight off the final stars.
     """
-    e = (
+    e, e_ids = _checkpoint(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iterations):
         sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         sym = sym.select(F.col("u").alias("s"), F.col("v").alias("d"))
@@ -187,23 +229,30 @@ def _star_contraction(
         )
         # small-star over (u > v) edges: m(u) = min smaller neighbor
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small, small_ids = _checkpoint(
             large.join(smins, "u")
             .where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(smins.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         changed = (
             small.exceptAll(e).select(F.lit(1)).unionAll(
                 e.exceptAll(small).select(F.lit(1))
             ).limit(1).count()
         )
-        e.unpersist()
-        e = small
+        _free(e, e_ids)
+        e, e_ids = small, small_ids
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        logger.warning(
+            "connected_components(skew_safe=True): max_iterations=%d "
+            "exhausted before star-contraction converged — labels read off "
+            "a non-star edge set may not be component minima",
+            max_iterations,
+        )
 
     # final stars: every non-root points at its component minimum
     non_roots = e.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
@@ -220,6 +269,7 @@ def _star_contraction(
     roots = universe.join(non_roots, "node", "left_anti").select(
         "node", F.col("node").alias("cluster_id")
     )
-    out = non_roots.unionAll(roots)
-    e.unpersist()
-    return out
+    # the final edge set's blocks stay persisted: ``out`` reads them lazily
+    # (freeing a localCheckpoint is irrecoverable); session-level sweeps
+    # (bench.py) reclaim them once the result is consumed
+    return non_roots.unionAll(roots)
