@@ -243,6 +243,25 @@ def rolling_fingerprint(tokens_col: Column, base: int = 31,
 # MinHash LSH (the sub-quadratic near-dup scale path)
 # ---------------------------------------------------------------------------
 
+# Mersenne prime 2^31-1: universal-hash modulus. Inputs are first reduced
+# mod p (< 2^31) so a*h+b stays under 2^62 — no int64 overflow in either
+# engine, which is what makes the DuckDB oracle bit-exact.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int = 6, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, b) coefficients of the ``num_hashes`` universal hash
+    functions ``h_i(x) = (a_i·x + b_i) mod p`` — generated from a seeded
+    PRNG so the Spark expressions and the DuckDB oracle embed the SAME
+    literals (single source of truth for cross-engine parity)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
 
 def minhash_candidate_pairs(
     df: DataFrame,
@@ -251,44 +270,95 @@ def minhash_candidate_pairs(
     n: int = 3,
     jaccard_distance_threshold: float = 0.4,
     num_hash_tables: int = 6,
-    # 2^16 binary features: measured 35% faster than 2^18 end-to-end with
-    # an IDENTICAL pair set at sf0.1 (hash collisions shift the estimated
-    # distances negligibly; the op is approximate by contract and the
-    # recall floor is pinned in tests)
-    num_features: int = 1 << 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs via MinHashLSH ``approxSimilarityJoin``.
+    """Near-dup pairs via explicit banded MinHash + exact Jaccard verify.
 
-    Shingles → HashingTF sparse binary vectors → banded MinHash buckets;
-    the join touches only bucket-colliding candidates (sub-quadratic), then
-    filters by exact Jaccard distance of the hashed feature sets. Fixed
-    seed ⇒ deterministic buckets. Returns (id_a, id_b, jaccard_dist) with
-    id_a < id_b.
+    Per doc: the distinct 60-bit shingle hashes (one row-local projection —
+    no fit stage, nothing to persist); per hash function i, the signature
+    ``min_x (a_i·x + b_i) mod p`` — an ``array_min`` over the shingle
+    array, still row-local. Candidates are pairs sharing ANY (band,
+    signature) bucket — one equi-join on an 8-byte composite key, never a
+    cross join — then EXACT Jaccard over the hashed shingle sets
+    (``array_intersect``, row-local on the joined arrays) decides
+    membership: output = candidate pairs with jaccard_dist <= threshold.
+
+    vs pyspark.ml's MinHashLSH (the r4 implementation): same banded-bucket
+    asymptotics, but deterministic closed-form hashing (the "fit" of
+    MinHashLSH only samples coefficients — state a literal can carry),
+    no HashingTF collision layer (Jaccard is exact over the real shingle
+    sets, not 2^16 hashed features), one pass over the corpus instead of
+    fit + transform + self-join re-reads, and a transparent plan (three
+    shuffles: band bucket join, two verify joins on doc id). Deterministic
+    end-to-end ⇒ the DuckDB oracle hash-verifies the full result — the
+    r4 version was rows-only-checkable.
+
+    Scale (100 TB): bucket sizes are bounded by true near-dup group sizes
+    (k identical docs legitimately emit k² candidate pairs — that IS the
+    answer); AQE skew-join splits any residual hot bucket. Returns
+    (id_a, id_b, jaccard_dist) with id_a < id_b.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
-    sh = toks.select(
-        "doc_id", shingles(F.col("t"), n).alias("sh")
-    ).where(F.size("sh") > 0)
-    tf = HashingTF(inputCol="sh", outputCol="features",
-                   numFeatures=num_features, binary=True)
-    # persist: the self-join otherwise re-runs shingling+hashing for BOTH
-    # join sides (measured 2× the whole query's cost). At warehouse scale
-    # this persist becomes a checkpoint/table of the feature column.
-    feats = tf.transform(sh).persist()
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=num_hash_tables, seed=seed)
-    model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(
-        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
-    )
-    return (
-        joined.select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.col("jaccard_dist"),
+    p = MINHASH_PRIME
+    feats = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        .select(
+            "doc_id",
+            # distinct AFTER the mod-p reduction: two 60-bit hashes can
+            # collide mod p, and the oracle's DISTINCT-over-reduced-values
+            # must see the same set sizes
+            F.array_distinct(
+                F.transform(shingles(F.col("t"), n), lambda s: shingle_hash(s) % p)
+            ).alias("sh"),
         )
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.size("sh") > 0)
+        # three consumers (band-signature explode + both verify sides):
+        # one explicit shuffle on the verify-join key makes the expensive
+        # tokenize→shingle→md5 projection run ONCE and land shuffle-local;
+        # AQE turns the other reads into ReusedExchange (the pattern
+        # ngram_jaccard_pairs proved strictly better than .persist()).
+        .repartition("doc_id")
+    )
+    sigs = feats.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array_min(
+                            F.transform(F.col("sh"), lambda h: (h * a + b) % p)
+                        ).alias("sig"),
+                    )
+                    for i, (a, b) in enumerate(minhash_params(num_hash_tables, seed))
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band", "sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = feats.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+                      F.size("sh").alias("n_a"))
+    fb = feats.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
+                      F.size("sh").alias("n_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.lit(1.0)
+                - n_common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_common)
+            ).alias("jaccard_dist"),
+        )
+        .where(F.col("jaccard_dist") <= jaccard_distance_threshold)
     )

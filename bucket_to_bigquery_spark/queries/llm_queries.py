@@ -20,8 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    MINHASH_PRIME,
     exact_dedup_groups,
     minhash_candidate_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
     normalize_text,
     rolling_fingerprint,
@@ -228,16 +230,52 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash signature oracle pieces: the SAME (a, b) literals the Spark
+# expressions embed (dedup.minhash_params is the single source of truth),
+# over shingle hashes reduced mod the same Mersenne prime.
+_MH_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(6, 42))
+)
+_MH_SH_SQL = (
+    "sh AS (SELECT DISTINCT doc_id, "
+    "CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)"
+    f" % {MINHASH_PRIME} AS shingle "
+    "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)"
+)
+
+
 @query(
     "q47b_minhash_lsh_pairs",
-    oracle=None,  # LSH bucketing is not SQL-expressible; rows-only check +
-    # the recall-vs-exact assertion lives in tests/test_llm_ops.py
+    oracle=(
+        f"WITH corpus AS ({CORPUS_SQL}), "
+        f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
+        f"{_MH_SH_SQL}, "
+        f"params(band, a, b) AS (VALUES {_MH_PARAMS_SQL}), "
+        "lists AS (SELECT doc_id, list(shingle) AS ls, COUNT(*) AS ns "
+        "FROM sh GROUP BY doc_id), "
+        f"m AS (SELECT doc_id, band, MIN((a * shingle + b) % {MINHASH_PRIME}) "
+        "AS sig FROM sh CROSS JOIN params GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b "
+        "FROM m x JOIN m y ON x.band = y.band AND x.sig = y.sig "
+        "WHERE x.doc_id < y.doc_id), "
+        "pairs AS (SELECT id_a, id_b, "
+        "1.0 - CAST(len(list_intersect(pa.ls, pb.ls)) AS DOUBLE) / "
+        "(pa.ns + pb.ns - len(list_intersect(pa.ls, pb.ls))) AS dist "
+        "FROM cand JOIN lists pa ON pa.doc_id = id_a "
+        "JOIN lists pb ON pb.doc_id = id_b) "
+        "SELECT id_a, id_b FROM pairs WHERE dist <= 0.4 ORDER BY id_a, id_b"
+    ),
     description=(
-        "Q47b: near-dup candidates via MinHashLSH approxSimilarityJoin — "
-        "shingles → hashed binary features → banded min-hash buckets; the "
-        "join touches only bucket collisions (sub-quadratic — the 100 TB "
-        "path; an all-pairs cosine/jaccard crossJoin never appears). Fixed "
-        "seed; tests assert 100% recall of the planted pairs vs q47."
+        "Q47b: near-dup candidates via explicit banded MinHash — per-doc "
+        "signatures min((a_i·shingle + b_i) mod p) as row-local array_min "
+        "projections (no fit stage), candidates from ONE equi-join on the "
+        "(band, signature) bucket key (sub-quadratic — the 100 TB path; an "
+        "all-pairs crossJoin never appears), then exact Jaccard over the "
+        "hashed shingle sets verifies each candidate. Deterministic "
+        "closed-form hashing ⇒ the DuckDB oracle hash-verifies the full "
+        "result (the pyspark.ml MinHashLSH it replaces was only "
+        "rows-only-checkable); tests additionally assert recall of the "
+        "planted pairs vs q47."
     ),
     tags=("llm", "approx"),
 )
@@ -511,6 +549,8 @@ def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "approx"),
 )
 def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+
     from ..operators.similarity import ivf_build_index, ivf_probe_prebuilt
     from .relational import _materialize_once, _scratch
 
@@ -521,10 +561,17 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scratch key embeds the index-format/params version: a change to
     # the quantizer would otherwise silently reuse a stale on-disk index
     # (the done-marker persists across processes) and diverge from q48c
+    scratch = _scratch(f"q48d_ivf_index_{IVF_INDEX_VERSION}", sf_dir)
+    import os
+
+    reused = int(os.path.exists(f"{scratch}/.b2bqs_done"))
     path = _materialize_once(
-        _scratch(f"q48d_ivf_index_{IVF_INDEX_VERSION}", sf_dir),
-        lambda p: ivf_build_index(emb, f"{p}/index"),
+        scratch, lambda p: ivf_build_index(emb, f"{p}/index")
     ) + "/index"
+    # observability: a timed q48d run must show reused=1 (the build belongs
+    # to the offline path / bench warm-up). stderr: stdout is the bench's
+    # one-JSON-line contract.
+    print(f"METRIC b2bqs.ivf_index_reused {reused}", file=sys.stderr)
     return (
         ivf_probe_prebuilt(spark, path, emb.where(F.col("vec_id") < 10), k=5)
         .select("q_id", "rank", "n_id")
