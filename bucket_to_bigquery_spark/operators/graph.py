@@ -83,6 +83,7 @@ def connected_components(
     node_col: str = "node",
     max_iterations: int = 25,
     skew_safe: bool = False,
+    nodes_unique: bool = False,
 ) -> DataFrame:
     """Assign every node its connected component's minimum node id.
 
@@ -100,6 +101,9 @@ def connected_components(
         ``True`` switches to star-contraction (see module docstring) —
         same result, balanced aggregation keys when one giant component
         would otherwise funnel the min-aggregate.
+    nodes_unique:
+        ``True`` asserts ``nodes`` already has one row per node, skipping
+        a distinct shuffle (e.g. a primary-key column).
 
     Returns ``(node, cluster_id)`` — one row per node.
     """
@@ -112,11 +116,25 @@ def connected_components(
     # Edges drive a join per iteration: materialize once, reuse each round.
     sym, sym_ids = _checkpoint(sym.distinct())
 
+    # Seed labels with min(self, min neighbor) — exactly what round one of
+    # identity-seeded propagation would compute, but as ONE aggregate on
+    # the edge set instead of a join + aggregate + convergence check (for
+    # the near-clique graphs dedup produces, this converges next round).
+    nbr_min = sym.groupBy("s").agg(F.min("d").alias("m"))
     if nodes is None:
-        labels = sym.select(F.col("s").alias("node")).distinct()
+        labels = nbr_min.select(
+            F.col("s").alias("node"), F.least("s", "m").alias("lbl")
+        )
     else:
-        labels = nodes.select(F.col(node_col).alias("node")).distinct()
-    labels = labels.select("node", F.col("node").alias("lbl"))
+        u = nodes.select(F.col(node_col).alias("node"))
+        if not nodes_unique:
+            u = u.distinct()
+        labels = u.join(
+            nbr_min.withColumnRenamed("s", "node"), "node", "left"
+        ).select(
+            "node",
+            F.least(F.col("node"), F.coalesce("m", F.col("node"))).alias("lbl"),
+        )
     labels, labels_ids = _checkpoint(labels)
 
     converged = False

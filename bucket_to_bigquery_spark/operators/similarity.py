@@ -188,22 +188,166 @@ def sign_band_neardup_pairs(
     ).where(F.col("cosine") >= cosine_threshold)
 
 
+def signgrid_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bands: int = 10,
+    bits: int = 6,
+) -> DataFrame:
+    """Deterministic sign-grid ANN: band ``j``'s bucket code is the sign
+    bits of coordinates ``j·bits .. j·bits+bits-1``; candidates are pairs
+    sharing any (band, code) bucket; exact scaled-int cosine re-ranks and
+    keeps the top ``k`` per query (fewer if the buckets yield fewer — the
+    honest ANN contract). Defaults measured on the testdata embeddings:
+    10 bands × 6 bits ⇒ ~14% of random pairs collide (≈7× less scoring
+    than brute force) at recall@5 ≈ 0.4 — the same explicit cost/recall
+    trade q48c's 4-of-16-lists probe makes.
+
+    The evidence-grade member of the ANN family: no RNG, no fit — the
+    blocking is a pure projection ANY engine can compute, so a DuckDB
+    oracle can hash-verify the END-TO-END result (the random-projection /
+    KMeans blocking of `ann_topk_lsh` / `ivf_topk` is not
+    SQL-expressible, leaving them rows-only-checkable). Recall follows
+    SimHash banding: correlated vectors agree on sign bits, so true
+    neighbors collide in some band with high probability while random
+    pairs collide at ≈ bands·2^−bits.
+
+    Scale: queries broadcast (bands rows each), so the corpus side —
+    ``bands`` rows per vector — joins with NO shuffle; only scored
+    (q_id, n_id, cosine) triples reach the dedup + per-query top-k
+    shuffles. Requires vector dim >= bands·bits.
+    """
+
+    def coded(df: DataFrame, prefix: str) -> DataFrame:
+        vec = F.col(vec_col)
+        structs = []
+        for j in range(bands):
+            code: Column = F.lit(0)
+            for t in range(bits):
+                code = code + F.when(
+                    F.element_at(vec, j * bits + t + 1) > 0, F.lit(1 << t)
+                ).otherwise(F.lit(0))
+            structs.append(
+                F.struct(F.lit(j).alias("band"), code.cast("long").alias("code"))
+            )
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            vec.alias(f"{prefix}_vec"),
+            norm_e12(vec).alias(f"{prefix}_norm"),
+            F.explode(F.array(*structs)).alias("bc"),
+        ).select(
+            f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm",
+            "bc.band", "bc.code",
+        )
+
+    q = F.broadcast(coded(queries, "q"))
+    scored = (
+        coded(corpus, "n")
+        .join(q, ["band", "code"])
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_from_e12(
+                dot_e12(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_norm"),
+                F.col("n_norm"),
+            ).alias("cosine"),
+        )
+        # a pair colliding in several bands scores identically each time
+        # (cosine is a pure function of the pair): dedup the triples
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "n_id", "cosine")
+    )
+
+
 # Bump when the quantizer/index layout changes: consumers key their
 # persisted-index scratch paths on this so a params change can never
 # silently reuse a stale on-disk index.
-IVF_INDEX_VERSION = 2
+IVF_INDEX_VERSION = 3  # v3: numpy sample-fit quantizer replaced ml.KMeans
 
 
 def _featurize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    from pyspark.ml.functions import array_to_vector
-
     return df.select(
         F.col(id_col),
         F.col(vec_col),
         norm_e12(F.col(vec_col)).alias("nrm"),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("features"),
+    )
+
+
+def _fit_centroids_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    fit_sample_size: int,
+    fit_max_iter: int,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids: seeded Lloyd's iterations in numpy on a
+    bounded sample.
+
+    The quantizer needs only a sketch of the distribution, so the fit input
+    is <= ``fit_sample_size`` vectors BY CONSTRUCTION — one bounded driver
+    collect (4096 × 64 floats ≈ 2 MB; Spark's own KMeans ships every
+    per-iteration centroid update through the driver too), then ``argmin``
+    /``mean`` matmuls that finish in milliseconds where the ml fit paid
+    per-iteration job scheduling. The ONLY full-corpus pass of an IVF
+    build remains the assignment. At warehouse scale the sample would come
+    from a maintained sample table; the seam is this function.
+    """
+    import numpy as np
+
+    n = corpus.count()
+    s = (
+        corpus.select(vec_col)
+        if n <= fit_sample_size
+        else corpus.select(vec_col).sample(
+            fraction=min(1.0, fit_sample_size / n), seed=seed
+        )
+    )
+    x = np.asarray([r[0] for r in s.collect()], dtype="float64")
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
+    for _ in range(fit_max_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cent]
+
+
+def _assign_lists(feats: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Append ``list_id`` = nearest-centroid index to a (n_id, n_vec,
+    n_norm) frame: Arrow-batched argmin via one matmul per batch
+    (‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is constant per row, so argmin over
+    ``‖c‖² − 2x·c`` suffices). Ties → lowest list id (np.argmin), matching
+    the probe's deterministic centroid ranking."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype="float64")
+    c2 = (cent * cent).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
+            )
+            out = pdf.copy()
+            out["list_id"] = (c2[None, :] - 2.0 * (x @ cent.T)).argmin(axis=1)
+            yield out
+
+    return feats.mapInPandas(
+        assign, "n_id long, n_vec array<float>, n_norm long, list_id int"
     )
 
 
@@ -274,45 +418,28 @@ def ivf_build_index(
     and ``<path>/assigned`` (one row per corpus vector with its list id,
     written partitioned BY list id so a probe reads only its lists).
 
-    This is the 100 TB deployment shape: the KMeans fit + full-corpus
+    This is the 100 TB deployment shape: the quantizer fit + full-corpus
     assignment pass runs ONCE (per corpus version) as an offline job; the
     online path (:func:`ivf_probe_prebuilt`) only reads the index. Seeded
     sample-fit ⇒ rebuilding from the same corpus reproduces the index."""
-    from pyspark.ml.clustering import KMeans
-
-    c = _featurize(corpus, id_col, vec_col).persist()
-    n = c.count()  # materializes the cache; sizes the fit sample
-    # the fit input is <= fit_sample_size rows BY CONSTRUCTION, so one
-    # partition is correct at any corpus scale — and each KMeans iteration
-    # becomes one task instead of one task per corpus partition (measured:
-    # the fit was pure scheduling overhead on small partitions)
-    fit_input = (
-        c if n <= fit_sample_size
-        else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
-    ).coalesce(1)
-    km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
-                initMode="random",  # coarse quantizer + exact re-rank: k-means||'s
-                # extra init passes buy nothing but scheduler overhead
-                featuresCol="features", predictionCol="list_id")
-    model = km.fit(fit_input)
+    centroids = _fit_centroids_sample(
+        corpus, vec_col, n_lists, seed, fit_sample_size, fit_max_iter
+    )
+    feats = _featurize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.col("nrm").alias("n_norm"),
+    )
     (
-        model.transform(c)
-        .select(
-            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-            F.col("nrm").alias("n_norm"), "list_id",
-        )
-        # one file per inverted list (lists ≈ balanced by KMeans): probing
-        # p of L lists scans p/L of the data via partition pruning
+        _assign_lists(feats, centroids)
+        # one file per inverted list (lists ≈ balanced by the quantizer):
+        # probing p of L lists scans p/L of the data via partition pruning
         .repartition("list_id")
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(f"{path}/assigned")
     )
     corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in
-         enumerate(model.clusterCenters())],
-        ["list_id", "centroid"],
+        list(enumerate(centroids)), ["list_id", "centroid"]
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    c.unpersist()
 
 
 def ivf_probe_prebuilt(
@@ -345,10 +472,10 @@ def ivf_topk(
     fit_sample_size: int = 4096,
     fit_max_iter: int = 4,
 ) -> DataFrame:
-    """IVF-style ANN: KMeans coarse quantization + n-probe bucket search.
+    """IVF-style ANN: k-means coarse quantization + n-probe bucket search.
 
     The inverted-file index pattern: corpus vectors are assigned to
-    ``n_lists`` KMeans centroids (the 'inverted lists'); each query scores
+    ``n_lists`` k-means centroids (the 'inverted lists'); each query scores
     only the vectors in its ``n_probe`` nearest lists, then exact cosine
     re-ranks the candidates. Search cost drops from O(N·Q) to
     ≈ O(N·Q·n_probe/n_lists) — the classic vector-index trade: recall is
@@ -356,37 +483,25 @@ def ivf_topk(
     the exact brute force in tests). Centroids are a broadcast-sized side
     table; the probe join is an equi-join on the list id.
 
-    Index-build cost is amortized the way a 100 TB deployment must:
-    the featurized corpus is persisted once (fit and transform share it —
-    the count that sizes the fit sample also materializes the cache), and
-    KMeans fits on a seeded ≤``fit_sample_size``-row sample with
-    ``fit_max_iter`` iterations — coarse-quantizer centroids converge on a
-    small sample; only the cheap assignment pass touches the full corpus.
+    Index-build cost is amortized the way a 100 TB deployment must: the
+    quantizer fits on a seeded ≤``fit_sample_size``-vector sample with
+    ``fit_max_iter`` Lloyd's iterations driver-side in numpy (bounded
+    collect — see :func:`_fit_centroids_sample`; the ml.KMeans stage this
+    replaced spent its time on per-iteration job scheduling, not math);
+    only the cheap Arrow-batched assignment pass touches the full corpus.
     """
-    from pyspark.ml.clustering import KMeans
-
-    c = _featurize(corpus, id_col, vec_col).persist()
-    n = c.count()  # materializes the cache; sizes the fit sample
-    # sample-sized by construction → one partition (see ivf_build_index)
-    fit_input = (
-        c if n <= fit_sample_size
-        else c.sample(fraction=min(1.0, fit_sample_size / n), seed=seed)
-    ).coalesce(1)
-    km = KMeans(k=n_lists, seed=seed, maxIter=fit_max_iter,
-                initMode="random",  # coarse quantizer + exact re-rank: k-means||'s
-                # extra init passes buy nothing but scheduler overhead
-                featuresCol="features", predictionCol="list_id")
-    model = km.fit(fit_input)
-    assigned = model.transform(c).select(
+    centroids = _fit_centroids_sample(
+        corpus, vec_col, n_lists, seed, fit_sample_size, fit_max_iter
+    )
+    feats = _featurize(corpus, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        F.col("nrm").alias("n_norm"), "list_id",
+        F.col("nrm").alias("n_norm"),
     )
-    centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in
-         enumerate(model.clusterCenters())],
-        ["list_id", "centroid"],
+    assigned = _assign_lists(feats, centroids)
+    cdf = corpus.sparkSession.createDataFrame(
+        list(enumerate(centroids)), ["list_id", "centroid"]
     )
-    return _ivf_probe(assigned, centroids, queries, id_col, vec_col, k, n_probe)
+    return _ivf_probe(assigned, cdf, queries, id_col, vec_col, k, n_probe)
 
 
 def ann_topk_lsh(

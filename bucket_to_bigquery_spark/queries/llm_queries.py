@@ -186,6 +186,7 @@ def q46c(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         pairs, src="id_a", dst="id_b",
         nodes=corpus.select("doc_id"), node_col="doc_id",
+        nodes_unique=True,  # doc_id is the corpus primary key
     )
     w = Window.partitionBy("cluster_id")
     return (
@@ -510,10 +511,10 @@ def q48b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48c_ivf_topk",
-    oracle=None,  # KMeans partitioning is not SQL-expressible; rows-only +
+    oracle=None,  # the quantizer partitioning is not SQL-expressible; rows-only +
     # recall-vs-exact assertion in tests/test_llm_ops.py
     description=(
-        "Q48c: IVF-style ANN — KMeans coarse quantization into 16 inverted "
+        "Q48c: IVF-style ANN — sample-fit k-means quantization into 16 inverted "
         "lists, queries probe their 4 nearest lists, exact scaled-int "
         "cosine re-ranks candidates (≈4× less scoring than brute force at "
         "equal recall here; ratio scales with n_lists/n_probe). Fixed "
@@ -535,11 +536,11 @@ def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48d_ivf_prebuilt",
-    oracle=None,  # KMeans partitioning is not SQL-expressible; rows-only +
+    oracle=None,  # the quantizer partitioning is not SQL-expressible; rows-only +
     # an exact prebuilt==inline equality assertion in tests/test_llm_ops.py
     description=(
         "Q48d: ANN against a PREBUILT IVF index — the 100 TB serving "
-        "shape: the KMeans fit + full-corpus assignment pass runs once "
+        "shape: the quantizer fit + full-corpus assignment pass runs once "
         "offline (ivf_build_index → centroids parquet + assignments "
         "partitioned BY list id), and the query path only broadcasts the "
         "tiny centroid table, partition-prunes to its probed lists, and "
@@ -575,6 +576,52 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ivf_probe_prebuilt(spark, path, emb.where(F.col("vec_id") < 10), k=5)
         .select("q_id", "rank", "n_id")
+        .orderBy("q_id", "rank")
+    )
+
+
+@query(
+    "q48e_signgrid_ann",
+    oracle=(
+        "WITH c AS (SELECT vec_id, embedding, "
+        + _NORM_E12_SQL.format(v="embedding")
+        + " AS nrm FROM embeddings), "
+        "coded AS (SELECT vec_id, embedding, nrm, band, "
+        "CAST(list_sum(list_transform(range(0, 6), t -> "
+        "CASE WHEN embedding[band * 6 + t + 1] > 0 THEN (1 << t) ELSE 0 END)) "
+        "AS BIGINT) AS code "
+        "FROM c CROSS JOIN (VALUES "
+        + ", ".join(f"({j})" for j in range(10))
+        + ") AS b(band)), "
+        "q AS (SELECT * FROM coded WHERE vec_id < 10), "
+        "scored AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id, "
+        "CAST(" + _DOT_E12_SQL.format(a="q.embedding", b="n.embedding")
+        + " AS DOUBLE) / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(n.nrm AS DOUBLE)))"
+        " AS cosine "
+        "FROM coded n JOIN q ON n.band = q.band AND n.code = q.code "
+        "AND n.vec_id != q.vec_id) "
+        "SELECT q_id, CAST(row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank, "
+        "n_id, cosine FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"
+    ),
+    description=(
+        "Q48e: sign-grid ANN — band j's bucket code is the sign bits of "
+        "coordinates 6j..6j+5 (10 bands: ~14% random-pair collision, ≈7× "
+        "less scoring than brute force, recall@5 ≈ 0.4); candidates share "
+        "any (band, code); exact scaled-int cosine re-ranks top-5. "
+        "Deterministic blocking (no RNG, no fit) ⇒ the ONE ANN-family "
+        "member whose end-to-end result the driver hash-verifies against "
+        "a DuckDB oracle; queries broadcast, corpus joins shuffle-free."
+    ),
+    tags=("llm", "approx"),
+)
+def q48e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import signgrid_ann_topk
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return (
+        signgrid_ann_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
         .orderBy("q_id", "rank")
     )
 

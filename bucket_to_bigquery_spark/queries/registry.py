@@ -55,6 +55,8 @@ def _with_tuning(fn):
 
     run.__name__ = fn.__name__
     run.__doc__ = fn.__doc__
+    run.__module__ = fn.__module__
+    run.__wrapped__ = fn  # lets tools map a registry entry to its source file
     return run
 
 

@@ -60,7 +60,19 @@ def _report_json(r) -> dict:
 def setup_main(argv: list[str]) -> int:
     """Validate manifest, source reachability, warehouse writability, and
     print the resolved schema/partition plan (no data written, nothing
-    audited). Exit 0 iff every check passes."""
+    audited). Exit 0 iff every check passes.
+
+    Paths may be schemed URIs — e.g. against an object store (connector
+    jar + ``spark.hadoop.*`` credentials on the session; README
+    "Remote object-store quickstart")::
+
+        python -m bucket_to_bigquery_spark.run setup \\
+            --manifest gs://cfg-bucket/manifest.json \\
+            --warehouse gs://my-warehouse/wh
+
+    Every check below routes through the per-URI FS seam (ingest/fs.py),
+    so the probe write, glob, and header sniff exercise the exact I/O the
+    load would."""
     from .ingest.fs import fs_for, glob_base
     from .ingest.schema_registry import TYPE_MAP, SchemaCompatError
 

@@ -43,6 +43,25 @@ def test_q48b_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall@5 = {recall:.2f}"
 
 
+def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
+    # q48e is the hash-verified ANN (deterministic sign-grid blocking);
+    # the driver certifies exactness of the RESULT, this pins the quality
+    # of the blocking: recall@5 vs brute force at the documented ~14%
+    # candidate-volume operating point
+    qs = all_queries()
+    exact = qs["q48_cosine_topk"].builder(spark, sf_dir).collect()
+    grid = qs["q48e_signgrid_ann"].builder(spark, sf_dir).collect()
+    exact_sets, grid_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in grid:
+        grid_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert set(grid_sets) == set(exact_sets)  # every query answered
+    hits = sum(len(exact_sets[q] & grid_sets.get(q, set())) for q in exact_sets)
+    recall = hits / sum(len(s) for s in exact_sets.values())
+    assert recall >= 0.3, f"sign-grid recall@5 = {recall:.2f}"
+
+
 def test_q46_dedup_finds_planted_copies(spark, sf_dir):
     df = all_queries()["q46_exact_dedup"].builder(spark, sf_dir)
     groups = df.collect()

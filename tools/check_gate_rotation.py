@@ -1,0 +1,176 @@
+"""Pre-flight check for the correctness-gate rotation invariant.
+
+The driver gate records only the first ``GATE_WINDOW`` (50) entries of
+``__spark_entry__.queries()`` in name-sorted order; the registry has more.
+``__spark_entry__.GATE_PRIORITY`` aliases a chosen subset into the window.
+This check mechanizes the invariant that used to be maintained by hand
+(VERDICT r4, "What's wrong" #4):
+
+    every registry entry whose implementing files changed since the last
+    driver round commit MUST sort inside the gate window.
+
+Mapping policy (file-level, conservative):
+
+- an entry's implementing files = its builder's source module plus that
+  module's operator/ingest dependencies (``MODULE_DEPS``);
+- shared infra (``INFRA_FILES``) is exempt: a change there affects every
+  entry equally, cannot be rotated into a 50-slot window, and any breakage
+  shows in whatever rows the round records;
+- a changed package file that is neither mapped nor exempt FAILS the check
+  (the map must be extended, not silently skipped).
+
+Usage::
+
+    python tools/check_gate_rotation.py [BASE_REF]
+
+``BASE_REF`` defaults to the most recent commit whose subject matches
+``round <N>:`` — the driver's round-boundary commit. Run as pytest via
+tests/test_gate_rotation.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GATE_WINDOW = 50
+PKG = "bucket_to_bigquery_spark/"
+
+# Query-module -> operator/ingest files its builders execute. Keys and
+# values are repo-relative paths.
+MODULE_DEPS: dict[str, list[str]] = {
+    PKG + "queries/llm_queries.py": [
+        PKG + "operators/dedup.py",
+        PKG + "operators/graph.py",
+        PKG + "operators/similarity.py",
+        PKG + "operators/multimodal.py",
+    ],
+    PKG + "queries/relational.py": [
+        PKG + "operators/asof_join.py",
+        PKG + "operators/range_join.py",
+    ],
+    PKG + "queries/ingest_queries.py": [
+        PKG + "ingest/loader.py",
+        PKG + "ingest/fs.py",
+        PKG + "ingest/schema_registry.py",
+        PKG + "ingest/events.py",
+        PKG + "ingest/manifest.py",
+    ],
+    PKG + "queries/streaming_queries.py": [
+        PKG + "streaming/__init__.py",
+        PKG + "ingest/events.py",
+    ],
+    PKG + "queries/scalar.py": [],
+    PKG + "queries/udf_queries.py": [],
+}
+
+# Shared infra: exercised by every entry, exempt from rotation.
+INFRA_FILES = {
+    PKG + "__init__.py",
+    PKG + "catalog.py",
+    PKG + "session.py",
+    PKG + "run.py",
+    PKG + "queries/__init__.py",
+    PKG + "queries/registry.py",
+    PKG + "operators/__init__.py",
+    PKG + "operators/salted_join.py",  # library op, no registry entry
+    PKG + "ingest/__init__.py",
+    PKG + "functions/__init__.py",
+    PKG + "streaming/__init__.py",  # also a dep of streaming_queries
+}
+
+
+def _git(*args: str) -> str:
+    return subprocess.check_output(["git", *args], cwd=REPO, text=True)
+
+
+def default_base_ref() -> str | None:
+    for line in _git("log", "--format=%H %s").splitlines():
+        sha, _, subject = line.partition(" ")
+        if re.match(r"round \d+:", subject):
+            return sha
+    return None
+
+
+def check(base_ref: str | None = None) -> list[str]:
+    """Return a list of problem strings (empty = invariant holds)."""
+    from __spark_entry__ import GATE_PRIORITY, _gate_name
+    from bucket_to_bigquery_spark.queries import all_queries
+
+    reg = all_queries()
+    problems: list[str] = []
+
+    unknown = GATE_PRIORITY - set(reg)
+    if unknown:
+        problems.append(f"GATE_PRIORITY names not in registry: {sorted(unknown)}")
+    if len(GATE_PRIORITY) > GATE_WINDOW:
+        problems.append(
+            f"GATE_PRIORITY has {len(GATE_PRIORITY)} entries; window is "
+            f"{GATE_WINDOW} — changed entries would spill out of the gate"
+        )
+
+    gate_order = sorted(_gate_name(n) for n in reg)
+    window = set(gate_order[:GATE_WINDOW])
+
+    base = base_ref or default_base_ref()
+    if base is None:
+        print("check_gate_rotation: no 'round N:' commit found; "
+              "nothing to diff against (fresh repo) — skipping diff check")
+        changed: set[str] = set()
+    else:
+        changed = {
+            f for f in _git("diff", "--name-only", f"{base}..HEAD").splitlines()
+            if f.startswith(PKG) and f.endswith(".py")
+        }
+
+    unmapped = {
+        f for f in changed
+        if f not in INFRA_FILES
+        and f not in MODULE_DEPS
+        and not any(f in deps for deps in MODULE_DEPS.values())
+    }
+    if unmapped:
+        problems.append(
+            f"changed package files not covered by MODULE_DEPS/INFRA_FILES "
+            f"(extend the map): {sorted(unmapped)}"
+        )
+
+    # entry -> implementing files
+    affected: list[str] = []
+    for name, q in reg.items():
+        fn = getattr(q.builder, "__wrapped__", q.builder)
+        mod = os.path.relpath(fn.__code__.co_filename, REPO)
+        impl = {mod, *MODULE_DEPS.get(mod, [])}
+        if impl & changed:
+            affected.append(name)
+
+    out_of_window = [n for n in affected if _gate_name(n) not in window]
+    if out_of_window:
+        problems.append(
+            "entries with changed implementing files OUTSIDE the gate "
+            f"window (add to GATE_PRIORITY): {sorted(out_of_window)}"
+        )
+
+    ungated = sorted(n for n in reg if _gate_name(n) not in window)
+    print(f"gate window: {GATE_WINDOW}/{len(reg)} entries; base={base and base[:9]}")
+    print(f"changed package files: {len(changed)}; affected entries: "
+          f"{len(affected)} (all in-window: {not out_of_window})")
+    print(f"out-of-window this round ({len(ungated)}; rely on prior-round "
+          f"rows, files unchanged): {ungated}")
+    return problems
+
+
+def main() -> int:
+    problems = check(sys.argv[1] if len(sys.argv) > 1 else None)
+    for p in problems:
+        print(f"FAIL: {p}", file=sys.stderr)
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

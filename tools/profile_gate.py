@@ -35,8 +35,8 @@ def main() -> None:
     con = duck_connection(sf_dir)
     registry = all_queries()
     # mirror the driver's iteration: it sees the GATE names from
-    # __spark_entry__ (q38–q50b aliased a38–a50b to sort first, since the
-    # gate records only the first 50 entries) — profile in that order
+    # __spark_entry__ (GATE_PRIORITY entries aliased aNN_* to sort first,
+    # since the gate records only the first 50) — profile in that order
     import __spark_entry__ as entry
 
     gate_order = sorted(registry, key=lambda n: entry._gate_name(n))
