@@ -50,22 +50,24 @@ GATE_PRIORITY = frozenset({
     "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
     "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
     "q47c_embedding_neardup", "q47d_benchmark_decontamination",
+    "q47e_containment_pairs",
     "q48_cosine_topk", "q48b_ann_lsh_topk", "q48c_ivf_topk",
     "q48d_ivf_prebuilt", "q48e_signgrid_ann",
     "q49_text_stats", "q49b_length_histogram", "q49c_language_id",
     "q49d_doc_fingerprint", "q49e_quality_filter", "q49f_repetition_ratio",
     "q49g_stratified_sample", "q49h_shard_assignment",
     "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
+    "q49l_vocab_coverage",
     "q50_multimodal_bytes", "q50b_frame_sampling",
     # stale rotation (r5): last driver-verified in r3, files untouched
-    # since; q28b-q37 take these slots next round
+    # since; q27-q37 take these slots next round (q27/q28 gave theirs to
+    # the two new r5 entries q47e/q49l)
     "q12_semi_join", "q13_anti_join", "q14_range_join", "q15_asof_join",
     "q15b_asof_join_tolerance", "q16_tpch_q3_shape", "q17_tpch_q1_shape",
     "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
     "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
     "q22_having", "q23_ranking_windows", "q24_lag_lead",
-    "q25_window_frames", "q26_topk_per_group", "q27_global_sort_limit",
-    "q28_union_all",
+    "q25_window_frames", "q26_topk_per_group",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -83,31 +83,19 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _inverted_index_common(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.6,
-    max_shingle_df: int = 100,
-) -> DataFrame:
-    """All pairs with Jaccard(shingle sets) >= threshold — exact Jaccard
-    over the document-frequency-filtered shingle universe: shingles in more
-    than ``max_shingle_df`` docs are excluded from BOTH the intersection
-    and the set sizes, so within that universe the score is exact, and
-    pairs whose overlap is purely hot/boilerplate shingles are out of
-    scope by construction (a recall trade-off, deliberate: at 100 TB those
-    pairs are boilerplate matches, not near-duplicates).
-
-    Plan shape (scale-first):
-    1. explode DISTINCT shingles per doc → inverted index (shingle, doc);
-    2. drop shingles present in > ``max_shingle_df`` docs — a boilerplate
-       shingle shared by k docs would emit k² pairs, so the cap bounds the
-       per-key join fan-out (AQE skew-join splits whatever remains);
-    3. self-join the index on shingle with ``id_a < id_b`` → common counts
-       (map-side combine: groupBy before the jaccard math);
-    4. jaccard from exact integer set sizes.
-    """
+    n: int,
+    max_shingle_df: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the exact set-overlap dedup family:
+    returns ``(common, sizes)`` — per-pair common-shingle counts from an
+    inverted-index self-join, and per-doc set sizes, both over the
+    document-frequency-capped shingle universe (see
+    :func:`ngram_jaccard_pairs` for why the cap is semantics, not a
+    shortcut)."""
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
     sh = (
         # hash inside the array, before the explode: every downstream
@@ -156,11 +144,43 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return common, sizes
+
+
+def _join_sizes(common: DataFrame, sizes: DataFrame) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """All pairs with Jaccard(shingle sets) >= threshold — exact Jaccard
+    over the document-frequency-filtered shingle universe: shingles in more
+    than ``max_shingle_df`` docs are excluded from BOTH the intersection
+    and the set sizes, so within that universe the score is exact, and
+    pairs whose overlap is purely hot/boilerplate shingles are out of
+    scope by construction (a recall trade-off, deliberate: at 100 TB those
+    pairs are boilerplate matches, not near-duplicates).
+
+    Plan shape (scale-first):
+    1. explode DISTINCT shingles per doc → inverted index (shingle, doc);
+    2. drop shingles present in > ``max_shingle_df`` docs — a boilerplate
+       shingle shared by k docs would emit k² pairs, so the cap bounds the
+       per-key join fan-out (AQE skew-join splits whatever remains);
+    3. self-join the index on shingle with ``id_a < id_b`` → common counts
+       (map-side combine: groupBy before the jaccard math);
+    4. jaccard from exact integer set sizes.
+    """
+    common, sizes = _inverted_index_common(df, id_col, text_col, n, max_shingle_df)
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        _join_sizes(common, sizes)
         .select(
             "id_a",
             "id_b",
@@ -170,6 +190,40 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """All pairs with containment ``|A∩B| / min(|A|,|B|)`` >= threshold —
+    one-sided overlap over the same DF-capped shingle universe as
+    :func:`ngram_jaccard_pairs`.
+
+    Containment catches SUBSET duplicates symmetric Jaccard misses: a doc
+    quoted or embedded whole inside a much longer one scores
+    ``|A|/|A| = 1.0`` here but ``|A|/|B| ≪ 1`` on Jaccard — the standard
+    second dedup gate in a training-data pipeline (quote/boilerplate
+    inclusion). Same candidate machinery and cost as the Jaccard pass;
+    only the scoring projection differs.
+    """
+    common, sizes = _inverted_index_common(df, id_col, text_col, n, max_shingle_df)
+    return (
+        _join_sizes(common, sizes)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

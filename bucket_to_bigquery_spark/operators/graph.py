@@ -84,6 +84,7 @@ def connected_components(
     max_iterations: int = 25,
     skew_safe: bool = False,
     nodes_unique: bool = False,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Assign every node its connected component's minimum node id.
 
@@ -104,6 +105,10 @@ def connected_components(
     nodes_unique:
         ``True`` asserts ``nodes`` already has one row per node, skipping
         a distinct shuffle (e.g. a primary-key column).
+    edges_unique:
+        ``True`` asserts each undirected edge appears exactly once with
+        ``src != dst`` (e.g. pair-miner output with ``id_a < id_b``),
+        skipping the distinct on the symmetrized edge set.
 
     Returns ``(node, cluster_id)`` — one row per node.
     """
@@ -113,8 +118,10 @@ def connected_components(
         )
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if not edges_unique:
+        sym = sym.distinct()
     # Edges drive a join per iteration: materialize once, reuse each round.
-    sym, sym_ids = _checkpoint(sym.distinct())
+    sym, sym_ids = _checkpoint(sym)
 
     # Seed labels with min(self, min neighbor) — exactly what round one of
     # identity-seeded propagation would compute, but as ONE aggregate on
@@ -135,7 +142,10 @@ def connected_components(
             "node",
             F.least(F.col("node"), F.coalesce("m", F.col("node"))).alias("lbl"),
         )
-    labels, labels_ids = _checkpoint(labels)
+    # no checkpoint for the seed: its lineage is one aggregate off the
+    # already-checkpointed edge set — truncation starts paying from the
+    # first iterated round (stepped) onward
+    labels_ids: list[int] = []
 
     converged = False
     for _ in range(max_iterations):

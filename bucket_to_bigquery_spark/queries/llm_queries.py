@@ -41,17 +41,25 @@ from .registry import query, tables
 
 _NEAR_TAIL = " zz9 qq8 vv7"
 
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_TOKHASH_SQL = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT)"
+
+# Planted structure: exact copies (+100000), near copies with a 3-token
+# tail (+200000, jaccard ≈ 0.9), and truncated first-half copies
+# (+300000, the CONTAINMENT case: the half's shingles are a subset of the
+# original's, so containment = 1.0 while jaccard ≈ 0.5 sits below q47's
+# 0.6 gate — found by q47e only).
 CORPUS_SQL = (
     "SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents "
     "WHERE doc_id % 10 = 0 "
     "UNION ALL SELECT doc_id + 200000 AS doc_id, text || '" + _NEAR_TAIL + "' AS text "
-    "FROM documents WHERE doc_id % 10 = 1"
+    "FROM documents WHERE doc_id % 10 = 1 "
+    "UNION ALL SELECT doc_id + 300000 AS doc_id, "
+    f"array_to_string(({_TOKS_SQL})[1:CAST(floor(len({_TOKS_SQL}) / 2) AS INT)], ' ') "
+    "AS text FROM documents WHERE doc_id % 10 = 2"
 )
-
-_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
-_TOKHASH_SQL = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT)"
 
 
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +71,14 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
     )
-    return d.unionAll(exact).unionAll(near)
+    t = tokens("text")
+    half = d.where(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(t, 1, F.floor(F.size(t) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near).unionAll(half)
 
 
 # ---------------------------------------------------------------------------
@@ -122,12 +137,12 @@ def q46b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared by q47 (pairs + jaccard) and q46c (pair graph → clusters).
+# Shared by q47/q47e (pairs) and q46c (pair graph → clusters).
 # Shingles are 60-bit md5-prefix hashes — mirroring the Spark side, which
 # shuffles/joins the inverted index on 8-byte longs instead of shingle
 # strings (operators/dedup.shingle_hash; collisions are mirrored, so
 # parity is exact by construction).
-_Q47_PAIR_CTES = (
+_Q47_BASE_CTES = (
     f"corpus AS ({CORPUS_SQL}), "
     f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
     "sh AS (SELECT DISTINCT doc_id, "
@@ -139,7 +154,10 @@ _Q47_PAIR_CTES = (
     "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM idx GROUP BY doc_id), "
     "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
     "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
-    "GROUP BY 1, 2), "
+    "GROUP BY 1, 2)"
+)
+_Q47_PAIR_CTES = (
+    f"{_Q47_BASE_CTES}, "
     "pairs AS (SELECT id_a, id_b, "
     "CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard "
     "FROM common "
@@ -187,6 +205,7 @@ def q46c(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, src="id_a", dst="id_b",
         nodes=corpus.select("doc_id"), node_col="doc_id",
         nodes_unique=True,  # doc_id is the corpus primary key
+        edges_unique=True,  # pair-miner emits each pair once, id_a < id_b
     )
     w = Window.partitionBy("cluster_id")
     return (
@@ -226,6 +245,40 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs(
             _dedup_corpus(spark, sf_dir), "doc_id", "text",
             n=3, threshold=0.6, max_shingle_df=100,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q47e_containment_pairs",
+    oracle=(
+        f"WITH {_Q47_BASE_CTES}, "
+        "cpairs AS (SELECT id_a, id_b, "
+        "CAST(n_common AS DOUBLE) / least(sa.ns, sb.ns) AS containment "
+        "FROM common "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE CAST(n_common AS DOUBLE) / least(sa.ns, sb.ns) >= 0.9) "
+        "SELECT id_a, id_b, containment FROM cpairs ORDER BY id_a, id_b"
+    ),
+    description=(
+        "Q47e: containment dedup — pairs with |A∩B| / min(|A|,|B|) >= "
+        "0.9 over the DF-capped shingle universe: the one-sided overlap "
+        "gate that catches SUBSET duplicates symmetric Jaccard misses "
+        "(a doc quoted whole inside a longer one scores 1.0 here, "
+        "|A|/|B| ≪ 1 there). Shares q47's inverted-index candidate "
+        "machinery — only the scoring projection differs; the planted "
+        "near-copies (original ⊂ original+tail) score exactly 1.0."
+    ),
+    tags=("llm",),
+)
+def q47e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    return (
+        ngram_containment_pairs(
+            _dedup_corpus(spark, sf_dir), "doc_id", "text",
+            n=3, threshold=0.9, max_shingle_df=100,
         )
         .orderBy("id_a", "id_b")
     )
@@ -1230,6 +1283,63 @@ def q49k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49l_vocab_coverage",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+        "ex AS (SELECT unnest(t) AS tok FROM t), "
+        "top AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM ex "
+        "GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 100)), "
+        "v AS (SELECT list_sort(list(tok)) AS vl FROM top) "
+        "SELECT doc_id, "
+        "CAST(len(t) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct, "
+        "CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio, "
+        "CAST(len(list_filter(t, x -> list_contains(vl, x))) AS BIGINT) "
+        "AS vocab_hits, "
+        "CAST(len(list_filter(t, x -> list_contains(vl, x))) AS DOUBLE) / len(t) "
+        "AS vocab_coverage "
+        "FROM t CROSS JOIN v ORDER BY doc_id"
+    ),
+    description=(
+        "Q49l: vocabulary-coverage quality scoring — corpus top-100 "
+        "vocabulary (count desc, token asc: deterministic ties) built "
+        "with one aggregate + TakeOrdered top-K, broadcast as a single "
+        "array row; per-doc coverage/type-token-ratio are then row-local "
+        "array ops (no per-doc join). The OOV-rate gate of a training "
+        "pipeline: low vocab_coverage flags gibberish/wrong-language "
+        "docs; all-exact integer counts, int/int doubles — no log(), so "
+        "cross-engine hashes match bit-for-bit."
+    ),
+    tags=("llm",),
+)
+def q49l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)["documents"]
+    toks = t.select("doc_id", tokens("text").alias("t"))
+    vocab = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(100)
+        .agg(F.array_sort(F.collect_list("tok")).alias("vl"))
+    )
+    hits = F.size(F.filter("t", lambda x: F.array_contains(F.col("vl"), x)))
+    return (
+        toks.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+            (
+                F.size(F.array_distinct("t")).cast("double") / F.size("t")
+            ).alias("type_token_ratio"),
+            hits.cast("long").alias("vocab_hits"),
+            (hits.cast("double") / F.size("t")).alias("vocab_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q50 — multimodal binary column
 # ---------------------------------------------------------------------------
@@ -1315,9 +1425,9 @@ def q50b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
-    "q46", "q46b", "q46c", "q47", "q47b", "q47c", "q47d",
-    "q48", "q48b", "q48c", "q48d",
+    "q46", "q46b", "q46c", "q47", "q47b", "q47c", "q47d", "q47e",
+    "q48", "q48b", "q48c", "q48d", "q48e",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
-    "q49i", "q49j", "q49k",
+    "q49i", "q49j", "q49k", "q49l",
     "q50", "q50b",
 ]

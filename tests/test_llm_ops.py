@@ -62,6 +62,19 @@ def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"sign-grid recall@5 = {recall:.2f}"
 
 
+def test_q47e_containment_catches_subset_dups_jaccard_misses(spark, sf_dir):
+    # the planted half-docs (+300000) are shingle-subsets of their
+    # originals: containment = 1.0 but jaccard ~0.5 < the 0.6 gate —
+    # q47e must find them, q47 must not (the reason the operator exists)
+    qs = all_queries()
+    jac = _pairs(qs["q47_ngram_jaccard_pairs"].builder(spark, sf_dir))
+    con = _pairs(qs["q47e_containment_pairs"].builder(spark, sf_dir))
+    half_pairs_j = {(a, b) for a, b in jac if b >= 300000}
+    half_pairs_c = {(a, b) for a, b in con if b >= 300000 and a == b - 300000}
+    assert not half_pairs_j, "jaccard gate unexpectedly admits half-docs"
+    assert len(half_pairs_c) >= 10, f"containment found {len(half_pairs_c)}"
+
+
 def test_q46_dedup_finds_planted_copies(spark, sf_dir):
     df = all_queries()["q46_exact_dedup"].builder(spark, sf_dir)
     groups = df.collect()
