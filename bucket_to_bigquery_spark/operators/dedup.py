@@ -10,15 +10,19 @@ Four methods, each with a different cost/recall point:
   inverted shingle index — pairs are generated ONLY for docs sharing a
   shingle (never all-pairs), with a document-frequency cap dropping
   ubiquitous shingles so no hot key explodes the self-join.
+- **Containment** (`ngram_containment_pairs`): one-sided overlap
+  ``|A∩B| / min(|A|,|B|)`` over the same machinery — the subset-duplicate
+  gate symmetric Jaccard misses.
 - **SimHash** (`simhash_col`): a per-doc fingerprint whose Hamming
   distance approximates cosine/token overlap; computed entirely with
   JVM-side higher-order functions from md5 token hashes (md5 chosen
   because every engine agrees on it — the DuckDB oracle reproduces the
   exact fingerprint).
-- **MinHash LSH** (`minhash_candidate_pairs`): `pyspark.ml` MinHashLSH
-  ``approxSimilarityJoin`` over hashed shingle features — the sub-quadratic
-  scale path: candidate pairs come from banded hash-bucket joins, never a
-  cross join.
+- **MinHash LSH** (`minhash_candidate_pairs`): explicit banded MinHash —
+  closed-form mod-p signatures as row-local projections, candidates from
+  one (band, signature) bucket equi-join (sub-quadratic, never a cross
+  join), exact-Jaccard verification. Deterministic end-to-end, so the
+  DuckDB oracle hash-verifies the full result.
 """
 
 from __future__ import annotations

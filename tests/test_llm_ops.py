@@ -17,8 +17,8 @@ def test_q47b_lsh_recall_of_exact_pairs(spark, sf_dir):
     lsh = _pairs(qs["q47b_minhash_lsh_pairs"].builder(spark, sf_dir))
     assert exact, "exact jaccard found no planted pairs — corpus broken"
     # every planted exact/near duplicate (jaccard >= 0.6 ⇒ distance <= 0.4,
-    # the LSH join threshold) must be recalled; MinHashLSH with 6 tables has
-    # vanishing miss probability at j >= 0.6
+    # the LSH join threshold) must be recalled; 6 banded min-hash functions
+    # give vanishing miss probability at j >= 0.6 (miss = (1-j)^6)
     missed = exact - lsh
     recall = 1 - len(missed) / len(exact)
     assert recall >= 0.95, f"LSH recall {recall:.2f}; missed {sorted(missed)[:5]}"
