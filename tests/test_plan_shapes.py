@@ -142,6 +142,39 @@ def test_q47_inverted_index_exchange_is_reused(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
+def test_q47b_feature_exchange_is_reused(spark, sf_dir):
+    # the tokenize→shingle→md5 feature projection feeds three consumers
+    # (band-signature explode + both verify sides) through ONE explicit
+    # repartition("doc_id"); AQE must dedupe the identical shuffle stages
+    # or the text work silently runs once per consumer again
+    from bucket_to_bigquery_spark.queries import all_queries as _aq
+
+    df = _aq()["q47b_minhash_lsh_pairs"].builder(spark, sf_dir)
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_q48e_queries_broadcast_corpus_unshuffled(spark, sf_dir):
+    # sign-grid ANN: the coded query side must broadcast so the corpus
+    # joins without an exchange; only scored triples may shuffle (dedup +
+    # per-query top-k). A corpus-side hashpartitioning BEFORE the join is
+    # the 100 TB failure mode.
+    plan = _plan(spark, sf_dir, "q48e_signgrid_ann")
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_q49l_vocab_is_takeordered_and_broadcast(spark, sf_dir):
+    # top-100 vocabulary must come from a TakeOrdered top-K (linear, never
+    # a total sort of the vocabulary) and reach the per-doc scoring side
+    # as a broadcast single-row array (no per-doc join/shuffle)
+    plan = _plan(spark, sf_dir, "q49l_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_q48d_prebuilt_index_scan_prunes_partitions(spark, sf_dir):
     # The prebuilt-IVF serving path must read ONLY the probed inverted
     # lists: the assignments table is written partitioned BY list_id, and
