@@ -45,6 +45,8 @@ GATE_PRIORITY = frozenset({
     # changed this round (r5): ingest/fs.py -> loader-backed q04 family
     "q04_ingest_partitioned_sink", "q04b_imported_audit",
     "q04c_partition_pruned_scan", "q04d_catalog_sql",
+    # new this round (r5): salted-join surface (queries/skew_queries.py)
+    "q09b_salted_skew_join",
     # changed this round (r5): operators/{dedup,graph,similarity}.py +
     # queries/llm_queries.py -> the whole q46-q50 surface
     "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
@@ -60,14 +62,14 @@ GATE_PRIORITY = frozenset({
     "q49l_vocab_coverage",
     "q50_multimodal_bytes", "q50b_frame_sampling",
     # stale rotation (r5): last driver-verified in r3, files untouched
-    # since; q27-q37 take these slots next round (q27/q28 gave theirs to
-    # the two new r5 entries q47e/q49l)
+    # since; q26-q37 take these slots next round (q26/q27/q28 gave theirs
+    # to the three new r5 entries q09b/q47e/q49l)
     "q12_semi_join", "q13_anti_join", "q14_range_join", "q15_asof_join",
     "q15b_asof_join_tolerance", "q16_tpch_q3_shape", "q17_tpch_q1_shape",
     "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
     "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
     "q22_having", "q23_ranking_windows", "q24_lag_lead",
-    "q25_window_frames", "q26_topk_per_group",
+    "q25_window_frames",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -14,6 +14,7 @@ from . import ingest_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import udf_queries  # noqa: F401
 from . import llm_queries  # noqa: F401
+from . import skew_queries  # noqa: F401
 from .registry import REGISTRY, Query
 
 

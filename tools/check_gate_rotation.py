@@ -67,6 +67,9 @@ MODULE_DEPS: dict[str, list[str]] = {
     ],
     PKG + "queries/scalar.py": [],
     PKG + "queries/udf_queries.py": [],
+    PKG + "queries/skew_queries.py": [
+        PKG + "operators/salted_join.py",
+    ],
 }
 
 # Shared infra: exercised by every entry, exempt from rotation.
@@ -78,7 +81,6 @@ INFRA_FILES = {
     PKG + "queries/__init__.py",
     PKG + "queries/registry.py",
     PKG + "operators/__init__.py",
-    PKG + "operators/salted_join.py",  # library op, no registry entry
     PKG + "ingest/__init__.py",
     PKG + "functions/__init__.py",
     PKG + "streaming/__init__.py",  # also a dep of streaming_queries
