@@ -1,0 +1,107 @@
+"""Property tests for the exact-overlap dedup family: the Spark results
+must equal a pure-Python reference computation on random corpora —
+deterministic assertions (no probabilistic recall bounds here; those live
+in test_llm_ops.py against the planted corpus)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bucket_to_bigquery_spark.operators.dedup import (
+    MINHASH_PRIME,
+    minhash_candidate_pairs,
+    minhash_params,
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+
+WORDS = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=8,
+)
+
+
+def _shingle_set(text: str, n: int = 3) -> set[int]:
+    toks = [t for t in text.lower().split() if t]
+    p = MINHASH_PRIME
+    return {
+        int(hashlib.md5(" ".join(toks[i:i + n]).encode()).hexdigest()[:15], 16) % p
+        for i in range(len(toks) - n + 1)
+    }
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs_strategy)
+def test_minhash_pairs_verify_exactly(spark, texts):
+    """Every emitted pair's jaccard_dist must equal the exact Jaccard
+    distance over the mod-p hashed shingle sets, and every pair of docs
+    with identical non-empty shingle sets (dist 0) must be emitted —
+    signatures of identical sets collide in every band."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_dist"]
+        for r in minhash_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    sets = {i: _shingle_set(t) for i, t in rows}
+    for (a, b), dist in got.items():
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        expect = 1.0 - inter / (len(sa) + len(sb) - inter)
+        assert abs(dist - expect) < 1e-12, (a, b)
+        assert dist <= 0.4 + 1e-12
+    for i, ti in rows:
+        for j, tj in rows:
+            if i < j and sets[i] and sets[i] == sets[j]:
+                assert (i, j) in got, f"identical docs {i},{j} not emitted"
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs_strategy)
+def test_jaccard_leq_containment_and_thresholds(spark, texts):
+    """jaccard(A,B) <= containment(A,B) always, so with equal thresholds
+    every jaccard pair is a containment pair; both operators' scores must
+    match the exact python computation over the (uncapped here:
+    max_shingle_df large) shingle sets."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.1, max_shingle_df=10**6
+        ).collect()
+    }
+    con = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", threshold=0.1, max_shingle_df=10**6
+        ).collect()
+    }
+    # shingle_hash here is the UN-reduced 60-bit hash (no mod p)
+    def sset(text):
+        toks = [t for t in text.lower().split() if t]
+        return {
+            int(hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - 2)
+        }
+
+    sets = {i: sset(t) for i, t in rows}
+    assert set(jac) <= set(con)  # j <= c pointwise at equal thresholds
+    for (a, b), j in jac.items():
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        assert abs(j - inter / (len(sa) + len(sb) - inter)) < 1e-12
+        assert j <= con[(a, b)] + 1e-12
+    for (a, b), c in con.items():
+        sa, sb = sets[a], sets[b]
+        assert abs(c - len(sa & sb) / min(len(sa), len(sb))) < 1e-12
+
+
+def test_minhash_params_are_stable():
+    # the oracle SQL embeds these literals; silent drift = hash mismatch
+    assert minhash_params(2, 42) == minhash_params(2, 42)
+    assert len(set(minhash_params(6, 42))) == 6
