@@ -60,7 +60,7 @@ GATE_PRIORITY = frozenset({
     "q49g_stratified_sample", "q49h_shard_assignment",
     "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
     "q49l_vocab_coverage",
-    "q50_multimodal_bytes", "q50b_frame_sampling",
+    "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
     # stale rotation (r5): last driver-verified in r3, files untouched
     # since; q26-q37 take these slots next round (q26/q27/q28 gave theirs
     # to the three new r5 entries q09b/q47e/q49l)
@@ -69,7 +69,6 @@ GATE_PRIORITY = frozenset({
     "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
     "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
     "q22_having", "q23_ranking_windows", "q24_lag_lead",
-    "q25_window_frames",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

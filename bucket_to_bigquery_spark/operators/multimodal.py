@@ -104,6 +104,72 @@ def sample_payload_frames(media: DataFrame, n_frames: int = 4,
     )
 
 
+# --- Content-defined chunking (CDC) over binary payloads ------------------
+#
+# The rsync/LBFS pattern: chunk boundaries are picked by a rolling hash of
+# the CONTENT (boundary where hash % 2^k == 0), so an insertion shifts at
+# most the chunk it lands in — byte-identical regions across payloads hash
+# to the same chunks and dedup across the corpus. Constants are shared with
+# the DuckDB oracle as literals (cdc_pow_table), and the hash is exact
+# mod-p integer math, so results are bit-identical cross-engine.
+
+CDC_WINDOW = 16
+CDC_BASE = 31
+CDC_MODULUS = (1 << 31) - 1
+CDC_BOUNDARY_DIV = 64  # hash % 64 == 0 → ~64-byte expected chunks
+
+
+def cdc_pow_table() -> list[int]:
+    """[CDC_BASE^j mod p for j in 0..window-1] — the literals both engines
+    embed; precomputed because 31^15 would overflow int64."""
+    out, x = [], 1
+    for _ in range(CDC_WINDOW):
+        out.append(x)
+        x = (x * CDC_BASE) % CDC_MODULUS
+    return out
+
+
+def cdc_chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched CDC: rolling hash H[i] = Σ_{j<min(w,i+1)} byte[i−j]·B^j
+    mod p as ONE integer np.convolve per payload; boundary after byte i iff
+    H[i] % 64 == 0; chunk ids are md5 of the chunk bytes. Terms stay under
+    2^46 (255 · p · 16) — no overflow."""
+    import hashlib
+
+    import numpy as np
+
+    pow_v = np.asarray(cdc_pow_table(), dtype="int64")
+    for pdf in batches:
+        out = {"doc_id": [], "chunk_idx": [], "chunk_hash": [], "chunk_len": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            a = np.frombuffer(payload, dtype=np.uint8).astype("int64")
+            if len(a) == 0:
+                continue
+            h = np.convolve(a, pow_v)[: len(a)] % CDC_MODULUS
+            cuts = list((np.nonzero(h % CDC_BOUNDARY_DIV == 0)[0] + 1))
+            if not cuts or cuts[-1] != len(a):
+                cuts.append(len(a))
+            start = 0
+            for idx, end in enumerate(cuts):
+                seg = payload[start:end]
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(idx)
+                out["chunk_hash"].append(hashlib.md5(seg).hexdigest())
+                out["chunk_len"].append(end - start)
+                start = end
+        yield pd.DataFrame(out)
+
+
+def cdc_chunks(media: DataFrame) -> DataFrame:
+    """mapInPandas over (doc_id, payload) → one row per content-defined
+    chunk: (doc_id, chunk_idx, chunk_hash, chunk_len)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        cdc_chunk_batches,
+        "doc_id long, chunk_idx long, chunk_hash string, chunk_len long",
+    )
+
+
 def byte_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic byte-level 'feature extraction' over Arrow batches —
     the stand-in for a decode step. mean_byte is exact-int-sum / length

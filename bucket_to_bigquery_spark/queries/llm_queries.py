@@ -1424,6 +1424,88 @@ def q50b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_oracle_sql() -> str:
+    from ..operators.multimodal import (
+        CDC_BOUNDARY_DIV,
+        CDC_MODULUS,
+        CDC_WINDOW,
+        cdc_pow_table,
+    )
+
+    pow_sql = "[" + ", ".join(str(v) for v in cdc_pow_table()) + "]"
+    return (
+        f"WITH corpus AS ({CORPUS_SQL}), "
+        "pos AS (SELECT doc_id, text AS s, i, "
+        f"((list_sum(list_transform(range(0, least({CDC_WINDOW}, i)), "
+        "j -> CAST(ord(substr(s, CAST(i - j AS INT), 1)) AS BIGINT) * "
+        f"CAST(({pow_sql})[CAST(j + 1 AS INT)] AS BIGINT))) % {CDC_MODULUS}) "
+        f"% {CDC_BOUNDARY_DIV} = 0) AS bnd "
+        "FROM corpus, LATERAL unnest(range(1, length(text) + 1)) AS u(i)), "
+        "cidx AS (SELECT doc_id, s, i, "
+        "SUM(CASE WHEN bnd THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY doc_id ORDER BY i) "
+        "- CASE WHEN bnd THEN 1 ELSE 0 END AS chunk_idx FROM pos), "
+        "chunks AS (SELECT doc_id, chunk_idx, "
+        "md5(string_agg(substr(s, CAST(i AS INT), 1), '' ORDER BY i)) "
+        "AS chunk_hash FROM cidx GROUP BY doc_id, chunk_idx), "
+        "occ AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd "
+        "FROM chunks GROUP BY chunk_hash) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+        "CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_chunks, "
+        "CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) "
+        "AS dup_chunk_ratio "
+        "FROM chunks JOIN occ USING (chunk_hash) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+@query(
+    "q50c_cdc_chunk_dedup",
+    oracle=_cdc_oracle_sql(),
+    description=(
+        "Q50c: content-defined chunking dedup over binary payloads — the "
+        "rsync/LBFS pattern: chunk boundaries from a rolling content hash "
+        "(boundary where H % 64 == 0, exact mod-p integer math, one "
+        "np.convolve per payload in Arrow batches), chunk ids = md5 of "
+        "the bytes, then corpus-wide chunk-occurrence counts give each "
+        "doc its duplicated-chunk ratio. Byte-identical regions dedup "
+        "across payloads even when surrounding bytes shift — the binary "
+        "complement of the text dedup family (planted exact copies score "
+        "ratio 1.0, near copies share all but their tail chunks). The "
+        "oracle replays the identical hash over characters (ASCII "
+        "testdata: char == byte) with the same literal power table."
+    ),
+    tags=("llm",),
+)
+def q50c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import cdc_chunks
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    media = corpus.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # one explicit shuffle on chunk_hash: the occurrence aggregate and the
+    # chunks↔occ join both read it back co-partitioned (ReusedExchange) —
+    # the Arrow chunking stage runs once, not once per consumer
+    ch = cdc_chunks(media).repartition("chunk_hash")
+    occ = ch.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col("doc_id")).alias("nd")
+    )
+    return (
+        ch.join(occ, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_ratio",
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 __all__ = [
     "q46", "q46b", "q46c", "q47", "q47b", "q47c", "q47d", "q47e",
     "q48", "q48b", "q48c", "q48d", "q48e",

@@ -75,6 +75,29 @@ def test_q47e_containment_catches_subset_dups_jaccard_misses(spark, sf_dir):
     assert len(half_pairs_c) >= 10, f"containment found {len(half_pairs_c)}"
 
 
+def test_cdc_chunks_resync_after_prefix_insertion():
+    # the reason CDC beats fixed-size chunking: boundaries depend on
+    # CONTENT, so after a prefix insertion the chunk stream re-synchronizes
+    # at the next content boundary and every later chunk hashes identically
+    import pandas as pd
+
+    from bucket_to_bigquery_spark.operators.multimodal import cdc_chunk_batches
+
+    import random
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(97, 123) for _ in range(2000))
+    shifted = b"XYZ" + base
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [base, shifted]})
+    chunks = pd.concat(list(cdc_chunk_batches(iter([pdf]))))
+    h1 = list(chunks[chunks.doc_id == 1].chunk_hash)
+    h2 = list(chunks[chunks.doc_id == 2].chunk_hash)
+    assert len(h1) > 3, "test string too short to chunk"
+    # all chunks after the first boundary past the insertion must coincide
+    tail = min(len(h1), len(h2)) - 2
+    assert tail > 0 and h1[-tail:] == h2[-tail:], (h1, h2)
+
+
 def test_q46_dedup_finds_planted_copies(spark, sf_dir):
     df = all_queries()["q46_exact_dedup"].builder(spark, sf_dir)
     groups = df.collect()
