@@ -75,6 +75,29 @@ def test_q47e_containment_catches_subset_dups_jaccard_misses(spark, sf_dir):
     assert len(half_pairs_c) >= 10, f"containment found {len(half_pairs_c)}"
 
 
+def test_ann_outputs_are_structurally_sound(spark, sf_dir):
+    # every ANN family member must return: ranks 1..n contiguous per
+    # query, cosines non-increasing with rank, and (where cosine is
+    # exposed) values equal to the exact brute-force cosine for that pair
+    qs = all_queries()
+    exact = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in qs["q48_cosine_topk"].builder(spark, sf_dir).collect()
+    }
+    grid = qs["q48e_signgrid_ann"].builder(spark, sf_dir).collect()
+    per_q = {}
+    for r in grid:
+        per_q.setdefault(r["q_id"], []).append((r["rank"], r["n_id"], r["cosine"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1)), q
+        cosines = [r[2] for r in rows]
+        assert all(a >= b for a, b in zip(cosines, cosines[1:])), q
+        for rank, n_id, cos in rows:
+            if (q, n_id) in exact:  # pair also in exact top-5
+                assert abs(cos - exact[(q, n_id)]) < 1e-12, (q, n_id)
+
+
 def test_cdc_chunks_resync_after_prefix_insertion():
     # the reason CDC beats fixed-size chunking: boundaries depend on
     # CONTENT, so after a prefix insertion the chunk stream re-synchronizes
