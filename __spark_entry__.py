@@ -25,7 +25,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Correctness-gate rotation.
 #
 # The driver records at most the FIRST 50 entries in name-sorted order; the
-# registry has 86. Entries named here are aliased (leading ``q`` -> ``a``)
+# registry has 91. Entries named here are aliased (leading ``q`` -> ``a``)
 # so they sort into the window. The set is chosen per round under the
 # invariant CHANGED CODE MUST BE IN-WINDOW (mechanized by
 # tools/check_gate_rotation.py, run as tests/test_gate_rotation.py):
@@ -34,22 +34,22 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 #      round commit is aliased (a regression in changed code must be
 #      visible to THIS round's gate), and
 #   2. remaining slots rotate through the stalest previously-verified
-#      entries (round 5: q12-q28, whose newest driver rows are r3).
+#      entries (round 6: q25-q37, whose newest driver rows are r3 —
+#      the last block older than one round).
 #
 # Out-of-window entries keep prior-round evidence: their implementing files
-# are untouched, so CORRECTNESS_r{3,4} rows still describe current code.
+# are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``.
+# replacing the leading ``a`` with ``q``. NOTE: 47/50 slots used this
+# round — each new registry entry consumes one; when the changed+stale set
+# exceeds 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # changed this round (r5): ingest/fs.py -> loader-backed q04 family
-    "q04_ingest_partitioned_sink", "q04b_imported_audit",
-    "q04c_partition_pruned_scan", "q04d_catalog_sql",
-    # new this round (r5): salted-join surface (queries/skew_queries.py)
-    "q09b_salted_skew_join",
-    # changed this round (r5): operators/{dedup,graph,similarity}.py +
-    # queries/llm_queries.py -> the whole q46-q50 surface
+    # changed this round (r6): queries/llm_queries.py (new q46d, q50c
+    # oracle guard) + operators/{dedup,similarity}.py (parallelism floor,
+    # sign-grid operating point, IVF guards) -> the whole q46-q50 surface
     "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
+    "q46d_dedup_apply",
     "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
     "q47c_embedding_neardup", "q47d_benchmark_decontamination",
     "q47e_containment_pairs",
@@ -61,14 +61,15 @@ GATE_PRIORITY = frozenset({
     "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
     "q49l_vocab_coverage",
     "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
-    # stale rotation (r5): last driver-verified in r3, files untouched
-    # since; q26-q37 take these slots next round (q26/q27/q28 gave theirs
-    # to the three new r5 entries q09b/q47e/q49l)
-    "q12_semi_join", "q13_anti_join", "q14_range_join", "q15_asof_join",
-    "q15b_asof_join_tolerance", "q16_tpch_q3_shape", "q17_tpch_q1_shape",
-    "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
-    "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
-    "q22_having", "q23_ranking_windows", "q24_lag_lead",
+    # stale rotation (r6): last driver-verified in r3, files untouched
+    # since (q12-q24 rotated through r5; q04*/q09b verified r5)
+    "q25_window_frames", "q26_topk_per_group", "q27_global_sort_limit",
+    "q28_union_all", "q28b_union_distinct", "q29_intersect", "q29b_except",
+    "q30_string_funcs", "q31_datetime_funcs",
+    "q31b_local_time_ordered_view", "q31c_stacked_views",
+    "q32_math_funcs", "q33_array_funcs", "q33b_vector_norm",
+    "q34_map_struct_funcs", "q35_conditional_funcs",
+    "q36_tumbling_window", "q37_sliding_window",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

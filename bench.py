@@ -110,17 +110,38 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 4)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "declared_query_set_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "query_stats": stats,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # The driver captures only the LAST 2000 chars of stdout and parses the
+    # JSON there — a full-name timings map alone is ~2.5 KB, which is why
+    # every prior round's driver record has ``parsed: null``. So stdout gets
+    # EXACTLY ONE compact line whose query keys are the unique ``q<NN>[v]``
+    # code (the registry name up to the first underscore): ~1.1 KB for 90+
+    # entries, guaranteed to fit the tail whole. The full-detail record
+    # (full names, per-query gc/heap/leak stats, errors) goes to stderr and
+    # is committed as BENCH_local_r{N}.json.
+    print(json.dumps(detail), file=sys.stderr)
+    compact = {
+        "metric": "declared_query_set_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": {k.split("_", 1)[0]: round(v, 2) for k, v in timings.items()},
+    }
+    if len(compact["queries"]) != len(timings):
+        compact["queries"] = timings  # short-code collision: fail open
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

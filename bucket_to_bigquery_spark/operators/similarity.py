@@ -314,6 +314,17 @@ def _fit_centroids_sample(
         )
     )
     x = np.asarray([r[0] for r in s.collect()], dtype="float64")
+    if len(x) == 0:
+        raise ValueError(
+            f"IVF quantizer fit: corpus column {vec_col!r} produced an "
+            f"empty sample (corpus rows={n}) — cannot fit any centroids"
+        )
+    # A tiny/smoke corpus (or an unlucky Bernoulli sample) can yield fewer
+    # vectors than n_lists; rng.choice(replace=False) would raise an opaque
+    # ValueError. Clamp instead — fewer lists just means coarser pruning,
+    # which is the right degradation for small inputs (ml.KMeans behaved
+    # the same way: k is capped by the number of distinct points).
+    n_lists = min(n_lists, len(x))
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
     for _ in range(fit_max_iter):
@@ -338,7 +349,14 @@ def _assign_lists(feats: DataFrame, centroids: list[list[float]]) -> DataFrame:
     c2 = (cent * cent).sum(axis=1)
 
     def assign(batches):
+        import pandas as pd
+
         for pdf in batches:
+            if not len(pdf):
+                # np.asarray([]) has shape (0,); the matmul below would
+                # raise a dimension mismatch on an empty Arrow batch.
+                yield pdf.assign(list_id=pd.Series([], dtype="int32"))
+                continue
             x = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
             )

@@ -219,6 +219,66 @@ def q46c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q46d_dedup_apply",
+    oracle=(
+        f"WITH RECURSIVE {_Q47_PAIR_CTES}, "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+        "reach(a, b) AS (SELECT doc_id, doc_id FROM corpus "
+        "UNION SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b), "
+        "lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a), "
+        "csizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_represented "
+        "FROM lab GROUP BY cluster_id) "
+        "SELECT l.doc_id, md5(c.text) AS text_md5, s.n_represented "
+        "FROM lab l JOIN corpus c USING (doc_id) "
+        "JOIN csizes s ON s.cluster_id = l.cluster_id "
+        "WHERE l.doc_id = l.cluster_id ORDER BY l.doc_id"
+    ),
+    description=(
+        "Q46d: END-TO-END dedup application — the composition a real "
+        "pipeline actually runs: near-dup pair mining (q47 machinery) → "
+        "connected components over the pair graph (q46c machinery) → keep "
+        "min(doc_id) per cluster → emit the filtered corpus. Survivors "
+        "carry md5(text) (content-binding for the value oracle) and "
+        "n_represented (how many corpus docs the survivor stands for; "
+        "sums to the corpus size). Scale shape: everything upstream is "
+        "the already-audited capped inverted index + O(log d) label "
+        "propagation; the apply step adds ONE broadcast-size join of the "
+        "survivor labels back to the corpus (survivor set ≤ corpus) and a "
+        "cluster-size aggregate on the component output — no new "
+        "all-pairs or driver-side stage."
+    ),
+    tags=("llm",),
+)
+def q46d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=corpus.select("doc_id"), node_col="doc_id",
+        nodes_unique=True,
+        edges_unique=True,
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_represented")
+    )
+    survivors = (
+        comp.where(F.col("node") == F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .join(sizes, "cluster_id")
+    )
+    return (
+        corpus.join(survivors, "doc_id")
+        .select("doc_id", F.md5("text").alias("text_md5"), "n_represented")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q47 — near-dup: exact n-gram Jaccard + MinHash LSH
 # ---------------------------------------------------------------------------
@@ -1434,7 +1494,17 @@ def _cdc_oracle_sql() -> str:
 
     pow_sql = "[" + ", ".join(str(v) for v in cdc_pow_table()) + "]"
     return (
-        f"WITH corpus AS ({CORPUS_SQL}), "
+        f"WITH corpus0 AS ({CORPUS_SQL}), "
+        # The char-level rolling hash below equals the Spark UTF-8-byte
+        # computation ONLY for pure-ASCII text (char == byte). Assert that
+        # per row (behind a CTE boundary — DuckDB's binder refuses lateral
+        # alias reuse of side-effecting expressions) so a future non-ASCII
+        # testdata refresh fails loudly instead of silently
+        # hash-mismatching the gate.
+        "corpus AS (SELECT doc_id, CASE WHEN octet_length(encode(text)) = "
+        "length(text) THEN text ELSE error('q50c oracle requires pure-"
+        "ASCII text: char-level rolling hash != UTF-8 byte hash') END "
+        "AS text FROM corpus0), "
         "pos AS (SELECT doc_id, text AS s, i, "
         f"((list_sum(list_transform(range(0, least({CDC_WINDOW}, i)), "
         "j -> CAST(ord(substr(s, CAST(i - j AS INT), 1)) AS BIGINT) * "
@@ -1507,7 +1577,7 @@ def q50c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
-    "q46", "q46b", "q46c", "q47", "q47b", "q47c", "q47d", "q47e",
+    "q46", "q46b", "q46c", "q46d", "q47", "q47b", "q47c", "q47d", "q47e",
     "q48", "q48b", "q48c", "q48d", "q48e",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
     "q49i", "q49j", "q49k", "q49l",

@@ -49,6 +49,10 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/graph.py",
         PKG + "operators/similarity.py",
         PKG + "operators/multimodal.py",
+        # q48d executes relational.py helpers (_scratch/_materialize_once,
+        # the persisted-index reuse path) — a relational.py change must pull
+        # the llm surface in-window too (ADVICE r5 #1).
+        PKG + "queries/relational.py",
     ],
     PKG + "queries/relational.py": [
         PKG + "operators/asof_join.py",
@@ -72,11 +76,12 @@ MODULE_DEPS: dict[str, list[str]] = {
     ],
 }
 
-# Shared infra: exercised by every entry, exempt from rotation.
+# Shared infra: exercised by every entry, exempt from rotation. Exemption
+# is for STRUCTURAL plumbing only (import wiring, registry mechanics) —
+# a break there fails every recorded row, so it cannot hide.
 INFRA_FILES = {
     PKG + "__init__.py",
     PKG + "catalog.py",
-    PKG + "session.py",
     PKG + "run.py",
     PKG + "queries/__init__.py",
     PKG + "queries/registry.py",
@@ -84,6 +89,16 @@ INFRA_FILES = {
     PKG + "ingest/__init__.py",
     PKG + "functions/__init__.py",
     PKG + "streaming/__init__.py",  # also a dep of streaming_queries
+}
+
+# Result-AFFECTING infra: session config (AQE/ANSI/timezone) can change
+# query RESULTS, not just break them, so it may not be silently exempted
+# (ADVICE r5 #1). A change here affects all entries at once — more than the
+# 50-slot window holds — so the check FAILS, forcing the round to either
+# split the change or explicitly document a full-rotation plan in
+# GATE_r{N}.md before relaxing this by hand.
+RESULT_AFFECTING_INFRA = {
+    PKG + "session.py",
 }
 
 
@@ -130,9 +145,19 @@ def check(base_ref: str | None = None) -> list[str]:
             if f.startswith(PKG) and f.endswith(".py")
         }
 
+    hot_infra = changed & RESULT_AFFECTING_INFRA
+    if hot_infra:
+        problems.append(
+            f"result-affecting infra changed: {sorted(hot_infra)} — this "
+            f"affects ALL {len(reg)} entries, which cannot fit the "
+            f"{GATE_WINDOW}-slot window. Split the change across rounds or "
+            "document a deliberate full-rotation plan in GATE_r{N}.md"
+        )
+
     unmapped = {
         f for f in changed
         if f not in INFRA_FILES
+        and f not in RESULT_AFFECTING_INFRA
         and f not in MODULE_DEPS
         and not any(f in deps for deps in MODULE_DEPS.values())
     }
