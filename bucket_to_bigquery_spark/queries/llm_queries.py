@@ -700,11 +700,11 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _NORM_E12_SQL.format(v="embedding")
         + " AS nrm FROM embeddings), "
         "coded AS (SELECT vec_id, embedding, nrm, band, "
-        "CAST(list_sum(list_transform(range(0, 6), t -> "
-        "CASE WHEN embedding[band * 6 + t + 1] > 0 THEN (1 << t) ELSE 0 END)) "
+        "CAST(list_sum(list_transform(range(0, 5), t -> "
+        "CASE WHEN embedding[band * 5 + t + 1] > 0 THEN (1 << t) ELSE 0 END)) "
         "AS BIGINT) AS code "
         "FROM c CROSS JOIN (VALUES "
-        + ", ".join(f"({j})" for j in range(10))
+        + ", ".join(f"({j})" for j in range(11))
         + ") AS b(band)), "
         "q AS (SELECT * FROM coded WHERE vec_id < 10), "
         "scored AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id, "
@@ -719,12 +719,17 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     description=(
         "Q48e: sign-grid ANN — band j's bucket code is the sign bits of "
-        "coordinates 6j..6j+5 (10 bands: ~14% random-pair collision, ≈7× "
-        "less scoring than brute force, recall@5 ≈ 0.4); candidates share "
-        "any (band, code); exact scaled-int cosine re-ranks top-5. "
-        "Deterministic blocking (no RNG, no fit) ⇒ the ONE ANN-family "
-        "member whose end-to-end result the driver hash-verifies against "
-        "a DuckDB oracle; queries broadcast, corpus joins shuffle-free."
+        "coordinates 5j..5j+4 (11 bands: 29-30% random-pair collision, "
+        "≈3.4× less scoring than brute force, recall@5 = 0.62/0.68/0.70 "
+        "measured at sf0.001/0.01/0.1 — the r6 sweep's best recall-per-"
+        "candidate point ≥0.6 recall at ≤30% candidates; the old 10×6 "
+        "default sat at 0.4 recall / 14%); candidates share any (band, "
+        "code); exact scaled-int cosine re-ranks top-5. Deterministic "
+        "blocking (no RNG, no fit) ⇒ the ONE ANN-family member whose "
+        "end-to-end result the driver hash-verifies against a DuckDB "
+        "oracle; queries broadcast, corpus joins shuffle-free. Hamming-1 "
+        "multi-probe (probe_hamming=1, also closed-form) is the higher-"
+        "recall knob: 9×7 probes reach 0.78-0.84 recall at 44% candidates."
     ),
     tags=("llm", "approx"),
 )
