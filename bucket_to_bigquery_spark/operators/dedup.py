@@ -122,7 +122,16 @@ def _inverted_index_common(
         # partitioned by shingle, and the self-join needs no further
         # exchange. (A .persist() here measured strictly worse: it
         # replaces compact shuffle files with deserialized row caching.)
-        .repartition("shingle")
+        # The partition count is pinned to the cluster's core count:
+        # without it AQE coalesces this small-but-CPU-hot exchange to ~3
+        # partitions at sf0.1 and the whole downstream family (hot count,
+        # sizes, self-join) runs at 3-way parallelism on a 32-core host.
+        # An explicit count on repartition() is exempt from AQE coalescing
+        # by contract; at real scale defaultParallelism = total executor
+        # cores, exactly the width this exchange should fan to.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "shingle"
+        )
     )
     hot = (
         sh.groupBy("shingle")
