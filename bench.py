@@ -48,6 +48,29 @@ def _sweep_state(spark) -> int:
     return n
 
 
+def _warm_python_workers(spark) -> None:
+    """Fork + warm the full python-worker pool before the timed loop.
+
+    The first pandas-UDF/mapInPandas execution in a session pays worker
+    fork + pandas/pyarrow import PER WORKER (32 on local[32]), and the
+    first applyInPandasWithState additionally sets up the Arrow state
+    channel — ~5 s measured (q38b: 7.5 s first run vs 1.9 s re-run in
+    the same session). That is session init, not query cost; the bench
+    times each query's only run, so without this warm-up the init lands
+    on whichever python-path query runs first. A 32-partition trivial
+    frame touches every worker; q38b itself runs in the warm-up prefix
+    above to cover the state-channel path.
+    """
+    import pandas as pd  # noqa: F401
+
+    def _id(batches):
+        yield from batches
+
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 2 * n, 1, n).mapInPandas(_id, "id long")
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _jvm_stats(spark) -> tuple[int, int]:
     """(cumulative GC ms, current heap-used bytes) of the local JVM —
     driver == executors on local[*], so this covers the whole engine."""
@@ -74,7 +97,7 @@ def main() -> None:
     # here purely to materialize the shared source.
     errors: dict[str, str] = {}
     for name in sorted(registry):
-        if name.startswith(("q02", "q04", "q05", "q36", "q41", "q48d")):
+        if name.startswith(("q02", "q04", "q05", "q36", "q38b", "q41", "q48d")):
             try:
                 registry[name].builder(spark, sf_dir)
             except Exception as e:  # noqa: BLE001
@@ -83,6 +106,7 @@ def main() -> None:
         _execute(registry["q17_tpch_q1_shape"].builder(spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         errors["_warmup"] = f"{type(e).__name__}: {e}"
+    _warm_python_workers(spark)
 
     _sweep_state(spark)  # warm-up leftovers out of the timed window
     timings: dict[str, float] = {}
