@@ -59,7 +59,7 @@ GATE_PRIORITY = frozenset({
     "q49d_doc_fingerprint", "q49e_quality_filter", "q49f_repetition_ratio",
     "q49g_stratified_sample", "q49h_shard_assignment",
     "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
-    "q49l_vocab_coverage",
+    "q49l_vocab_coverage", "q49m_bigram_lm_score",
     "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
     # stale rotation (r6): last driver-verified in r3, files untouched
     # since (q12-q24 rotated through r5; q04*/q09b verified r5)

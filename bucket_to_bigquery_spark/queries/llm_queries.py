@@ -33,7 +33,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_payload, extract_byte_features, payload_magic
 from ..operators.similarity import ann_topk_lsh, cosine_topk_exact
-from .registry import query, tables
+from .registry import davg, davg_sql, query, tables
 
 # ---------------------------------------------------------------------------
 # Shared corpus-with-planted-duplicates (both engines, literally)
@@ -1405,6 +1405,97 @@ def q49l(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49m_bigram_lm_score",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+        "big AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b "
+        "FROM tok, LATERAL unnest(range(1, len(t))) AS u(i) "
+        "WHERE len(t) >= 2), "
+        "cab AS (SELECT a, b, COUNT(*) AS nab FROM big GROUP BY a, b), "
+        "ca AS (SELECT a, COUNT(*) AS na FROM big GROUP BY a), "
+        "terms AS (SELECT doc_id, "
+        "round(ln(CAST(nab AS DOUBLE) / na), 6) AS lp "
+        "FROM big JOIN cab USING (a, b) JOIN ca USING (a)) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        + davg_sql("lp", "avg_logprob")
+        + ", CAST(SUM(CAST(lp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(lp) "
+        ">= -4.0 AS is_fluent "
+        "FROM terms GROUP BY doc_id ORDER BY doc_id"
+    ),
+    description=(
+        "Q49m: bigram LM fluency score — the CCNet/perplexity-filter "
+        "quality gate: train a maximum-likelihood bigram model ON the "
+        "corpus itself (conditional p(b|a) = c(ab)/c(a·) from corpus "
+        "counts), then score every document by its mean conditional "
+        "log-probability; low scores flag disfluent/boilerplate/garbled "
+        "text exactly as an external-LM perplexity filter would, with no "
+        "model artifact to ship. Determinism: per-term round(ln, 6) "
+        "(the q32-proven cross-engine ln discipline) + exact decimal-sum "
+        "average. Scale shape: the count tables are vocabulary-bounded "
+        "(bigram types, not occurrences) and map-side-combined, so both "
+        "count joins broadcast (plan-asserted) and the probe stream "
+        "NEVER shuffles on the Zipf-skewed prefix key — a window-over-"
+        "prefix formulation would; prefix counts derive from the bigram "
+        "counts (na = Σ_b nab), never a second corpus pass. The corpus "
+        "text is read twice (probe stream + count build); a production "
+        "pipeline materializes the count table once — it IS the model "
+        "artifact — and reuses it across scoring runs (the q48d seam)."
+    ),
+    tags=("llm",),
+)
+def q49m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)["documents"]
+    toks = t.select("doc_id", tokens("text").alias("t"))
+    n = spark.sparkContext.defaultParallelism
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.get("t", i).alias("a"),
+                        F.get("t", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.a", "bg.b")
+        # one explicit exchange on the bigram key, reused by the count
+        # aggregate and the probe join (same pattern as the shingle index)
+        .repartition(n, "a", "b")
+    )
+    from pyspark.sql.window import Window
+
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    # prefix counts derive from the BIGRAM counts (na = Σ_b nab) via a
+    # window over the already-aggregated vocab²-bounded table — never a
+    # second corpus pass, and attaching na here (instead of a separate ca
+    # table) keeps the probe side to ONE broadcast join and the corpus
+    # text to exactly two reads (probe stream + count build); a groupBy-
+    # then-join formulation physically re-expands the explode a third time
+    stats = cab.withColumn(
+        "na", F.sum("nab").over(Window.partitionBy("a"))
+    )
+    terms = big.join(stats, ["a", "b"]).select(
+        "doc_id",
+        F.round(
+            F.log(F.col("nab").cast("double") / F.col("na")), 6
+        ).alias("lp"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            davg("lp", "avg_logprob"),
+        )
+        .withColumn("is_fluent", F.col("avg_logprob") >= -4.0)
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q50 — multimodal binary column
 # ---------------------------------------------------------------------------
@@ -1585,6 +1676,6 @@ __all__ = [
     "q46", "q46b", "q46c", "q46d", "q47", "q47b", "q47c", "q47d", "q47e",
     "q48", "q48b", "q48c", "q48d", "q48e",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
-    "q49i", "q49j", "q49k", "q49l",
+    "q49i", "q49j", "q49k", "q49l", "q49m",
     "q50", "q50b",
 ]

@@ -156,6 +156,25 @@ def test_q47b_feature_exchange_is_reused(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
+def test_q49m_count_joins_broadcast_probe_unshuffled_on_prefix(spark, sf_dir):
+    # the LM count tables are vocabulary-bounded, so BOTH count joins
+    # must be broadcast and the probe stream must never sort-merge — a
+    # shuffle of the full bigram stream on the Zipf-skewed prefix key
+    # (every "the ..." bigram into one partition) is the 100 TB failure
+    # mode. Also pin that prefix counts derive from the bigram counts
+    # (exactly one explode per corpus pass, not a third for unigrams).
+    from bucket_to_bigquery_spark.queries import all_queries as _aq
+
+    df = _aq()["q49m_bigram_lm_score"].builder(spark, sf_dir)
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert final.count("BroadcastHashJoin") >= 1, final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
+    assert final.count("Generate explode") == 2, final[:2000]
+
+
 def test_q48e_queries_broadcast_corpus_unshuffled(spark, sf_dir):
     # sign-grid ANN: the coded query side must broadcast so the corpus
     # joins without an exchange; only scored triples may shuffle (dedup +
