@@ -25,7 +25,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Correctness-gate rotation.
 #
 # The driver records at most the FIRST 50 entries in name-sorted order; the
-# registry has 91. Entries named here are aliased (leading ``q`` -> ``a``)
+# registry has 92. Entries named here are aliased (leading ``q`` -> ``a``)
 # so they sort into the window. The set is chosen per round under the
 # invariant CHANGED CODE MUST BE IN-WINDOW (mechanized by
 # tools/check_gate_rotation.py, run as tests/test_gate_rotation.py):
@@ -40,7 +40,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE: 47/50 slots used this
+# replacing the leading ``a`` with ``q``. NOTE: 48/50 slots used this
 # round — each new registry entry consumes one; when the changed+stale set
 # exceeds 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------

@@ -166,6 +166,27 @@ _Q47_PAIR_CTES = (
 )
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str):
+    """Shared q46c/q46d pipeline: (corpus, components) for the planted-dup
+    corpus, with THE canonical pair-mining parameters (n=3, jaccard>=0.6,
+    DF cap 100 — the same literals `_Q47_PAIR_CTES` states for the
+    oracles). One definition so the cluster view cannot drift between the
+    assignment query and the apply query."""
+    from ..operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=corpus.select("doc_id"), node_col="doc_id",
+        nodes_unique=True,  # doc_id is the corpus primary key
+        edges_unique=True,  # pair-miner emits each pair once, id_a < id_b
+    )
+    return corpus, comp
+
+
 @query(
     "q46c_dedup_clusters",
     oracle=(
@@ -195,18 +216,7 @@ _Q47_PAIR_CTES = (
 def q46c(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..operators.graph import connected_components
-
-    corpus = _dedup_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
-    )
-    comp = connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=corpus.select("doc_id"), node_col="doc_id",
-        nodes_unique=True,  # doc_id is the corpus primary key
-        edges_unique=True,  # pair-miner emits each pair once, id_a < id_b
-    )
+    _, comp = _dedup_components(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return (
         comp.select(F.col("node").alias("doc_id"), "cluster_id")
@@ -252,18 +262,7 @@ def q46c(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def q46d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
-
-    corpus = _dedup_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
-    )
-    comp = connected_components(
-        pairs, src="id_a", dst="id_b",
-        nodes=corpus.select("doc_id"), node_col="doc_id",
-        nodes_unique=True,
-        edges_unique=True,
-    )
+    corpus, comp = _dedup_components(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_represented")
     )
@@ -1677,5 +1676,5 @@ __all__ = [
     "q48", "q48b", "q48c", "q48d", "q48e",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
     "q49i", "q49j", "q49k", "q49l", "q49m",
-    "q50", "q50b",
+    "q50", "q50b", "q50c",
 ]

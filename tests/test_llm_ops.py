@@ -66,28 +66,34 @@ def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
 def test_signgrid_multiprobe_dominates_exact_blocking(spark, sf_dir):
     # probe_hamming=1 admits every exact-match candidate plus the
     # Hamming-1 ring — a strict candidate SUPERSET at the same band
-    # layout — so per-query top-5 cosine mass can only improve. Pin that
-    # dominance at the 9×7 layout (r6 sweep: 0.78-0.84 recall at ~44%
-    # candidates when probed).
+    # layout. The property a superset actually guarantees is per-rank
+    # order-statistic dominance: for every query and every rank the
+    # probed run's r-th best cosine >= the exact run's r-th best (NOT
+    # summed top-k mass, which extra low-cosine candidates filling empty
+    # ranks can legitimately lower). Pin that at the 9×7 layout (r6
+    # sweep: 0.78-0.84 recall at ~44% candidates when probed).
     from bucket_to_bigquery_spark.catalog import load_tables
     from bucket_to_bigquery_spark.operators.similarity import signgrid_ann_topk
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = emb.where("vec_id < 10")
 
-    def mass(df):
+    def ranked(df):
         out = {}
         for r in df.collect():
-            out[r["q_id"]] = out.get(r["q_id"], 0.0) + r["cosine"]
-        return out
+            out.setdefault(r["q_id"], []).append(r["cosine"])
+        return {k: sorted(v, reverse=True) for k, v in out.items()}
 
-    base = mass(signgrid_ann_topk(emb, q, k=5, bands=9, bits=7))
-    probed = mass(
+    base = ranked(signgrid_ann_topk(emb, q, k=5, bands=9, bits=7))
+    probed = ranked(
         signgrid_ann_topk(emb, q, k=5, bands=9, bits=7, probe_hamming=1)
     )
-    assert set(probed) == set(base)
-    for qid in base:
-        assert probed[qid] >= base[qid] - 1e-9, qid
+    assert set(probed) >= set(base)  # superset can only ADD answered queries
+    for qid, base_cos in base.items():
+        probed_cos = probed[qid]
+        assert len(probed_cos) >= len(base_cos), qid
+        for i, bc in enumerate(base_cos):
+            assert probed_cos[i] >= bc - 1e-12, (qid, i)
 
 
 def test_q47e_containment_catches_subset_dups_jaccard_misses(spark, sf_dir):
