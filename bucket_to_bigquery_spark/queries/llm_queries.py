@@ -454,6 +454,112 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q48f_knn_label_audit",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, "
+        + _NORM_E12_SQL.format(v="embedding")
+        + " AS q_norm FROM embeddings WHERE vec_id < 100), "
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec, "
+        + _NORM_E12_SQL.format(v="embedding")
+        + " AS n_norm FROM embeddings), "
+        "scored AS (SELECT q_id, n_id, "
+        "CAST(" + _DOT_E12_SQL.format(a="q_vec", b="n_vec") + " AS DOUBLE) / "
+        "(sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(n_norm AS DOUBLE))) AS cosine "
+        "FROM c, q WHERE n_id != q_id), "
+        "topk AS (SELECT q_id, n_id FROM scored QUALIFY row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) <= 5), "
+        "votes AS (SELECT t.q_id, e.label AS n_label FROM topk t "
+        "JOIN embeddings e ON e.vec_id = t.n_id), "
+        "own AS (SELECT vec_id AS q_id, label AS own_label FROM embeddings "
+        "WHERE vec_id < 100), "
+        "maj AS (SELECT q_id, n_label, COUNT(*) AS cnt FROM votes "
+        "GROUP BY q_id, n_label), "
+        "top AS (SELECT q_id, n_label AS majority_label, "
+        "CAST(cnt AS BIGINT) AS majority_count FROM maj QUALIFY "
+        "row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, "
+        "n_label ASC) = 1), "
+        "agree AS (SELECT v.q_id, CAST(SUM(CASE WHEN v.n_label = o.own_label "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_agree "
+        "FROM votes v JOIN own o USING (q_id) GROUP BY v.q_id) "
+        "SELECT q_id, own_label, majority_label, majority_count, n_agree, "
+        "majority_label = own_label AS is_consistent "
+        "FROM own JOIN top USING (q_id) JOIN agree USING (q_id) "
+        "ORDER BY q_id"
+    ),
+    description=(
+        "Q48f: k-NN label audit — annotation-QA / label-noise detection "
+        "over the labeled embedding corpus: each audited example's label "
+        "is compared against the majority label of its exact top-5 cosine "
+        "neighbors (majority ties break to the smallest label — "
+        "deterministic integer semantics end to end, full value oracle). "
+        "Examples whose neighborhood outvotes their own label "
+        "(is_consistent = false) are the mislabel/ambiguity candidates a "
+        "curation pipeline routes to re-annotation. Scale shape: the "
+        "neighbor stage is the q48 broadcast-scored exact top-k here "
+        "(audited slice broadcast, corpus unshuffled); at 100 TB the same "
+        "audit composes with the prebuilt IVF index (q48d) as its "
+        "neighbor source — the voting/aggregation stages are unchanged "
+        "and shuffle only (q_id, label) pairs, k rows per audited "
+        "example."
+    ),
+    tags=("llm",),
+)
+def q48f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    labels = emb.select("vec_id", "label")
+    nb = cosine_topk_exact(
+        emb, emb.where(F.col("vec_id") < 100), k=5
+    ).select("q_id", "n_id")
+    votes = nb.join(
+        labels.select(
+            F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")
+        ),
+        "n_id",
+    )
+    own = labels.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("own_label")
+    )
+    maj = votes.groupBy("q_id", "n_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cnt").desc(), F.col("n_label").asc()
+    )
+    top = (
+        maj.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "q_id",
+            F.col("n_label").alias("majority_label"),
+            F.col("cnt").cast("long").alias("majority_count"),
+        )
+    )
+    agree = (
+        votes.join(own, "q_id")
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("own_label"), 1).otherwise(0)
+            ).cast("long").alias("n_agree")
+        )
+    )
+    return (
+        own.join(top, "q_id")
+        .join(agree, "q_id")
+        .select(
+            "q_id", "own_label", "majority_label", "majority_count",
+            "n_agree",
+            (F.col("majority_label") == F.col("own_label")).alias(
+                "is_consistent"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+@query(
     "q47c_embedding_neardup",
     oracle=(
         # exact all-pairs ground truth (oracle side only — the Spark side
@@ -1673,7 +1779,7 @@ def q50c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 __all__ = [
     "q46", "q46b", "q46c", "q46d", "q47", "q47b", "q47c", "q47d", "q47e",
-    "q48", "q48b", "q48c", "q48d", "q48e",
+    "q48", "q48b", "q48c", "q48d", "q48e", "q48f",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
     "q49i", "q49j", "q49k", "q49l", "q49m",
     "q50", "q50b", "q50c",
