@@ -52,6 +52,18 @@ def cosine_from_e12(dot: Column, na: Column, nb: Column) -> Column:
     )
 
 
+def _round_half_away_e12(p):
+    """numpy replica of SQL ROUND-to-integer on a double: half away from
+    zero. Per-element magnitudes here are ≤ ~1e12 (unit-ish embedding
+    products ·1e12), where float64 ulp ≈ 2e-4, so the +0.5 is exact."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(p) + 0.5), p).astype("int64")
+
+
+_MAX_EXACT_QUERIES = 4096  # same bounded-collect contract as the IVF fit
+
+
 def cosine_topk_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,35 +73,74 @@ def cosine_topk_exact(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    ``queries`` is broadcast (small by contract); every corpus partition
-    scores its rows against all queries locally — the only shuffle is the
-    per-query top-k window over N·Q scored rows. Self-pairs are excluded.
-    Deterministic: ties broken by neighbor id.
+    ``queries`` is small by contract (bounded driver collect, ≤4096 —
+    the same seam as the IVF quantizer sample); every corpus partition
+    scores its rows against all queries locally in one Arrow-batched
+    numpy pass — the only shuffle is the per-query top-k window over
+    N·Q scored rows. Self-pairs are excluded. Deterministic: ties
+    broken by neighbor id.
+
+    Cross-engine determinism is the SAME integer contract as
+    :func:`dot_e12`/:func:`norm_e12` — Σ round(xᵢ·yᵢ·1e12) as int64,
+    with round = half-away-from-zero replicated exactly in numpy
+    (`copysign(floor(abs+0.5))`), so cosines stay bit-identical to the
+    DuckDB oracle. The numpy path replaces a Catalyst higher-order-
+    function evaluation of N·Q·dim lambda calls (interpreted, ~10×
+    slower at 100 audited queries × 2000 corpus rows); the math is
+    unchanged.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm_e12(F.col(vec_col)).alias("q_norm"),
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).collect()
+    if len(qrows) > _MAX_EXACT_QUERIES:
+        raise ValueError(
+            f"cosine_topk_exact: {len(qrows)} query vectors exceed the "
+            f"small-by-contract bound {_MAX_EXACT_QUERIES}; use the ANN "
+            "paths (ivf_topk / signgrid_ann_topk) for large query sets"
         )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm_e12(F.col(vec_col)).alias("n_norm"),
-    )
+    q_ids = np.asarray([r["q_id"] for r in qrows], dtype="int64")
+    q_mat = np.asarray(
+        [np.asarray(r["q_vec"], dtype="float64") for r in qrows]
+    )  # (Q, dim)
+    q_norm = _round_half_away_e12(q_mat * q_mat * 1e12).sum(axis=1)  # (Q,)
+    q_sqrt = np.sqrt(q_norm.astype("float64"))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
+            )  # (B, dim)
+            n_norm = _round_half_away_e12(x * x * 1e12).sum(axis=1)
+            # per-element round BEFORE the sum is the integer contract, so
+            # this is an elementwise (B, Q, dim) product, not a matmul
+            dots = _round_half_away_e12(
+                x[:, None, :] * q_mat[None, :, :] * 1e12
+            ).sum(axis=2)  # (B, Q) int64
+            cos = dots.astype("float64") / (
+                np.sqrt(n_norm.astype("float64"))[:, None] * q_sqrt[None, :]
+            )
+            n_ids = pdf["n_id"].to_numpy()
+            b, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, b),
+                    "n_id": np.repeat(n_ids, nq),
+                    "cosine": cos.reshape(-1),
+                }
+            )
+
     scored = (
-        c.crossJoin(q)
-        .where(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "n_id",
-            cosine_from_e12(
-                dot_e12(F.col("q_vec"), F.col("n_vec")),
-                F.col("q_norm"),
-                F.col("n_norm"),
-            ).alias("cosine"),
+        corpus.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
         )
+        .mapInPandas(score, "q_id long, n_id long, cosine double")
+        .where(F.col("n_id") != F.col("q_id"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (

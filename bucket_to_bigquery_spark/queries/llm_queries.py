@@ -438,9 +438,12 @@ _DOT_E12_SQL = (
     ),
     description=(
         "Q48: exact top-5 cosine neighbors for 10 query vectors — the "
-        "brute-force reference path: queries broadcast, corpus scored "
-        "locally (O(N·Q), no shuffle before the per-query top-k window). "
-        "Scaled-int dot/norms make the cosine bit-identical cross-engine."
+        "brute-force reference path: the bounded query set ships in the "
+        "task closure and every corpus partition scores locally in one "
+        "Arrow numpy pass (O(N·Q), no shuffle before the per-query top-k "
+        "window). Scaled-int dot/norms (half-away-from-zero rounding "
+        "replicated exactly in numpy) keep the cosine bit-identical "
+        "cross-engine."
     ),
     tags=("llm",),
 )

@@ -60,11 +60,18 @@ def test_q47_pair_generation_never_cross_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_q48_scoring_is_broadcast_not_shuffle(spark, sf_dir):
+def test_q48_scoring_is_mapinpandas_not_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q48_cosine_topk")
-    # N×Q scoring must broadcast the small query side (nested-loop over a
-    # broadcast is the intended shape for a crossJoin with 10 rows)
-    assert "BroadcastExchange" in plan
+    # N×Q scoring ships the bounded query set in the task closure and
+    # scores each corpus partition in one Arrow pass — the scan side must
+    # feed MapInPandas directly, with the per-query top-k window's
+    # exchange as the ONLY shuffle in the plan
+    assert "MapInPandas" in plan
+    # (plans print root-first: the scan feeding MapInPandas is BELOW it)
+    body = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" not in body, body[:2000]  # nothing shuffles pre-scoring
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "WindowGroupLimit" in plan  # top-k pushed ahead of the exchange
 
 
 def test_whole_stage_codegen_covers_scalar_queries(spark, sf_dir):
