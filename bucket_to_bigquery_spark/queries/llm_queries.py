@@ -1553,52 +1553,10 @@ def q49l(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def q49m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tables(spark, sf_dir)["documents"]
-    toks = t.select("doc_id", tokens("text").alias("t"))
-    n = spark.sparkContext.defaultParallelism
-    big = (
-        toks.where(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.struct(
-                        F.get("t", i).alias("a"),
-                        F.get("t", i + 1).alias("b"),
-                    ),
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "bg.a", "bg.b")
-        # one explicit exchange on the bigram key, reused by the count
-        # aggregate and the probe join (same pattern as the shingle index)
-        .repartition(n, "a", "b")
-    )
-    from pyspark.sql.window import Window
+    from ..operators.lm import bigram_lm_scores
 
-    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
-    # prefix counts derive from the BIGRAM counts (na = Σ_b nab) via a
-    # window over the already-aggregated vocab²-bounded table — never a
-    # second corpus pass, and attaching na here (instead of a separate ca
-    # table) keeps the probe side to ONE broadcast join and the corpus
-    # text to exactly two reads (probe stream + count build); a groupBy-
-    # then-join formulation physically re-expands the explode a third time
-    stats = cab.withColumn(
-        "na", F.sum("nab").over(Window.partitionBy("a"))
-    )
-    terms = big.join(stats, ["a", "b"]).select(
-        "doc_id",
-        F.round(
-            F.log(F.col("nab").cast("double") / F.col("na")), 6
-        ).alias("lp"),
-    )
     return (
-        terms.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            davg("lp", "avg_logprob"),
-        )
+        bigram_lm_scores(tables(spark, sf_dir)["documents"])
         .withColumn("is_fluent", F.col("avg_logprob") >= -4.0)
         .orderBy("doc_id")
     )

@@ -1,0 +1,98 @@
+"""Property tests for the exact-similarity integer contract.
+
+The Arrow scorer in ``cosine_topk_exact`` replicates SQL ROUND
+(half away from zero) in numpy; that replication is THE parity-critical
+claim — a single divergent rounding flips a scaled-int dot and with it
+a hash row at the driver gate. Pin it three ways: against DuckDB's
+``round()`` (the oracle engine), against Spark's ``F.round`` (the
+engine the lambda path used), and on adversarial exact-half values.
+Then pin the full scorer against a pure-numpy brute-force reference on
+random vectors (a third implementation, independent of the operator's
+own batching)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bucket_to_bigquery_spark.operators.similarity import (
+    _round_half_away_e12,
+    cosine_topk_exact,
+)
+
+finite_products = st.floats(
+    min_value=-2e12, max_value=2e12, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(finite_products, min_size=1, max_size=50))
+def test_numpy_round_matches_duckdb_round(values):
+    ours = _round_half_away_e12(np.asarray(values, dtype="float64"))
+    con = duckdb.connect()
+    theirs = [
+        con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE), 0) AS BIGINT)", [v]
+        ).fetchone()[0]
+        for v in values
+    ]
+    assert list(ours) == theirs, (values, list(ours), theirs)
+
+
+def test_numpy_round_exact_halves_away_from_zero():
+    # exact .5 doubles are where half-up vs half-even implementations split
+    halves = np.asarray(
+        [0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 1023.5, -1023.5, 1e6 + 0.5],
+        dtype="float64",
+    )
+    assert list(_round_half_away_e12(halves)) == [
+        1, -1, 2, -2, 3, -3, 1024, -1024, 1000001,
+    ]
+
+
+def test_numpy_round_matches_spark_round(spark):
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        rng.uniform(-2e12, 2e12, 200),
+        rng.uniform(-2.0, 2.0, 200),
+        np.asarray([0.5, -0.5, 2.5, -2.5, 1e9 + 0.5, -(1e9 + 0.5)]),
+    ])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    spark_rounded = [
+        r[0] for r in df.select(F.round("v").cast("long")).collect()
+    ]
+    assert list(_round_half_away_e12(vals)) == spark_rounded
+
+
+def test_cosine_topk_matches_pure_numpy_reference(spark):
+    rng = np.random.RandomState(23)
+    n, dim, k = 40, 8, 3
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["cosine"])
+        for r in cosine_topk_exact(df, df.where("vec_id < 5"), k=k).collect()
+    }
+    # independent reference: same integer contract, naive loops
+    x = vecs.astype("float64")
+    norms = _round_half_away_e12(x * x * 1e12).sum(axis=1)
+    for q in range(5):
+        scored = []
+        for j in range(n):
+            if j == q:
+                continue
+            dot = _round_half_away_e12(x[q] * x[j] * 1e12).sum()
+            cos = float(dot) / (np.sqrt(float(norms[q])) * np.sqrt(float(norms[j])))
+            scored.append((-cos, j))
+        scored.sort()
+        for rank, (negcos, j) in enumerate(scored[:k], start=1):
+            n_id, cos = got[(q, rank)]
+            assert n_id == j, (q, rank)
+            assert cos == -negcos, (q, rank)  # bit-identical, not approx

@@ -53,6 +53,7 @@ MODULE_DEPS: dict[str, list[str]] = {
         # the persisted-index reuse path) — a relational.py change must pull
         # the llm surface in-window too (ADVICE r5 #1).
         PKG + "queries/relational.py",
+        PKG + "operators/lm.py",
     ],
     PKG + "queries/relational.py": [
         PKG + "operators/asof_join.py",
