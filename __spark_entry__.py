@@ -25,7 +25,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Correctness-gate rotation.
 #
 # The driver records at most the FIRST 50 entries in name-sorted order; the
-# registry has 93. Entries named here are aliased (leading ``q`` -> ``a``)
+# registry has 94. Entries named here are aliased (leading ``q`` -> ``a``)
 # so they sort into the window. The set is chosen per round under the
 # invariant CHANGED CODE MUST BE IN-WINDOW (mechanized by
 # tools/check_gate_rotation.py, run as tests/test_gate_rotation.py):
@@ -40,7 +40,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE: 49/50 slots used this
+# replacing the leading ``a`` with ``q``. NOTE: 50/50 slots used this — AT CAPACITY: the next new entry must evict a stale-rotation one
 # round — each new registry entry consumes one; when the changed+stale set
 # exceeds 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------
@@ -52,7 +52,7 @@ GATE_PRIORITY = frozenset({
     "q46d_dedup_apply",
     "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
     "q47c_embedding_neardup", "q47d_benchmark_decontamination",
-    "q47e_containment_pairs",
+    "q47e_containment_pairs", "q47f_embedding_dedup_apply",
     "q48_cosine_topk", "q48b_ann_lsh_topk", "q48c_ivf_topk",
     "q48d_ivf_prebuilt", "q48e_signgrid_ann", "q48f_knn_label_audit",
     "q49_text_stats", "q49b_length_histogram", "q49c_language_id",

@@ -562,26 +562,55 @@ def q48f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_dedup_pairs(spark: SparkSession, sf_dir: str):
+    """Shared q47c/q47f pipeline: (corpus, near-dup pairs) over the
+    embeddings table with planted perturbed copies — one definition of
+    the corpus construction, blocking params, and the 0.95 cosine gate
+    so the pair view cannot drift between the pair query and the apply
+    query."""
+    from ..operators.similarity import sign_band_neardup_pairs
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    perturbed = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, (x.cast("double") + 0.01).cast("float"))
+            .otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionAll(perturbed)
+    pairs = sign_band_neardup_pairs(corpus, "vec_id", "embedding", 0.95)
+    return corpus, pairs
+
+
+_Q47C_PAIR_CTES = (
+    "corpus AS (SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 10000 AS vec_id, "
+    "list_transform(range(1, len(embedding) + 1), i -> CAST(CASE WHEN i = 1 "
+    "THEN CAST(embedding[1] AS DOUBLE) + 0.01 ELSE CAST(embedding[i] AS DOUBLE) "
+    "END AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 5 = 0), "
+    "n AS (SELECT vec_id, embedding, "
+    + _NORM_E12_SQL.format(v="embedding")
+    + " AS nrm FROM corpus), "
+    "cpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "CAST(" + _DOT_E12_SQL.format(a="a.embedding", b="b.embedding")
+    + " AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) "
+    "AS cosine FROM n a, n b WHERE a.vec_id < b.vec_id "
+    "AND CAST(" + _DOT_E12_SQL.format(a="a.embedding", b="b.embedding")
+    + " AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) "
+    ">= 0.95)"
+)
+
+
 @query(
     "q47c_embedding_neardup",
     oracle=(
         # exact all-pairs ground truth (oracle side only — the Spark side
         # generates candidates via LSH buckets and verifies exactly)
-        "WITH corpus AS (SELECT vec_id, embedding FROM embeddings "
-        "UNION ALL SELECT vec_id + 10000 AS vec_id, "
-        "list_transform(range(1, len(embedding) + 1), i -> CAST(CASE WHEN i = 1 "
-        "THEN CAST(embedding[1] AS DOUBLE) + 0.01 ELSE CAST(embedding[i] AS DOUBLE) "
-        "END AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 5 = 0), "
-        "n AS (SELECT vec_id, embedding, "
-        + _NORM_E12_SQL.format(v="embedding")
-        + " AS nrm FROM corpus) "
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "CAST(" + _DOT_E12_SQL.format(a="a.embedding", b="b.embedding")
-        + " AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) "
-        "AS cosine FROM n a, n b WHERE a.vec_id < b.vec_id "
-        "AND CAST(" + _DOT_E12_SQL.format(a="a.embedding", b="b.embedding")
-        + " AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) "
-        ">= 0.95 ORDER BY id_a, id_b"
+        f"WITH {_Q47C_PAIR_CTES} "
+        "SELECT id_a, id_b, cosine FROM cpairs ORDER BY id_a, id_b"
     ),
     description=(
         "Q47c: embedding-cosine near-duplicate pairs (cosine >= 0.95) over "
@@ -597,22 +626,71 @@ def q48f(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm",),
 )
 def q47c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import sign_band_neardup_pairs
+    _, pairs = _embedding_dedup_pairs(spark, sf_dir)
+    return pairs.orderBy("id_a", "id_b")
 
-    t = tables(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", "embedding")
-    perturbed = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: F.when(i == 0, (x.cast("double") + 0.01).cast("float"))
-            .otherwise(x),
-        ).alias("embedding"),
+
+@query(
+    "q47f_embedding_dedup_apply",
+    oracle=(
+        f"WITH RECURSIVE {_Q47C_PAIR_CTES}, "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM cpairs "
+        "UNION ALL SELECT id_b AS s, id_a AS d FROM cpairs), "
+        "reach(a, b) AS (SELECT vec_id, vec_id FROM corpus "
+        "UNION SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b), "
+        "lab AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach "
+        "GROUP BY a), "
+        "csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS "
+        "n_represented FROM lab GROUP BY cluster_id) "
+        "SELECT l.vec_id, n.nrm AS norm_e12, s.n_represented "
+        "FROM lab l JOIN n ON n.vec_id = l.vec_id "
+        "JOIN csz s ON s.cluster_id = l.cluster_id "
+        "WHERE l.vec_id = l.cluster_id ORDER BY l.vec_id"
+    ),
+    description=(
+        "Q47f: END-TO-END embedding dedup application — q46d's survivor "
+        "composition for the vector modality: sign-band near-dup pairs "
+        "(q47c machinery, exact 0.95-cosine gate) → connected components "
+        "over the pair graph → keep min(vec_id) per cluster → emit the "
+        "deduplicated embedding corpus. Survivors carry their exact "
+        "scaled-int norm (norm_e12 — the cross-engine-exact content "
+        "fingerprint for a float vector) and n_represented (sums to the "
+        "corpus size). The oracle computes all-pairs ground truth + a "
+        "recursive-CTE closure, so a hash match certifies BOTH 100% "
+        "blocking recall and the closure. Scale shape: everything "
+        "upstream is the audited banded blocking + O(log d) label "
+        "propagation; the apply step adds one survivor-label join and a "
+        "cluster-size aggregate — no new all-pairs or driver-side stage."
+    ),
+    tags=("llm",),
+)
+def q47f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.similarity import norm_e12
+
+    corpus, pairs = _embedding_dedup_pairs(spark, sf_dir)
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=corpus.select("vec_id"), node_col="vec_id",
+        nodes_unique=True,  # vec_id unique by corpus construction
+        edges_unique=True,  # pair miner dedups, id_a < id_b
     )
-    corpus = emb.unionAll(perturbed)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_represented")
+    )
+    survivors = (
+        comp.where(F.col("node") == F.col("cluster_id"))
+        .select(F.col("node").alias("vec_id"), "cluster_id")
+        .join(sizes, "cluster_id")
+    )
     return (
-        sign_band_neardup_pairs(corpus, "vec_id", "embedding", 0.95)
-        .orderBy("id_a", "id_b")
+        corpus.join(survivors, "vec_id")
+        .select(
+            "vec_id",
+            norm_e12(F.col("embedding")).alias("norm_e12"),
+            "n_represented",
+        )
+        .orderBy("vec_id")
     )
 
 
@@ -1739,7 +1817,7 @@ def q50c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
-    "q46", "q46b", "q46c", "q46d", "q47", "q47b", "q47c", "q47d", "q47e",
+    "q46", "q46b", "q46c", "q46d", "q47", "q47b", "q47c", "q47d", "q47e", "q47f",
     "q48", "q48b", "q48c", "q48d", "q48e", "q48f",
     "q49", "q49b", "q49c", "q49d", "q49e", "q49f", "q49g", "q49h",
     "q49i", "q49j", "q49k", "q49l", "q49m",
