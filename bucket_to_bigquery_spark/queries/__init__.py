@@ -15,6 +15,7 @@ from . import streaming_queries  # noqa: F401
 from . import udf_queries  # noqa: F401
 from . import llm_queries  # noqa: F401
 from . import skew_queries  # noqa: F401
+from . import pipeline_queries  # noqa: F401
 from .registry import REGISTRY, Query
 
 

@@ -1,0 +1,171 @@
+"""Q51-Q52 — training-pipeline corpus transforms beyond the q46-q50 set:
+substring-level exact dedup and sequence packing, each a declared,
+oracle-checked query (full DuckDB value oracle, no tolerance band).
+
+Q51 runs over the SAME planted-duplicate corpus the q46/q47 family uses
+(llm_queries.CORPUS_SQL), so results are non-vacuous: the planted exact
+copies produce whole-document spans, the truncated half-copies produce
+prefix spans, the near copies produce all-but-the-tail spans. Q52 runs
+over the raw documents table (packing needs no planted structure).
+
+Cross-engine determinism: q51's window hashes are md5 hex prefixes and
+its one ratio a single double division of exact integers; q52 is pure
+integer arithmetic (`div` in Spark ≡ `//` in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.substring import repeated_substring_spans
+from .llm_queries import CORPUS_SQL, _TOKS_SQL, _dedup_corpus
+from .registry import query, tables
+
+# ---------------------------------------------------------------------------
+# Q51 — repeated-substring spans (substring-granular exact dedup)
+# ---------------------------------------------------------------------------
+
+_Q51_WINDOW = 8  # tokens per window; docs are 10-99 tokens at every SF
+
+_Q51_SQL = (
+    f"WITH corpus AS ({CORPUS_SQL}), "
+    f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
+    # 1-based window starts 1 .. len-W+1; t[i:i+W-1] is W elements
+    # (DuckDB list slicing is inclusive); hash = the shingle_hash idiom
+    # (15 md5 hex chars -> 60-bit BIGINT), mirrored literally.
+    "wins AS (SELECT doc_id, len(t) AS n_tokens, i AS pos, "
+    f"CAST(('0x' || substr(md5(array_to_string(t[i:i+{_Q51_WINDOW - 1}], ' ')), 1, 15)) AS BIGINT) "
+    "AS whash "
+    f"FROM tok, LATERAL unnest(range(1, len(t) - {_Q51_WINDOW - 2})) AS u(i) "
+    f"WHERE len(t) >= {_Q51_WINDOW}), "
+    "dup AS (SELECT whash FROM wins GROUP BY whash "
+    "HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "m AS (SELECT doc_id, n_tokens, pos FROM wins "
+    "WHERE whash IN (SELECT whash FROM dup)), "
+    # gaps-and-islands: new island when the start gap exceeds the window
+    # width (windows at p1 < p2 cover contiguous tokens iff p2 <= p1+W);
+    # first row per doc: lag is NULL -> comparison NULL -> ELSE 0.
+    "brk AS (SELECT doc_id, n_tokens, pos, "
+    f"CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_Q51_WINDOW} "
+    "THEN 1 ELSE 0 END AS b FROM m), "
+    "isl AS (SELECT doc_id, n_tokens, pos, "
+    "SUM(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+    "AS island FROM brk), "
+    "spans AS (SELECT doc_id, n_tokens, island, "
+    f"MAX(pos) - MIN(pos) + {_Q51_WINDOW} AS span_tokens "
+    "FROM isl GROUP BY doc_id, n_tokens, island) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+    "CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens, "
+    "CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(SUM(span_tokens) AS DOUBLE) / CAST(n_tokens AS BIGINT) AS dup_token_frac "
+    "FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id"
+)
+
+
+@query(
+    "q51_repeated_substrings",
+    oracle=_Q51_SQL,
+    description=(
+        "Q51: substring-level exact dedup — per-document maximal spans of "
+        "8-token windows whose content occurs in >= 2 distinct documents "
+        "(the Spark-native shape of ExactSubstr dedup, Lee et al. ACL "
+        "2022: windowed-hash inverted index + gaps-and-islands merge "
+        "instead of a single-machine suffix array). Output is LINEAR in "
+        "corpus size — no pair fan-out: an 8-byte-key shuffle for the "
+        "window document-frequency count (two-phase distinct aggregate, "
+        "map-side dedup bounding hot boilerplate keys; the duplicated-"
+        "content-sized dup set broadcasts back onto the pinned-width "
+        "index), then a per-document window function. The planted exact "
+        "copies span their whole documents (dup_token_frac = 1.0), the "
+        "half-copies their whole prefix, the near copies everything but "
+        "the appended tail."
+    ),
+    tags=("llm",),
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        repeated_substring_spans(
+            _dedup_corpus(spark, sf_dir), "doc_id", "text",
+            window=_Q51_WINDOW, min_doc_freq=2,
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+_Q52_SEQ_LEN = 512  # tokens per training sequence (chunk)
+_Q52_SHARDS = 8
+
+
+_Q52_SQL = (
+    "WITH tok AS (SELECT doc_id, "
+    f"CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok, "
+    f"CAST(doc_id % {_Q52_SHARDS} AS BIGINT) AS shard_id FROM documents), "
+    "offs AS (SELECT shard_id, doc_id, n_tok, "
+    "COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off "
+    "FROM tok) "
+    "SELECT shard_id, "
+    f"CAST(start_off // {_Q52_SEQ_LEN} AS BIGINT) AS chunk_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM offs GROUP BY shard_id, chunk_id ORDER BY shard_id, chunk_id"
+)
+
+
+@query(
+    "q52_sequence_packing",
+    oracle=_Q52_SQL,
+    description=(
+        "Q52: sequence packing — the concat-and-chunk assignment a "
+        "pretraining pipeline runs to turn variable-length documents into "
+        "fixed 512-token training sequences: documents are concatenated "
+        "in doc_id order WITHIN a shard (doc_id mod 8) and every document "
+        "is assigned the chunk its first token lands in "
+        "(chunk_id = start_offset div 512); emits per-chunk composition "
+        "(doc count, started-token count, doc-id range). Sharding is the "
+        "scale story: the running-offset window partitions by shard_id, "
+        "so 1000 executors pack their shards independently — no global "
+        "sort, one shuffle — while (shard, doc_id) order keeps the "
+        "assignment deterministic. Pure integer arithmetic end to end."
+    ),
+    tags=("llm",),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    from ..operators.dedup import tokens
+
+    tok = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        (F.col("doc_id") % _Q52_SHARDS).cast("long").alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = tok.select(
+        "shard_id", "doc_id", "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_off"),
+    )
+    return (
+        offs.select(
+            "shard_id", "doc_id", "n_tok",
+            F.expr(f"start_off div {_Q52_SEQ_LEN}").alias("chunk_id"),
+        )
+        .groupBy("shard_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id", "chunk_id")
+    )

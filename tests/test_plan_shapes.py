@@ -223,3 +223,35 @@ def test_q49h_single_shuffle_on_shard_key(spark, sf_dir):
     # shard key, for both window functions), then the presentation sort
     plan = _plan(spark, sf_dir, "q49h_shard_assignment")
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_q51_marking_join_broadcasts_no_pair_fanout(spark, sf_dir):
+    # substring dedup must mark positions via a broadcast (or at worst
+    # AQE-skew-handled) equi-join of the duplicated-content set against
+    # the pinned-width window index — never a sort-merge self-join or a
+    # cartesian (the whole point is NO pair fan-out), and the frequency
+    # aggregate must be the two-phase distinct stack (map-side dedup of
+    # (whash, doc_id)) so hot boilerplate windows cannot skew a reducer
+    from bucket_to_bigquery_spark.queries import all_queries as _aq
+
+    df = _aq()["q51_repeated_substrings"].builder(spark, sf_dir)
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in final
+    assert "partial_count(distinct doc_id" in plan  # two-phase distinct
+    assert "REPARTITION_BY_NUM" in plan  # pinned-width window index
+
+
+def test_q52_packing_has_single_shard_shuffle(spark, sf_dir):
+    # packing distributes per shard: exactly one hashpartitioning
+    # exchange (shard_id for the running-offset window; the group-by
+    # reuses that partitioning) + the presentation range sort — a global
+    # (unpartitioned) window sort here is the 100 TB failure mode
+    plan = _plan(spark, sf_dir, "q52_sequence_packing")
+    hashes = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert hashes and all("shard_id" in ln for ln in hashes)
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs and all("shard_id" in ln for ln in specs)  # never global

@@ -75,6 +75,13 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/skew_queries.py": [
         PKG + "operators/salted_join.py",
     ],
+    PKG + "queries/pipeline_queries.py": [
+        PKG + "operators/substring.py",
+        # q51 builds on the planted-dup corpus + tokenization from the llm
+        # surface; a change THERE must pull q51/q52 in-window too.
+        PKG + "queries/llm_queries.py",
+        PKG + "operators/dedup.py",
+    ],
 }
 
 # Shared infra: exercised by every entry, exempt from rotation. Exemption
