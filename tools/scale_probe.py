@@ -1,0 +1,133 @@
+"""Scale-trend probe for the heavy text-dedup operators.
+
+Synthesizes S× corpora from the sf0.1 documents table and measures how
+the expensive operators scale with corpus size at fixed parallelism —
+the local stand-in for the "would this plan survive a 100× scale-up"
+question (SURVEY §6). Linear wall-time growth (±parallelism
+amortization) is the pass criterion; super-linear growth would indicate
+pair fan-out or a driver-side bottleneck.
+
+Replica construction keeps the probe FAIR: every token in replica k
+gets the suffix ``_r<k>``, so replicas share ZERO shingles/windows —
+each replica carries its own planted duplicate structure and nothing
+else collides. Output size and candidate volume therefore scale
+linearly in S by construction; what is being measured is whether the
+EXECUTION does too. (Replicating verbatim would instead multiply every
+duplicate group's size by S and grow pair output quadratically — a
+different, legitimately quadratic answer.)
+
+Usage::
+
+    python tools/scale_probe.py [--scales 1,2,4,8] [--sf-dir DIR]
+
+Prints one JSON line per (operator, S) with wall seconds and output
+rows; scratch parquet under /tmp/b2bqs/scale_probe (wiped per run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCRATCH = "/tmp/b2bqs/scale_probe"
+
+
+def build_corpus(spark, sf_dir: str, s: int) -> str:
+    """Write the S× replicated corpus to parquet; return its path."""
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.catalog import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    parts = []
+    for k in range(s):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                # suffix every token: replicas share no shingles/windows
+                F.regexp_replace("text", r"(\S+)", r"$1_r" + str(k)).alias("text"),
+            )
+        )
+    out = f"{SCRATCH}/docs_x{s}"
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    u.write.mode("overwrite").parquet(out)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4,8")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    scales = [int(x) for x in args.scales.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.operators.dedup import (
+        exact_dedup_groups,
+        ngram_jaccard_pairs,
+    )
+    from bucket_to_bigquery_spark.operators.substring import (
+        repeated_substring_spans,
+    )
+    from bucket_to_bigquery_spark.session import get_spark
+
+    spark = get_spark()
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+    ops = {
+        # DF cap scales with corpus size: the cap is a document-frequency
+        # SEMANTIC (boilerplate = "in more than X docs"), so a fair probe
+        # holds the boilerplate FRACTION constant, not the absolute count
+        "q47_ngram_jaccard": lambda df, s: ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100 * s
+        ),
+        "q51_repeated_substrings": lambda df, s: repeated_substring_spans(
+            df, "doc_id", "text", window=8, min_doc_freq=2
+        ),
+        "q46_exact_dedup": lambda df, s: exact_dedup_groups(df, "doc_id", "text"),
+    }
+
+    results = []
+    for s in scales:
+        path = build_corpus(spark, args.sf_dir, s)
+        corpus = spark.read.parquet(path)
+        # plant per-replica duplicates the same way the q46/q47 corpus
+        # does (exact copies of every 10th doc) so dedup output is
+        # non-vacuous at every scale
+        dup = corpus.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+        )
+        corpus = corpus.unionAll(dup)
+        for name, build in ops.items():
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows = build(corpus, s).count()
+            wall = time.time() - t0
+            rec = {"op": name, "scale": s, "sec": round(wall, 2), "rows": rows}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    # trend summary: sec(S) / (S * sec(1)) — 1.0 = perfectly linear,
+    # < 1.0 = better-than-linear (parallelism amortization)
+    base = {r["op"]: r["sec"] for r in results if r["scale"] == scales[0]}
+    for r in results:
+        if r["scale"] != scales[0]:
+            r2 = r["sec"] / (r["scale"] / scales[0] * base[r["op"]])
+            print(json.dumps({"op": r["op"], "scale": r["scale"],
+                              "vs_linear": round(r2, 2)}), flush=True)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
