@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 from .dedup import shingle_hash, tokens
 
 
-def repeated_substring_spans(
+def repeated_substring_ranges(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -48,19 +48,19 @@ def repeated_substring_spans(
     window: int = 8,
     min_doc_freq: int = 2,
 ) -> DataFrame:
-    """Per-document merged spans of cross-document-repeated token windows.
+    """Maximal duplicated token spans per document, as 1-based ranges.
 
     A position ``p`` (1-based) in a document is *duplicated* when the
     ``window``-token sequence starting there occurs in at least
     ``min_doc_freq`` distinct documents. Overlapping/adjacent duplicated
-    windows merge into maximal spans (gaps-and-islands). Returns one row
-    per document that has at least one span::
+    windows merge into maximal spans (gaps-and-islands); spans from
+    distinct islands are disjoint by construction (a new island needs a
+    start gap > window). Returns one row per span::
 
-        (doc_id, n_spans, dup_tokens, n_tokens, dup_token_frac)
+        (doc_id, n_tokens, span_start, span_end, span_tokens)
 
-    where ``dup_tokens`` counts tokens covered by the merged spans and
-    ``dup_token_frac = dup_tokens / n_tokens`` (double division of exact
-    integers). Documents shorter than ``window`` tokens are skipped.
+    with ``span_end`` inclusive. Documents shorter than ``window``
+    tokens are skipped (they carry no window).
     """
     sc = df.sparkSession.sparkContext
     toks = (
@@ -129,11 +129,36 @@ def repeated_substring_spans(
         "doc_id", "n_tokens", "pos",
         F.sum("b").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
     )
-    spans = isl.groupBy("doc_id", "n_tokens", "island").agg(
-        (F.max("pos") - F.min("pos") + window).alias("span_tokens")
+    return isl.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (window - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + window).alias("span_tokens"),
+    ).drop("island")
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Per-document rollup of :func:`repeated_substring_ranges`.
+
+    Returns one row per document that has at least one span::
+
+        (doc_id, n_spans, dup_tokens, n_tokens, dup_token_frac)
+
+    where ``dup_tokens`` counts tokens covered by the merged spans and
+    ``dup_token_frac = dup_tokens / n_tokens`` (double division of exact
+    integers).
+    """
+    ranges = repeated_substring_ranges(
+        df, id_col, text_col, window=window, min_doc_freq=min_doc_freq
     )
     return (
-        spans.groupBy("doc_id", "n_tokens")
+        ranges.groupBy("doc_id", "n_tokens")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.sum("span_tokens").cast("long").alias("dup_tokens"),
@@ -146,4 +171,70 @@ def repeated_substring_spans(
             (F.col("dup_tokens").cast("double") / F.col("n_tokens"))
             .alias("dup_token_frac"),
         )
+    )
+
+
+def substring_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMEDIATION: the corpus with duplicated spans excised.
+
+    Rebuilds every document from its normalized token stream with all
+    tokens covered by :func:`repeated_substring_ranges` spans removed —
+    the boilerplate-scrub a training pipeline actually applies (Lee et
+    al. ACL 2022 §4: training on the deduplicated text, not just
+    measuring it). Output text is over NORMALIZED tokens (lowercased,
+    whitespace-collapsed) — the same stream every dedup operator in this
+    family is defined over. Returns one row per input document::
+
+        (doc_id, clean_text, n_tokens, n_kept, n_removed)
+
+    A fully-duplicated document comes back with ``clean_text = ''`` and
+    ``n_kept = 0`` (it is the caller's policy whether to drop empties).
+
+    Scale shape: span ranges explode to at most n_tokens covered
+    positions per doc (spans are disjoint), the anti-join is per-doc
+    co-partitioned with the token stream, and the rebuild is one
+    per-doc sort_array over kept tokens — everything downstream of the
+    range mining is partitioned by doc_id with group size = doc length.
+    """
+    ranges = repeated_substring_ranges(
+        df, id_col, text_col, window=window, min_doc_freq=min_doc_freq
+    )
+    covered = ranges.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("p"),
+    )
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    toks_pos = toks.select(
+        "doc_id",
+        F.posexplode("t").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    clean = (
+        toks_pos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0).cast("long")))
+        .alias("n_removed"),
     )

@@ -1,16 +1,19 @@
-"""Q51-Q52 — training-pipeline corpus transforms beyond the q46-q50 set:
-substring-level exact dedup and sequence packing, each a declared,
-oracle-checked query (full DuckDB value oracle, no tolerance band).
+"""Q51-Q53 — training-pipeline corpus transforms beyond the q46-q50 set:
+substring-level exact dedup, its scrub remediation, and sequence
+packing, each a declared, oracle-checked query (full DuckDB value
+oracle, no tolerance band).
 
-Q51 runs over the SAME planted-duplicate corpus the q46/q47 family uses
-(llm_queries.CORPUS_SQL), so results are non-vacuous: the planted exact
-copies produce whole-document spans, the truncated half-copies produce
-prefix spans, the near copies produce all-but-the-tail spans. Q52 runs
-over the raw documents table (packing needs no planted structure).
+Q51/Q53 run over the SAME planted-duplicate corpus the q46/q47 family
+uses (llm_queries.CORPUS_SQL), so results are non-vacuous: the planted
+exact copies produce whole-document spans (and scrub to empty), the
+truncated half-copies produce prefix spans, the near copies produce
+all-but-the-tail spans. Q52 runs over the raw documents table (packing
+needs no planted structure).
 
-Cross-engine determinism: q51's window hashes are md5 hex prefixes and
-its one ratio a single double division of exact integers; q52 is pure
-integer arithmetic (`div` in Spark ≡ `//` in DuckDB).
+Cross-engine determinism: q51/q53 window hashes are md5 hex prefixes,
+span/position math is pure integer, and the cleaned text is a canonical
+space-joined token reconstruction (md5-bound in both engines); q52 is
+pure integer arithmetic (`div` in Spark ≡ `//` in DuckDB).
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.substring import repeated_substring_spans
+from ..operators.substring import repeated_substring_spans, substring_scrub
 from .llm_queries import CORPUS_SQL, _TOKS_SQL, _dedup_corpus
 from .registry import query, tables
 
@@ -29,8 +32,10 @@ from .registry import query, tables
 
 _Q51_WINDOW = 8  # tokens per window; docs are 10-99 tokens at every SF
 
-_Q51_SQL = (
-    f"WITH corpus AS ({CORPUS_SQL}), "
+# Shared CTE chain (q51 stats + q53 scrub): corpus -> token arrays ->
+# window hashes -> duplicated positions -> gaps-and-islands spans.
+_Q51_SPAN_CTES = (
+    f"corpus AS ({CORPUS_SQL}), "
     f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
     # 1-based window starts 1 .. len-W+1; t[i:i+W-1] is W elements
     # (DuckDB list slicing is inclusive); hash = the shingle_hash idiom
@@ -53,9 +58,14 @@ _Q51_SQL = (
     "isl AS (SELECT doc_id, n_tokens, pos, "
     "SUM(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
     "AS island FROM brk), "
-    "spans AS (SELECT doc_id, n_tokens, island, "
+    "spans AS (SELECT doc_id, n_tokens, island, MIN(pos) AS span_start, "
+    f"MAX(pos) + {_Q51_WINDOW - 1} AS span_end, "
     f"MAX(pos) - MIN(pos) + {_Q51_WINDOW} AS span_tokens "
-    "FROM isl GROUP BY doc_id, n_tokens, island) "
+    "FROM isl GROUP BY doc_id, n_tokens, island)"
+)
+
+_Q51_SQL = (
+    f"WITH {_Q51_SPAN_CTES} "
     "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
     "CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens, "
     "CAST(n_tokens AS BIGINT) AS n_tokens, "
@@ -89,6 +99,66 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeated_substring_spans(
             _dedup_corpus(spark, sf_dir), "doc_id", "text",
             window=_Q51_WINDOW, min_doc_freq=2,
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — substring scrub (ExactSubstr remediation)
+# ---------------------------------------------------------------------------
+
+_Q53_SQL = (
+    f"WITH {_Q51_SPAN_CTES}, "
+    # spans of one doc are pairwise disjoint (a new island requires a
+    # start gap > window), so the covered-position explosion is at most
+    # n_tokens rows per doc and needs no DISTINCT
+    "covered AS (SELECT doc_id, u.p FROM spans, "
+    "LATERAL unnest(range(span_start, span_end + 1)) AS u(p)), "
+    "toks_pos AS (SELECT doc_id, i AS p, t[i] AS tok "
+    "FROM tok, LATERAL unnest(range(1, len(t) + 1)) AS u(i)), "
+    "clean AS (SELECT tp.doc_id, "
+    "array_to_string(list(tp.tok ORDER BY tp.p), ' ') AS clean_text, "
+    "COUNT(*) AS n_kept FROM toks_pos tp "
+    "WHERE NOT EXISTS (SELECT 1 FROM covered c "
+    "WHERE c.doc_id = tp.doc_id AND c.p = tp.p) "
+    "GROUP BY tp.doc_id) "
+    "SELECT tk.doc_id, md5(COALESCE(cl.clean_text, '')) AS clean_md5, "
+    "CAST(len(tk.t) AS BIGINT) AS n_tokens, "
+    "CAST(COALESCE(cl.n_kept, 0) AS BIGINT) AS n_kept, "
+    "CAST(len(tk.t) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed "
+    "FROM tok tk LEFT JOIN clean cl USING (doc_id) ORDER BY tk.doc_id"
+)
+
+
+@query(
+    "q53_substring_scrub",
+    oracle=_Q53_SQL,
+    description=(
+        "Q53: ExactSubstr REMEDIATION — the corpus rebuilt with every "
+        "q51 duplicated span excised (Lee et al. ACL 2022 train on the "
+        "deduplicated text; q51 only measures it). Each document's "
+        "normalized token stream drops the positions covered by merged "
+        "duplicated spans; output binds the cleaned content via "
+        "md5(clean_text) plus kept/removed token counts (planted exact "
+        "copies scrub to empty, n_kept = 0). Scale shape: span ranges "
+        "explode to at most n_tokens disjoint positions per doc, the "
+        "anti-join and rebuild are per-doc co-partitioned window/agg "
+        "work downstream of the audited q51 index — nothing quadratic, "
+        "nothing driver-side."
+    ),
+    tags=("llm",),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        substring_scrub(
+            _dedup_corpus(spark, sf_dir), "doc_id", "text",
+            window=_Q51_WINDOW, min_doc_freq=2,
+        )
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_tokens", "n_kept", "n_removed",
         )
         .orderBy("doc_id")
     )

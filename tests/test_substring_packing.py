@@ -130,3 +130,60 @@ def test_sequence_packing_invariants(spark, tok_counts):
         for r in rs:
             assert r["chunk_id"] == off // seq_len  # exact assignment
             off += r["n_tok"]
+
+
+def _ref_scrub(docs: dict[int, list[str]], window: int, min_df: int):
+    """Reference scrub: tokens minus positions covered by reference spans."""
+    occ: dict[tuple[str, ...], set[int]] = {}
+    for d, t in docs.items():
+        for i in range(len(t) - window + 1):
+            occ.setdefault(tuple(t[i:i + window]), set()).add(d)
+    out = {}
+    for d, t in docs.items():
+        covered = set()
+        for i in range(len(t) - window + 1):
+            if len(occ[tuple(t[i:i + window])]) >= min_df:
+                covered.update(range(i + 1, i + window + 1))  # 1-based
+        kept = [tok for p, tok in enumerate(t, start=1) if p not in covered]
+        out[d] = (" ".join(kept), len(t), len(kept))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs_strategy)
+def test_substring_scrub_matches_reference(spark, texts):
+    from bucket_to_bigquery_spark.operators.substring import substring_scrub
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_kept"])
+        for r in substring_scrub(
+            df, "doc_id", "text", window=3, min_doc_freq=2
+        ).collect()
+    }
+    expect = _ref_scrub({i: t.split() for i, t in rows}, window=3, min_df=2)
+    assert got == expect
+
+
+def test_substring_scrub_shapes(spark):
+    """Identical docs scrub to empty; a doc embedding another loses
+    exactly the embedded run; untouched docs pass through verbatim
+    (normalized); token accounting is conserved."""
+    from bucket_to_bigquery_spark.operators.substring import substring_scrub
+
+    a = "t1 t2 t3 t4 t5"
+    rows = [(1, a), (2, "x1 x2 " + a + " y1"), (3, "z1 z2 z3 z4")]
+    got = {
+        r["doc_id"]: r
+        for r in substring_scrub(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "doc_id", "text", window=3, min_doc_freq=2,
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # every input doc comes back
+    assert got[1]["clean_text"] == "" and got[1]["n_kept"] == 0
+    assert got[2]["clean_text"] == "x1 x2 y1" and got[2]["n_removed"] == 5
+    assert got[3]["clean_text"] == "z1 z2 z3 z4" and got[3]["n_removed"] == 0
+    for r in got.values():
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
