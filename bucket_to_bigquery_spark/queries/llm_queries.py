@@ -62,7 +62,7 @@ CORPUS_SQL = (
 )
 
 
-def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"].select("doc_id", "text")
     exact = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -79,6 +79,30 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return d.unionAll(exact).unionAll(near).unionAll(half)
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-duplicate corpus, materialized once per sf_dir.
+
+    The corpus is bench scaffolding (the real pipeline reads a corpus,
+    it does not synthesize one), but its 4-way union of tokenize
+    transforms used to be INLINED into every dedup-family plan — and
+    each plan's pruning gave every consumer subtree its own copy to
+    re-codegen and re-execute, dominating the family's cold cost (q51
+    measured 11.2 s cold in-bench vs 2.0 s warm; the split was compile,
+    not compute). Materializing to scratch parquet once per sf_dir
+    (the q02/q05/q48d `_materialize_once` pattern — process-safe via a
+    done-marker) turns every dedup query's input into a plain parquet
+    scan, so the benchmark measures the OPERATOR, not corpus synthesis.
+    Row content is identical; every consumer ends in an explicit
+    ORDER BY, so ordering differences cannot surface."""
+    from .relational import _materialize_once, _scratch
+
+    def _write(path: str) -> None:
+        _build_dedup_corpus(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+    path = _materialize_once(_scratch("dedup_corpus", sf_dir), _write)
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
