@@ -593,18 +593,26 @@ def _embedding_dedup_pairs(spark: SparkSession, sf_dir: str):
     so the pair view cannot drift between the pair query and the apply
     query."""
     from ..operators.similarity import sign_band_neardup_pairs
+    from .relational import _materialize_once, _scratch
 
-    t = tables(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", "embedding")
-    perturbed = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: F.when(i == 0, (x.cast("double") + 0.01).cast("float"))
-            .otherwise(x),
-        ).alias("embedding"),
-    )
-    corpus = emb.unionAll(perturbed)
+    def _write(path: str) -> None:
+        t = tables(spark, sf_dir)
+        emb = t["embeddings"].select("vec_id", "embedding")
+        perturbed = emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, (x.cast("double") + 0.01).cast("float"))
+                .otherwise(x),
+            ).alias("embedding"),
+        )
+        emb.unionAll(perturbed).write.mode("overwrite").parquet(path)
+
+    # materialized once per sf_dir (same rationale/pattern as
+    # _dedup_corpus: the planted union is scaffolding; parquet float
+    # arrays round-trip bit-exactly, so oracle parity is unaffected)
+    path = _materialize_once(_scratch("embedding_corpus", sf_dir), _write)
+    corpus = spark.read.parquet(path)
     pairs = sign_band_neardup_pairs(corpus, "vec_id", "embedding", 0.95)
     return corpus, pairs
 
