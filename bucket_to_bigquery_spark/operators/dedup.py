@@ -367,7 +367,16 @@ def minhash_candidate_pairs(
     """
     p = MINHASH_PRIME
     feats = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        # The emptiness filter runs BEFORE the signature projection, as a
+        # predicate on the token count alone: ``sh`` is non-empty iff the
+        # doc has >= n tokens, and filtering on ``size(sh) > 0`` instead
+        # measured 0.1 -> 3.9 s on the projection at sf0.1 — predicate
+        # pushdown clones the whole tokenize->shingle->md5 expression
+        # into the scan filter, where the higher-order lambdas evaluate
+        # interpreted per row. Same rows, two orders of magnitude less
+        # filter work.
+        df.where(F.size(tokens(text_col)) >= n)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
         .select(
             "doc_id",
             # distinct AFTER the mod-p reduction: two 60-bit hashes can
@@ -377,7 +386,6 @@ def minhash_candidate_pairs(
                 F.transform(shingles(F.col("t"), n), lambda s: shingle_hash(s) % p)
             ).alias("sh"),
         )
-        .where(F.size("sh") > 0)
         # three consumers (band-signature explode + both verify sides):
         # one explicit shuffle on the verify-join key makes the expensive
         # tokenize→shingle→md5 projection run ONCE and land shuffle-local;
