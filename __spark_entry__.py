@@ -25,7 +25,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Correctness-gate rotation.
 #
 # The driver records at most the FIRST 50 entries in name-sorted order; the
-# registry has 97. Entries named here are aliased (leading ``q`` -> ``a``)
+# registry has 98. Entries named here are aliased (leading ``q`` -> ``a``)
 # so they sort into the window. The set is chosen per round under the
 # invariant CHANGED CODE MUST BE IN-WINDOW (mechanized by
 # tools/check_gate_rotation.py, run as tests/test_gate_rotation.py):
@@ -68,14 +68,14 @@ GATE_PRIORITY = frozenset({
     # q29_intersect — files untouched since r3, r3 rows remain valid,
     # scheduled FIRST for the r7 rotation; see GATE_r06.md)
     "q51_repeated_substrings", "q52_sequence_packing",
-    "q53_substring_scrub",
+    "q53_substring_scrub", "q54_full_pipeline",
     # stale rotation (r6): last driver-verified in r3, files untouched
     # since (q12-q24 rotated through r5; q04*/q09b verified r5)
     "q25_window_frames", "q26_topk_per_group",
     "q28b_union_distinct", "q29b_except",
     "q30_string_funcs", "q31_datetime_funcs",
     "q31b_local_time_ordered_view", "q31c_stacked_views",
-    "q32_math_funcs", "q33_array_funcs", "q33b_vector_norm",
+    "q32_math_funcs", "q33_array_funcs",
     "q34_map_struct_funcs", "q35_conditional_funcs",
     "q36_tumbling_window", "q37_sliding_window",
 })

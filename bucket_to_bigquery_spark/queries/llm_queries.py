@@ -166,28 +166,35 @@ def q46b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffles/joins the inverted index on 8-byte longs instead of shingle
 # strings (operators/dedup.shingle_hash; collisions are mirrored, so
 # parity is exact by construction).
-_Q47_BASE_CTES = (
-    f"corpus AS ({CORPUS_SQL}), "
-    f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
-    "sh AS (SELECT DISTINCT doc_id, "
-    "CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) "
-    "AS shingle "
-    "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
-    "hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100), "
-    "idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM idx GROUP BY doc_id), "
-    "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
-    "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
-    "GROUP BY 1, 2)"
-)
-_Q47_PAIR_CTES = (
-    f"{_Q47_BASE_CTES}, "
+def q47_index_ctes(corpus_rel: str) -> str:
+    """The q47 inverted-index CTE chain over relation ``corpus_rel``
+    (doc_id, text) — parameterized so the q54 full pipeline composes the
+    SAME literals over its filtered corpus instead of duplicating them."""
+    return (
+        f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM {corpus_rel}), "
+        "sh AS (SELECT DISTINCT doc_id, "
+        "CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) "
+        "AS shingle "
+        "FROM tok, LATERAL unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+        "hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100), "
+        "idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS ns FROM idx GROUP BY doc_id), "
+        "common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common "
+        "FROM idx a JOIN idx b USING (shingle) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2)"
+    )
+
+
+_Q47_PAIRS_FRAGMENT = (
     "pairs AS (SELECT id_a, id_b, "
     "CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard "
     "FROM common "
     "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
     "WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.6)"
 )
+
+_Q47_BASE_CTES = f"corpus AS ({CORPUS_SQL}), " + q47_index_ctes("corpus")
+_Q47_PAIR_CTES = f"{_Q47_BASE_CTES}, {_Q47_PAIRS_FRAGMENT}"
 
 
 def _dedup_components(spark: SparkSession, sf_dir: str):
@@ -1140,12 +1147,15 @@ def q49d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q49e_quality_filter",
-    oracle=(
-        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, "
-        f"length({_NORM_SQL}) AS nc FROM documents), "
-        "g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+def gates_ctes(rel: str, prefix: str = "") -> str:
+    """The q49e gate CTE chain over relation ``rel`` (CTE names prefixed
+    to compose inside larger oracles): ``{prefix}g`` exposes per-gate
+    flags; ``kept = len_ok AND tok_shape_ok AND no_megatoken AND
+    has_stopwords`` is selected by the caller."""
+    return (
+        f"{prefix}t AS (SELECT doc_id, {_TOKS_SQL} AS toks, "
+        f"length({_NORM_SQL}) AS nc FROM {rel}), "
+        f"{prefix}g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
         "len(toks) >= 5 AS len_ok, "
         "(CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks)) BETWEEN 2 AND 12 "
         "AS tok_shape_ok, "
@@ -1155,7 +1165,15 @@ def q49d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "['the','and','of','is','in','to','a','it'], x))) >= 1 "
         "OR len(list_filter(toks, x -> list_contains("
         "['der','die','und','ist','das','el','los','y','es','una',"
-        "'le','la','et','est','les'], x))) >= 1 AS has_stopwords FROM t) "
+        "'le','la','et','est','les'], x))) >= 1 AS has_stopwords "
+        f"FROM {prefix}t)"
+    )
+
+
+@query(
+    "q49e_quality_filter",
+    oracle=(
+        f"WITH {gates_ctes('documents')} "
         "SELECT doc_id, n_tokens, len_ok, tok_shape_ok, no_megatoken, "
         "has_stopwords, "
         "len_ok AND tok_shape_ok AND no_megatoken AND has_stopwords AS kept "
@@ -1175,10 +1193,18 @@ def q49d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49e(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
+    return quality_gates(t["documents"].select("doc_id", "text")).orderBy("doc_id")
+
+
+def quality_gates(df: DataFrame) -> DataFrame:
+    """The q49e C4-style gate projection over any (doc_id, text) frame —
+    ONE definition so the standalone audit query and the q54 full
+    pipeline cannot drift. Returns (doc_id, n_tokens, len_ok,
+    tok_shape_ok, no_megatoken, has_stopwords, kept)."""
     all_stop = (_STOPWORDS
                 + _LANG_PROFILES["de"] + _LANG_PROFILES["es"]
                 + _LANG_PROFILES["fr"])
-    d = t["documents"].select(
+    d = df.select(
         "doc_id", normalize_text("text").alias("norm")
     ).select(
         "doc_id",
@@ -1202,7 +1228,7 @@ def q49e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept",
         F.col("len_ok") & F.col("tok_shape_ok")
         & F.col("no_megatoken") & F.col("has_stopwords"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

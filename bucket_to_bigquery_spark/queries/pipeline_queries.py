@@ -239,3 +239,117 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q54 — full pipeline (clean -> dedup -> survivors -> pack), one plan
+# ---------------------------------------------------------------------------
+
+from .llm_queries import _Q47_PAIRS_FRAGMENT, _NORM_SQL, gates_ctes, q47_index_ctes  # noqa: E402
+
+_Q54_SQL = (
+    f"WITH RECURSIVE corpus AS ({CORPUS_SQL}), "
+    f"{gates_ctes('corpus', 'q')}, "
+    "kept AS (SELECT doc_id FROM qg WHERE len_ok AND tok_shape_ok "
+    "AND no_megatoken AND has_stopwords), "
+    "clean AS (SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)), "
+    f"eh AS (SELECT doc_id, sha256({_NORM_SQL}) AS h FROM clean), "
+    "keepers AS (SELECT MIN(doc_id) AS doc_id FROM eh GROUP BY h), "
+    "corpus2 AS (SELECT c.doc_id, c.text FROM clean c JOIN keepers USING (doc_id)), "
+    f"{q47_index_ctes('corpus2')}, "
+    f"{_Q47_PAIRS_FRAGMENT}, "
+    "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+    "UNION ALL SELECT id_b AS s, id_a AS d FROM pairs), "
+    "reach(a, b) AS (SELECT doc_id, doc_id FROM corpus2 "
+    "UNION SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b), "
+    "lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a), "
+    "surv AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id), "
+    "ptok AS (SELECT t2.doc_id, CAST(len(t2.t) AS BIGINT) AS n_tok, "
+    "CAST(t2.doc_id % 8 AS BIGINT) AS shard_id "
+    "FROM tok t2 JOIN surv USING (doc_id)), "
+    "offs AS (SELECT shard_id, doc_id, n_tok, "
+    "COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off "
+    "FROM ptok) "
+    "SELECT shard_id, CAST(start_off // 512 AS BIGINT) AS chunk_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM offs GROUP BY shard_id, chunk_id ORDER BY shard_id, chunk_id"
+)
+
+
+@query(
+    "q54_full_pipeline",
+    oracle=_Q54_SQL,
+    description=(
+        "Q54: the END-TO-END preprocessing run as ONE declarative plan — "
+        "what a user of this engine actually executes to turn a raw "
+        "corpus into training sequences: C4-style quality gates (q49e's "
+        "exact gate set, one shared definition) -> exact dedup min-id "
+        "survivors (q46) -> near-dup pair mining + connected-components "
+        "min-id survivors (q47/q46c/q46d machinery, same literals) -> "
+        "sharded concat-and-chunk packing into 512-token sequences "
+        "(q52), emitting the per-chunk training manifest. Every stage is "
+        "the already-audited operator; the composition hands Catalyst "
+        "the WHOLE lineage, so filters prune before the expensive "
+        "inverted index and nothing materializes between stages. The "
+        "oracle composes the same stages from the same CTE fragments "
+        "(shared constants, not copies) with a recursive closure for the "
+        "cluster stage."
+    ),
+    tags=("llm",),
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup_groups, ngram_jaccard_pairs, tokens
+    from ..operators.graph import connected_components
+    from .llm_queries import quality_gates
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    kept = quality_gates(corpus).where("kept").select("doc_id")
+    clean = corpus.join(kept, "doc_id")
+    groups = exact_dedup_groups(clean, "doc_id", "text")
+    exact_surv = clean.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    pairs = ngram_jaccard_pairs(
+        exact_surv, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=exact_surv.select("doc_id"), node_col="doc_id",
+        nodes_unique=True,  # doc_id unique after exact-survivor semi-join
+        edges_unique=True,  # pair miner emits each pair once, id_a < id_b
+    )
+    surv = (
+        comp.where(F.col("node") == F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    final = exact_surv.join(surv, "doc_id")
+    tok = final.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        (F.col("doc_id") % _Q52_SHARDS).cast("long").alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = tok.select(
+        "shard_id", "doc_id", "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_off"),
+    )
+    return (
+        offs.select(
+            "shard_id", "doc_id", "n_tok",
+            F.expr(f"start_off div {_Q52_SEQ_LEN}").alias("chunk_id"),
+        )
+        .groupBy("shard_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id", "chunk_id")
+    )

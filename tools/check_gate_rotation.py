@@ -77,10 +77,13 @@ MODULE_DEPS: dict[str, list[str]] = {
     ],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
-        # q51 builds on the planted-dup corpus + tokenization from the llm
-        # surface; a change THERE must pull q51/q52 in-window too.
+        # q51/q53/q54 build on the planted-dup corpus + tokenization +
+        # gate/pair CTEs from the llm surface; q54 additionally runs the
+        # dedup pair miner and connected components — a change in ANY of
+        # these must pull the pipeline entries in-window too.
         PKG + "queries/llm_queries.py",
         PKG + "operators/dedup.py",
+        PKG + "operators/graph.py",
     ],
 }
 
