@@ -62,11 +62,12 @@ GATE_PRIORITY = frozenset({
     "q49l_vocab_coverage", "q49m_bigram_lm_score",
     "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
     # new this round (r6): queries/pipeline_queries.py (substring-level
-    # exact dedup + its scrub remediation + sequence packing) — new code
-    # MUST be in-window, which at 50/50 capacity evicted three
-    # stale-rotation slots (q27_global_sort_limit, q28_union_all,
-    # q29_intersect — files untouched since r3, r3 rows remain valid,
-    # scheduled FIRST for the r7 rotation; see GATE_r06.md)
+    # exact dedup + its scrub remediation + sequence packing + the q54
+    # full-pipeline composition) — new code MUST be in-window, which at
+    # 50/50 capacity evicted FOUR stale-rotation slots
+    # (q27_global_sort_limit, q28_union_all, q29_intersect,
+    # q33b_vector_norm — files untouched since r3, r3 rows remain
+    # valid, ALL FOUR scheduled FIRST for the r7 rotation; GATE_r06.md)
     "q51_repeated_substrings", "q52_sequence_packing",
     "q53_substring_scrub", "q54_full_pipeline",
     # stale rotation (r6): last driver-verified in r3, files untouched

@@ -91,17 +91,20 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-codegen and re-execute, dominating the family's cold cost (q51
     measured 11.2 s cold in-bench vs 2.0 s warm; the split was compile,
     not compute). Materializing to scratch parquet once per sf_dir
-    (the q02/q05/q48d `_materialize_once` pattern — process-safe via a
-    done-marker) turns every dedup query's input into a plain parquet
-    scan, so the benchmark measures the OPERATOR, not corpus synthesis.
-    Row content is identical; every consumer ends in an explicit
-    ORDER BY, so ordering differences cannot surface."""
-    from .relational import _materialize_once, _scratch
+    (scratch.materialize_once: write to a private temp dir, publish
+    with one atomic rename — a reader can never observe a half-written
+    directory even under a first-writer race) turns every dedup query's
+    input into a plain parquet scan, so the benchmark measures the
+    OPERATOR, not corpus synthesis. Row content is identical; every
+    consumer ends in an explicit ORDER BY, so ordering differences
+    cannot surface. Staleness contract: keyed by sf_dir basename —
+    wipe /tmp/b2bqs after regenerating testdata (scratch.py)."""
+    from ..scratch import materialize_once, scratch_path
 
     def _write(path: str) -> None:
         _build_dedup_corpus(spark, sf_dir).write.mode("overwrite").parquet(path)
 
-    path = _materialize_once(_scratch("dedup_corpus", sf_dir), _write)
+    path = materialize_once(scratch_path("dedup_corpus", sf_dir), _write)
     return spark.read.parquet(path)
 
 
@@ -600,7 +603,7 @@ def _embedding_dedup_pairs(spark: SparkSession, sf_dir: str):
     so the pair view cannot drift between the pair query and the apply
     query."""
     from ..operators.similarity import sign_band_neardup_pairs
-    from .relational import _materialize_once, _scratch
+    from ..scratch import materialize_once, scratch_path
 
     def _write(path: str) -> None:
         t = tables(spark, sf_dir)
@@ -618,7 +621,7 @@ def _embedding_dedup_pairs(spark: SparkSession, sf_dir: str):
     # materialized once per sf_dir (same rationale/pattern as
     # _dedup_corpus: the planted union is scaffolding; parquet float
     # arrays round-trip bit-exactly, so oracle parity is unaffected)
-    path = _materialize_once(_scratch("embedding_corpus", sf_dir), _write)
+    path = materialize_once(scratch_path("embedding_corpus", sf_dir), _write)
     corpus = spark.read.parquet(path)
     pairs = sign_band_neardup_pairs(corpus, "vec_id", "embedding", 0.95)
     return corpus, pairs

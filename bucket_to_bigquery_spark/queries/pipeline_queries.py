@@ -172,46 +172,40 @@ _Q52_SEQ_LEN = 512  # tokens per training sequence (chunk)
 _Q52_SHARDS = 8
 
 
+def pack_sql_tail(rel: str) -> str:
+    """offs + final chunk aggregation over ``rel`` (shard_id, doc_id,
+    n_tok) — shared by the q52 and q54 oracles so the packing literals
+    (_Q52_SEQ_LEN/_Q52_SHARDS shard math lives with the caller's tok
+    CTE) cannot drift between them."""
+    return (
+        f"offs AS (SELECT shard_id, doc_id, n_tok, "
+        "COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off "
+        f"FROM {rel}) "
+        "SELECT shard_id, "
+        f"CAST(start_off // {_Q52_SEQ_LEN} AS BIGINT) AS chunk_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, "
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+        "FROM offs GROUP BY shard_id, chunk_id ORDER BY shard_id, chunk_id"
+    )
+
+
 _Q52_SQL = (
     "WITH tok AS (SELECT doc_id, "
     f"CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok, "
     f"CAST(doc_id % {_Q52_SHARDS} AS BIGINT) AS shard_id FROM documents), "
-    "offs AS (SELECT shard_id, doc_id, n_tok, "
-    "COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off "
-    "FROM tok) "
-    "SELECT shard_id, "
-    f"CAST(start_off // {_Q52_SEQ_LEN} AS BIGINT) AS chunk_id, "
-    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
-    "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, "
-    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
-    "FROM offs GROUP BY shard_id, chunk_id ORDER BY shard_id, chunk_id"
+    + pack_sql_tail("tok")
 )
 
 
-@query(
-    "q52_sequence_packing",
-    oracle=_Q52_SQL,
-    description=(
-        "Q52: sequence packing — the concat-and-chunk assignment a "
-        "pretraining pipeline runs to turn variable-length documents into "
-        "fixed 512-token training sequences: documents are concatenated "
-        "in doc_id order WITHIN a shard (doc_id mod 8) and every document "
-        "is assigned the chunk its first token lands in "
-        "(chunk_id = start_offset div 512); emits per-chunk composition "
-        "(doc count, started-token count, doc-id range). Sharding is the "
-        "scale story: the running-offset window partitions by shard_id, "
-        "so 1000 executors pack their shards independently — no global "
-        "sort, one shuffle — while (shard, doc_id) order keeps the "
-        "assignment deterministic. Pure integer arithmetic end to end."
-    ),
-    tags=("llm",),
-)
-def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tables(spark, sf_dir)["documents"]
+def pack_chunks(with_text: DataFrame) -> DataFrame:
+    """Concat-and-chunk packing over any (doc_id, text) frame — ONE
+    definition shared by q52 and the q54 pipeline tail (the same
+    no-drift rationale as quality_gates/q47_index_ctes)."""
     from ..operators.dedup import tokens
 
-    tok = d.select(
+    tok = with_text.select(
         "doc_id",
         F.size(tokens("text")).cast("long").alias("n_tok"),
         (F.col("doc_id") % _Q52_SHARDS).cast("long").alias("shard_id"),
@@ -239,6 +233,29 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id", "chunk_id")
     )
+
+
+@query(
+    "q52_sequence_packing",
+    oracle=_Q52_SQL,
+    description=(
+        "Q52: sequence packing — the concat-and-chunk assignment a "
+        "pretraining pipeline runs to turn variable-length documents into "
+        "fixed 512-token training sequences: documents are concatenated "
+        "in doc_id order WITHIN a shard (doc_id mod 8) and every document "
+        "is assigned the chunk its first token lands in "
+        "(chunk_id = start_offset div 512); emits per-chunk composition "
+        "(doc count, started-token count, doc-id range). Sharding is the "
+        "scale story: the running-offset window partitions by shard_id, "
+        "so 1000 executors pack their shards independently — no global "
+        "sort, one shuffle — while (shard, doc_id) order keeps the "
+        "assignment deterministic. Pure integer arithmetic end to end."
+    ),
+    tags=("llm",),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    return pack_chunks(d.select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -265,16 +282,9 @@ _Q54_SQL = (
     "lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a), "
     "surv AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id), "
     "ptok AS (SELECT t2.doc_id, CAST(len(t2.t) AS BIGINT) AS n_tok, "
-    "CAST(t2.doc_id % 8 AS BIGINT) AS shard_id "
+    f"CAST(t2.doc_id % {_Q52_SHARDS} AS BIGINT) AS shard_id "
     "FROM tok t2 JOIN surv USING (doc_id)), "
-    "offs AS (SELECT shard_id, doc_id, n_tok, "
-    "COALESCE(SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off "
-    "FROM ptok) "
-    "SELECT shard_id, CAST(start_off // 512 AS BIGINT) AS chunk_id, "
-    "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, "
-    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
-    "FROM offs GROUP BY shard_id, chunk_id ORDER BY shard_id, chunk_id"
+    + pack_sql_tail("ptok")
 )
 
 
@@ -300,7 +310,7 @@ _Q54_SQL = (
     tags=("llm",),
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import exact_dedup_groups, ngram_jaccard_pairs, tokens
+    from ..operators.dedup import exact_dedup_groups, ngram_jaccard_pairs
     from ..operators.graph import connected_components
     from .llm_queries import quality_gates
 
@@ -325,31 +335,4 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     final = exact_surv.join(surv, "doc_id")
-    tok = final.select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tok"),
-        (F.col("doc_id") % _Q52_SHARDS).cast("long").alias("shard_id"),
-    )
-    w = (
-        Window.partitionBy("shard_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = tok.select(
-        "shard_id", "doc_id", "n_tok",
-        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_off"),
-    )
-    return (
-        offs.select(
-            "shard_id", "doc_id", "n_tok",
-            F.expr(f"start_off div {_Q52_SEQ_LEN}").alias("chunk_id"),
-        )
-        .groupBy("shard_id", "chunk_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .orderBy("shard_id", "chunk_id")
-    )
+    return pack_chunks(final.select("doc_id", "text"))

@@ -253,5 +253,12 @@ def test_q52_packing_has_single_shard_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q52_sequence_packing")
     hashes = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
     assert hashes and all("shard_id" in ln for ln in hashes)
+    # exactly ONE hash exchange: the groupBy must reuse the window's
+    # shard_id partitioning, not add a second shuffle
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges
     specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert specs and all("shard_id" in ln for ln in specs)  # never global

@@ -54,6 +54,7 @@ MODULE_DEPS: dict[str, list[str]] = {
         # the llm surface in-window too (ADVICE r5 #1).
         PKG + "queries/relational.py",
         PKG + "operators/lm.py",
+        PKG + "scratch.py",
     ],
     PKG + "queries/relational.py": [
         PKG + "operators/asof_join.py",
@@ -84,6 +85,10 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "queries/llm_queries.py",
         PKG + "operators/dedup.py",
         PKG + "operators/graph.py",
+        # the planted-corpus builders the pipeline entries execute live
+        # in llm_queries but materialize through scratch.py — map it
+        # directly (the dep map is NOT transitive)
+        PKG + "scratch.py",
     ],
 }
 

@@ -85,11 +85,16 @@ def main() -> int:
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
     ops = {
-        # DF cap scales with corpus size: the cap is a document-frequency
-        # SEMANTIC (boilerplate = "in more than X docs"), so a fair probe
-        # holds the boilerplate FRACTION constant, not the absolute count
+        # DF cap stays CONSTANT across scales: replicas share no
+        # shingles (per-token suffix), so every shingle's global
+        # document frequency equals its within-replica frequency and is
+        # scale-invariant — a constant cap excludes the same shingles at
+        # every S, which is what keeps candidate volume linear by
+        # construction (scaling the cap with S would instead re-admit
+        # df∈(100, 100·S] shingles at larger S and grow pairs
+        # super-linearly, breaking the probe's own premise)
         "q47_ngram_jaccard": lambda df, s: ngram_jaccard_pairs(
-            df, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100 * s
+            df, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
         ),
         "q51_repeated_substrings": lambda df, s: repeated_substring_spans(
             df, "doc_id", "text", window=8, min_doc_freq=2
