@@ -262,3 +262,22 @@ def test_q52_packing_has_single_shard_shuffle(spark, sf_dir):
     assert len(exchanges) == 1, exchanges
     specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert specs and all("shard_id" in ln for ln in specs)  # never global
+
+
+def test_q54_pipeline_no_cartesian_all_partitioned(spark, sf_dir):
+    # the full-pipeline composition must stay inside the audited join
+    # strategies (broadcast/sort-merge equi-joins only — never a
+    # cartesian or nested-loop fallback from the multi-stage
+    # composition) and every window must be shard/doc partitioned
+    from bucket_to_bigquery_spark.queries import all_queries as _aq
+
+    df = _aq()["q54_full_pipeline"].builder(spark, sf_dir)
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs and all(
+        ("shard_id" in ln or "doc_id" in ln) for ln in specs
+    )
