@@ -40,9 +40,10 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE: 50/50 slots used this — AT CAPACITY: the next new entry must evict a stale-rotation one
-# round — each new registry entry consumes one; when the changed+stale set
-# exceeds 50 the rotation check fails and the round must split its changes.
+# replacing the leading ``a`` with ``q``. NOTE: all 50 slots are used
+# this round — the window is AT CAPACITY, so each new registry entry
+# must evict a stale-rotation slot; when the changed+stale set exceeds
+# 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
     # changed this round (r6): queries/llm_queries.py (new q46d, q50c

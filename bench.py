@@ -159,10 +159,12 @@ def main() -> None:
     # their full names instead of failing or silently merging.
     codes: dict[str, str] = {}
     collided: set[str] = set()
+    seen: set[str] = set()
     for k in timings:
         c = k.split("_", 1)[0]
-        if c in codes:
+        if c in seen:
             collided.add(c)
+        seen.add(c)
         codes[k] = c
     compact = {
         "metric": "declared_query_set_wall_time",

@@ -65,6 +65,9 @@ def bigram_lm_scores(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            # mirrors queries/registry.davg (order-independent decimal
+            # average) inline: operators/ must not import from queries/,
+            # so the one-expression duplication is the lesser coupling
             (
                 F.sum(F.col("lp").cast("decimal(30,6)")).cast("double")
                 / F.count("lp")

@@ -53,12 +53,21 @@ def cosine_from_e12(dot: Column, na: Column, nb: Column) -> Column:
 
 
 def _round_half_away_e12(p):
-    """numpy replica of SQL ROUND-to-integer on a double: half away from
-    zero. Per-element magnitudes here are ≤ ~1e12 (unit-ish embedding
-    products ·1e12), where float64 ulp ≈ 2e-4, so the +0.5 is exact."""
+    """numpy replica of SQL ROUND-to-integer on a double: nearest, ties
+    away from zero — the semantics BOTH engines apply to doubles (Spark
+    F.round goes through BigDecimal HALF_UP on the shortest-decimal
+    value; DuckDB round() is std::round). Implemented as rint (nearest,
+    no pre-arithmetic) with an exact-tie correction, NOT floor(abs+0.5):
+    the add in that classic idiom rounds 0.49999999999999994+0.5 up to
+    1.0 before the floor, flipping values one ulp below a .5 boundary
+    to 1 where both engines produce 0 (caught in round-6 review; the
+    tie test is exact because representable .5 fractions are binary)."""
     import numpy as np
 
-    return np.copysign(np.floor(np.abs(p) + 0.5), p).astype("int64")
+    r = np.rint(p)  # nearest, ties-to-even; exact (no arithmetic on p)
+    t = np.trunc(p)
+    ties = np.abs(p - t) == 0.5
+    return np.where(ties, t + np.copysign(1.0, p), r).astype("int64")
 
 
 _MAX_EXACT_QUERIES = 4096  # same bounded-collect contract as the IVF fit
@@ -82,9 +91,9 @@ def cosine_topk_exact(
 
     Cross-engine determinism is the SAME integer contract as
     :func:`dot_e12`/:func:`norm_e12` — Σ round(xᵢ·yᵢ·1e12) as int64,
-    with round = half-away-from-zero replicated exactly in numpy
-    (`copysign(floor(abs+0.5))`), so cosines stay bit-identical to the
-    DuckDB oracle. The numpy path replaces a Catalyst higher-order-
+    with round = nearest-ties-away replicated exactly in numpy
+    (rint + exact-tie correction, see `_round_half_away_e12`), so
+    cosines stay bit-identical to the DuckDB oracle. The numpy path replaces a Catalyst higher-order-
     function evaluation of N·Q·dim lambda calls (interpreted, ~10×
     slower at 100 audited queries × 2000 corpus rows); the math is
     unchanged.
@@ -102,6 +111,12 @@ def cosine_topk_exact(
             f"small-by-contract bound {_MAX_EXACT_QUERIES}; use the ANN "
             "paths (ivf_topk / signgrid_ann_topk) for large query sets"
         )
+    if not qrows:
+        # the old broadcast-join path returned empty for an empty query
+        # set; keep that contract instead of a numpy shape error
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, rank long, n_id long, cosine double"
+        )
     q_ids = np.asarray([r["q_id"] for r in qrows], dtype="int64")
     q_mat = np.asarray(
         [np.asarray(r["q_vec"], dtype="float64") for r in qrows]
@@ -109,31 +124,43 @@ def cosine_topk_exact(
     q_norm = _round_half_away_e12(q_mat * q_mat * 1e12).sum(axis=1)  # (Q,)
     q_sqrt = np.sqrt(q_norm.astype("float64"))
 
+    # per-element round BEFORE the sum is the integer contract, so the
+    # dot is an elementwise (rows, queries, dim) product, not a matmul —
+    # chunk BOTH axes so the working set stays ~tens of MB per python
+    # worker regardless of Arrow batch size or the 4096-query bound
+    # (unchunked at that bound a 10k-row batch is a ~21 GB temporary)
+    _ROW_CHUNK, _Q_CHUNK = 1024, 64
+
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray(
+            all_x = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
             )  # (B, dim)
-            n_norm = _round_half_away_e12(x * x * 1e12).sum(axis=1)
-            # per-element round BEFORE the sum is the integer contract, so
-            # this is an elementwise (B, Q, dim) product, not a matmul
-            dots = _round_half_away_e12(
-                x[:, None, :] * q_mat[None, :, :] * 1e12
-            ).sum(axis=2)  # (B, Q) int64
-            cos = dots.astype("float64") / (
-                np.sqrt(n_norm.astype("float64"))[:, None] * q_sqrt[None, :]
-            )
-            n_ids = pdf["n_id"].to_numpy()
-            b, nq = cos.shape
-            yield pd.DataFrame(
-                {
-                    "q_id": np.tile(q_ids, b),
-                    "n_id": np.repeat(n_ids, nq),
-                    "cosine": cos.reshape(-1),
-                }
-            )
+            all_ids = pdf["n_id"].to_numpy()
+            nq = len(q_ids)
+            for rs in range(0, len(all_x), _ROW_CHUNK):
+                x = all_x[rs:rs + _ROW_CHUNK]
+                n_ids = all_ids[rs:rs + _ROW_CHUNK]
+                n_norm = _round_half_away_e12(x * x * 1e12).sum(axis=1)
+                dots = np.empty((len(x), nq), dtype="int64")
+                for qs in range(0, nq, _Q_CHUNK):
+                    qe = min(qs + _Q_CHUNK, nq)
+                    dots[:, qs:qe] = _round_half_away_e12(
+                        x[:, None, :] * q_mat[None, qs:qe, :] * 1e12
+                    ).sum(axis=2)
+                cos = dots.astype("float64") / (
+                    np.sqrt(n_norm.astype("float64"))[:, None] * q_sqrt[None, :]
+                )
+                b = len(x)
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.tile(q_ids, b),
+                        "n_id": np.repeat(n_ids, nq),
+                        "cosine": cos.reshape(-1),
+                    }
+                )
 
     scored = (
         corpus.select(

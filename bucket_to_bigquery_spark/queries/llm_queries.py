@@ -33,7 +33,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_payload, extract_byte_features, payload_magic
 from ..operators.similarity import ann_topk_lsh, cosine_topk_exact
-from .registry import davg, davg_sql, query, tables
+from .registry import davg_sql, query, tables
 
 # ---------------------------------------------------------------------------
 # Shared corpus-with-planted-duplicates (both engines, literally)

@@ -52,6 +52,25 @@ def test_numpy_round_exact_halves_away_from_zero():
     ]
 
 
+def test_numpy_round_one_ulp_below_half_rounds_down():
+    # the classic floor(abs+0.5) idiom fails HERE: 0.49999999999999994
+    # + 0.5 rounds UP to 1.0 in float64 before the floor, while both
+    # engines round the actual value (just below one half) to 0 — the
+    # round-6 review regression; rint + exact-tie correction must hold
+    below = np.asarray(
+        [0.49999999999999994, -0.49999999999999994,
+         1.4999999999999998, -1.4999999999999998],
+        dtype="float64",
+    )
+    assert list(_round_half_away_e12(below)) == [0, 0, 1, -1]
+    con = duckdb.connect()
+    for v, want in zip(below, [0, 0, 1, -1]):
+        got = con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE), 0) AS BIGINT)", [float(v)]
+        ).fetchone()[0]
+        assert got == want, (v, got)
+
+
 def test_numpy_round_matches_spark_round(spark):
     from pyspark.sql import functions as F
 
