@@ -46,9 +46,13 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # changed this round (r6): queries/llm_queries.py (new q46d, q50c
-    # oracle guard) + operators/{dedup,similarity}.py (parallelism floor,
-    # sign-grid operating point, IVF guards) -> the whole q46-q50 surface
+    # changed this round (r7): queries/llm_queries.py (q48d migrated to
+    # scratch.materialize_once — removes the llm->relational coupling;
+    # q48e promoted to the 9x7 Hamming-1 multi-probe operating point) +
+    # operators/graph.py (CC final-label block-release seam) +
+    # operators/similarity.py (rename + multi-probe promotion) +
+    # scratch.py (source-content fingerprint in the scratch key) -> the
+    # whole q46-q50 surface via the file-level dep map
     "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
     "q46d_dedup_apply",
     "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
@@ -62,24 +66,26 @@ GATE_PRIORITY = frozenset({
     "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
     "q49l_vocab_coverage", "q49m_bigram_lm_score",
     "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
-    # new this round (r6): queries/pipeline_queries.py (substring-level
-    # exact dedup + its scrub remediation + sequence packing + the q54
-    # full-pipeline composition) — new code MUST be in-window, which at
-    # 50/50 capacity evicted FOUR stale-rotation slots
-    # (q27_global_sort_limit, q28_union_all, q29_intersect,
-    # q33b_vector_norm — files untouched since r3, r3 rows remain
-    # valid, ALL FOUR scheduled FIRST for the r7 rotation; GATE_r06.md)
+    # changed this round (r7): queries/pipeline_queries.py — q54 extended
+    # in place with the ExactSubstr scrub stage (gates -> exact -> near-dup
+    # -> SCRUB -> pack), oracle composed from the same shared fragments
     "q51_repeated_substrings", "q52_sequence_packing",
     "q53_substring_scrub", "q54_full_pipeline",
-    # stale rotation (r6): last driver-verified in r3, files untouched
-    # since (q12-q24 rotated through r5; q04*/q09b verified r5)
-    "q25_window_frames", "q26_topk_per_group",
-    "q28b_union_distinct", "q29b_except",
-    "q30_string_funcs", "q31_datetime_funcs",
-    "q31b_local_time_ordered_view", "q31c_stacked_views",
-    "q32_math_funcs", "q33_array_funcs",
-    "q34_map_struct_funcs", "q35_conditional_funcs",
-    "q36_tumbling_window", "q37_sliding_window",
+    # stale rotation (r7), GATE_r06 plan executed: the four r6 capacity
+    # evictions (r3 rows) ...
+    "q27_global_sort_limit", "q28_union_all", "q29_intersect",
+    "q33b_vector_norm",
+    # ... plus 10 of the 11 r4-era streaming/UDF entries. The window is
+    # again AT CAPACITY (50/50): q45_map_in_pandas_tokenize is the ONE
+    # deferred stale entry (udf_queries.py untouched since r4, its family
+    # keeps three r7-fresh representatives; FIRST for the r8 rotation —
+    # GATE_r07.md).
+    "q38_session_window", "q38b_custom_stateful_sessions",
+    "q39_watermark_append", "q40_stream_dedup",
+    "q41_exactly_once_file_ingest", "q41b_stream_static_enrich",
+    "q41c_stream_stream_join",
+    "q42_pandas_udf_normalize", "q43_apply_in_pandas_zscore",
+    "q44_grouped_agg_udf_weighted_mean",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")
