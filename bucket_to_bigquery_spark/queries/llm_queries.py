@@ -891,23 +891,30 @@ def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "approx"),
 )
 def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import sys
 
-    from ..operators.similarity import ivf_build_index, ivf_probe_prebuilt
-    from .relational import _materialize_once, _scratch
-
-    from ..operators.similarity import IVF_INDEX_VERSION
+    from ..operators.similarity import (
+        IVF_INDEX_VERSION,
+        ivf_build_index,
+        ivf_probe_prebuilt,
+    )
+    from ..scratch import materialize_once, scratch_path
 
     t = tables(spark, sf_dir)
     emb = t["embeddings"]
     # the scratch key embeds the index-format/params version: a change to
     # the quantizer would otherwise silently reuse a stale on-disk index
-    # (the done-marker persists across processes) and diverge from q48c
-    scratch = _scratch(f"q48d_ivf_index_{IVF_INDEX_VERSION}", sf_dir)
-    import os
+    # (the done-marker persists across processes) and diverge from q48c.
+    # scratch.materialize_once (atomic rename publish) rather than the
+    # relational.py writer: a crashed build can never leave a half-written
+    # index a later probe treats as complete — and retiring this, the one
+    # llm->relational import, unkeys the 32-entry llm surface from
+    # relational.py in the gate dep map (GATE_r07.md).
+    scratch = scratch_path(f"q48d_ivf_index_{IVF_INDEX_VERSION}", sf_dir)
 
     reused = int(os.path.exists(f"{scratch}/.b2bqs_done"))
-    path = _materialize_once(
+    path = materialize_once(
         scratch, lambda p: ivf_build_index(emb, f"{p}/index")
     ) + "/index"
     # observability: a timed q48d run must show reused=1 (the build belongs

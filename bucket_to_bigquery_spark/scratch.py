@@ -1,15 +1,16 @@
 """Atomic write-once scratch materialization for derived bench inputs.
 
 Used by the q46-q54 planted-corpus builders (llm_queries/_dedup_corpus,
-_embedding_dedup_pairs). Differs from relational._materialize_once (the
-q02/q05/q48d scratch writer) in HOW the publish happens: the data is
-written to a process-private temp directory and published with one
-``os.rename`` — so a reader can never observe a half-written directory,
-even if two processes race to be first writer (the loser's rename fails
-and its temp dir is discarded). relational.py keeps its original
-non-atomic variant this round because a change there pulls its ~40
-(mostly out-of-window) entries into the 50-slot correctness gate
-(tools/check_gate_rotation.py); migrating it is an r7 task.
+_embedding_dedup_pairs) and, since r7, q48d's prebuilt-IVF-index writer.
+Differs from relational._materialize_once (the q02/q05 scratch writer)
+in HOW the publish happens: the data is written to a process-private
+temp directory and published with one ``os.rename`` — so a reader can
+never observe a half-written directory, even if two processes race to
+be first writer (the loser's rename fails and its temp dir is
+discarded). relational.py still carries its original non-atomic variant
+because a change there pulls its 35 (mostly out-of-window) entries into
+the 50-slot correctness gate (tools/check_gate_rotation.py); migrating
+it is the first r8 task (GATE_r07.md).
 
 Staleness contract (explicit): scratch is keyed by the sf_dir BASENAME,
 not by content — regenerating the testdata in place serves stale

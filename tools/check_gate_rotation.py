@@ -49,10 +49,10 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/graph.py",
         PKG + "operators/similarity.py",
         PKG + "operators/multimodal.py",
-        # q48d executes relational.py helpers (_scratch/_materialize_once,
-        # the persisted-index reuse path) — a relational.py change must pull
-        # the llm surface in-window too (ADVICE r5 #1).
-        PKG + "queries/relational.py",
+        # relational.py was a dep here through r6 (q48d executed its
+        # _scratch/_materialize_once helpers); r7 migrated q48d to
+        # scratch.materialize_once (GATE_r07.md "Policy changes"), so a
+        # relational.py change no longer pulls the llm surface in-window.
         PKG + "operators/lm.py",
         PKG + "scratch.py",
     ],
