@@ -52,7 +52,7 @@ def cosine_from_e12(dot: Column, na: Column, nb: Column) -> Column:
     )
 
 
-def _round_half_away_e12(p):
+def _round_nearest_ties_away_e12(p):
     """numpy replica of SQL ROUND-to-integer on a double: nearest, ties
     away from zero — the semantics BOTH engines apply to doubles (Spark
     F.round goes through BigDecimal HALF_UP on the shortest-decimal
@@ -92,7 +92,7 @@ def cosine_topk_exact(
     Cross-engine determinism is the SAME integer contract as
     :func:`dot_e12`/:func:`norm_e12` — Σ round(xᵢ·yᵢ·1e12) as int64,
     with round = nearest-ties-away replicated exactly in numpy
-    (rint + exact-tie correction, see `_round_half_away_e12`), so
+    (rint + exact-tie correction, see `_round_nearest_ties_away_e12`), so
     cosines stay bit-identical to the DuckDB oracle. The numpy path replaces a Catalyst higher-order-
     function evaluation of N·Q·dim lambda calls (interpreted, ~10×
     slower at 100 audited queries × 2000 corpus rows); the math is
@@ -121,7 +121,7 @@ def cosine_topk_exact(
     q_mat = np.asarray(
         [np.asarray(r["q_vec"], dtype="float64") for r in qrows]
     )  # (Q, dim)
-    q_norm = _round_half_away_e12(q_mat * q_mat * 1e12).sum(axis=1)  # (Q,)
+    q_norm = _round_nearest_ties_away_e12(q_mat * q_mat * 1e12).sum(axis=1)  # (Q,)
     q_sqrt = np.sqrt(q_norm.astype("float64"))
 
     # per-element round BEFORE the sum is the integer contract, so the
@@ -143,11 +143,11 @@ def cosine_topk_exact(
             for rs in range(0, len(all_x), _ROW_CHUNK):
                 x = all_x[rs:rs + _ROW_CHUNK]
                 n_ids = all_ids[rs:rs + _ROW_CHUNK]
-                n_norm = _round_half_away_e12(x * x * 1e12).sum(axis=1)
+                n_norm = _round_nearest_ties_away_e12(x * x * 1e12).sum(axis=1)
                 dots = np.empty((len(x), nq), dtype="int64")
                 for qs in range(0, nq, _Q_CHUNK):
                     qe = min(qs + _Q_CHUNK, nq)
-                    dots[:, qs:qe] = _round_half_away_e12(
+                    dots[:, qs:qe] = _round_nearest_ties_away_e12(
                         x[:, None, :] * q_mat[None, qs:qe, :] * 1e12
                     ).sum(axis=2)
                 cos = dots.astype("float64") / (
@@ -289,18 +289,20 @@ def signgrid_ann_topk(
     sf0.001/0.01/0.1 (recall@5 vs brute force @ candidate fraction of
     all query-corpus pairs; tools sweep, r6):
 
-    ========================  =====================  ==================
-    config                    recall@5 (3 SFs)       candidate fraction
-    ========================  =====================  ==================
-    11×5, exact (DEFAULT)     0.62 / 0.68 / 0.70     0.29–0.30
-    10×6, exact (old default) 0.40-class             ~0.14
-    9×7, probe_hamming=1      0.78 / 0.78 / 0.84     ~0.44
-    16×4, exact               0.88 / 0.92 / 0.92     ~0.65
-    ========================  =====================  ==================
+    ==========================  =====================  ==================
+    config                      recall@5 (3 SFs)       candidate fraction
+    ==========================  =====================  ==================
+    11×5, exact (DEFAULT)       0.62 / 0.68 / 0.70     0.29–0.30
+    10×6, exact (r5 default)    0.40-class             ~0.14
+    9×7, probe_hamming=1 (q48e) 0.78 / 0.78 / 0.84     ~0.44
+    16×4, exact                 0.88 / 0.92 / 0.92     ~0.65
+    ==========================  =====================  ==================
 
-    The default trades ~3.4× less scoring than brute force for ≥0.6
-    recall; 9×7 multi-probe dominates 16×4 (more recall per candidate)
-    when higher recall is worth 1.5× the scoring.
+    The parameter default trades ~3.4× less scoring than brute force for
+    ≥0.6 recall; 9×7 multi-probe dominates 16×4 (more recall per
+    candidate) and is what the registered q48e entry ships since r7
+    (VERDICT r6 item #5) — higher recall worth 1.5× the default's
+    scoring, still 2.3× cheaper than brute force.
 
     The evidence-grade member of the ANN family: no RNG, no fit — the
     blocking (and the Hamming-1 probe ring, a closed-form XOR per bit)

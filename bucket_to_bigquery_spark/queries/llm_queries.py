@@ -935,13 +935,22 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _NORM_E12_SQL.format(v="embedding")
         + " AS nrm FROM embeddings), "
         "coded AS (SELECT vec_id, embedding, nrm, band, "
-        "CAST(list_sum(list_transform(range(0, 5), t -> "
-        "CASE WHEN embedding[band * 5 + t + 1] > 0 THEN (1 << t) ELSE 0 END)) "
+        "CAST(list_sum(list_transform(range(0, 7), t -> "
+        "CASE WHEN embedding[band * 7 + t + 1] > 0 THEN (1 << t) ELSE 0 END)) "
         "AS BIGINT) AS code "
         "FROM c CROSS JOIN (VALUES "
-        + ", ".join(f"({j})" for j in range(11))
+        + ", ".join(f"({j})" for j in range(9))
         + ") AS b(band)), "
-        "q AS (SELECT * FROM coded WHERE vec_id < 10), "
+        # Hamming-1 multi-probe ring, QUERY side only (mirrors
+        # signgrid_ann_topk's coded(probe=True)): bit = -1 keeps the
+        # exact code, bit = 0..6 flips one sign bit — closed-form XOR,
+        # so the oracle stays a pure projection
+        "q AS (SELECT vec_id, embedding, nrm, band, "
+        "CASE WHEN p.bit < 0 THEN code "
+        "ELSE CAST(xor(code, CAST(1 << p.bit AS BIGINT)) AS BIGINT) END AS code "
+        "FROM coded CROSS JOIN (VALUES "
+        + ", ".join(f"({b})" for b in range(-1, 7))
+        + ") AS p(bit) WHERE vec_id < 10), "
         "scored AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id, "
         "CAST(" + _DOT_E12_SQL.format(a="q.embedding", b="n.embedding")
         + " AS DOUBLE) / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(n.nrm AS DOUBLE)))"
@@ -953,18 +962,19 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_id, cosine FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"
     ),
     description=(
-        "Q48e: sign-grid ANN — band j's bucket code is the sign bits of "
-        "coordinates 5j..5j+4 (11 bands: 29-30% random-pair collision, "
-        "≈3.4× less scoring than brute force, recall@5 = 0.62/0.68/0.70 "
-        "measured at sf0.001/0.01/0.1 — the r6 sweep's best recall-per-"
-        "candidate point ≥0.6 recall at ≤30% candidates; the old 10×6 "
-        "default sat at 0.4 recall / 14%); candidates share any (band, "
-        "code); exact scaled-int cosine re-ranks top-5. Deterministic "
-        "blocking (no RNG, no fit) ⇒ the ONE ANN-family member whose "
-        "end-to-end result the driver hash-verifies against a DuckDB "
-        "oracle; queries broadcast, corpus joins shuffle-free. Hamming-1 "
-        "multi-probe (probe_hamming=1, also closed-form) is the higher-"
-        "recall knob: 9×7 probes reach 0.78-0.84 recall at 44% candidates."
+        "Q48e: sign-grid ANN at the 9-band × 7-bit Hamming-1 multi-probe "
+        "operating point (promoted r7 per the r6 sweep: recall@5 = "
+        "0.78/0.78/0.84 at sf0.001/0.01/0.1 for ~44% of brute-force "
+        "scoring — it DOMINATES the 16×4 exact point, which paid ~65% "
+        "candidates for 0.88-0.92; the r6-shipped 11×5 exact point was "
+        "0.62-0.70 at ~30%). Band j's bucket code is the sign bits of "
+        "coordinates 7j..7j+6; the query side also probes every code one "
+        "bit-flip away (a closed-form XOR ring, 8 broadcast rows per "
+        "band), so a band matches when codes differ in ≤1 bit; exact "
+        "scaled-int cosine re-ranks top-5. Deterministic blocking (no "
+        "RNG, no fit) ⇒ the ONE ANN-family member whose end-to-end "
+        "result the driver hash-verifies against a DuckDB oracle; "
+        "queries broadcast, corpus joins shuffle-free."
     ),
     tags=("llm", "approx"),
 )
@@ -974,7 +984,10 @@ def q48e(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     emb = t["embeddings"]
     return (
-        signgrid_ann_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+        signgrid_ann_topk(
+            emb, emb.where(F.col("vec_id") < 10), k=5,
+            bands=9, bits=7, probe_hamming=1,
+        )
         .orderBy("q_id", "rank")
     )
 

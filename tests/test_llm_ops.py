@@ -46,9 +46,9 @@ def test_q48b_ann_recall_vs_exact(spark, sf_dir):
 def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
     # q48e is the hash-verified ANN (deterministic sign-grid blocking);
     # the driver certifies exactness of the RESULT, this pins the quality
-    # of the blocking: recall@5 vs brute force at the 11-band × 5-bit
-    # operating point (r6 sweep: 0.62/0.68/0.70 measured at
-    # sf0.001/0.01/0.1, 29-30% candidate volume)
+    # of the blocking: recall@5 vs brute force at the 9-band × 7-bit
+    # Hamming-1 multi-probe operating point promoted in r7 (r6 sweep:
+    # 0.78/0.78/0.84 measured at sf0.001/0.01/0.1, ~44% candidate volume)
     qs = all_queries()
     exact = qs["q48_cosine_topk"].builder(spark, sf_dir).collect()
     grid = qs["q48e_signgrid_ann"].builder(spark, sf_dir).collect()
@@ -60,7 +60,7 @@ def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
     assert set(grid_sets) == set(exact_sets)  # every query answered
     hits = sum(len(exact_sets[q] & grid_sets.get(q, set())) for q in exact_sets)
     recall = hits / sum(len(s) for s in exact_sets.values())
-    assert recall >= 0.6, f"sign-grid recall@5 = {recall:.2f}"
+    assert recall >= 0.78, f"sign-grid recall@5 = {recall:.2f}"
 
 
 def test_signgrid_multiprobe_dominates_exact_blocking(spark, sf_dir):

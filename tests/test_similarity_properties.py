@@ -18,7 +18,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from bucket_to_bigquery_spark.operators.similarity import (
-    _round_half_away_e12,
+    _round_nearest_ties_away_e12,
     cosine_topk_exact,
 )
 
@@ -30,7 +30,7 @@ finite_products = st.floats(
 @settings(max_examples=200, deadline=None)
 @given(st.lists(finite_products, min_size=1, max_size=50))
 def test_numpy_round_matches_duckdb_round(values):
-    ours = _round_half_away_e12(np.asarray(values, dtype="float64"))
+    ours = _round_nearest_ties_away_e12(np.asarray(values, dtype="float64"))
     con = duckdb.connect()
     theirs = [
         con.execute(
@@ -47,7 +47,7 @@ def test_numpy_round_exact_halves_away_from_zero():
         [0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 1023.5, -1023.5, 1e6 + 0.5],
         dtype="float64",
     )
-    assert list(_round_half_away_e12(halves)) == [
+    assert list(_round_nearest_ties_away_e12(halves)) == [
         1, -1, 2, -2, 3, -3, 1024, -1024, 1000001,
     ]
 
@@ -62,7 +62,7 @@ def test_numpy_round_one_ulp_below_half_rounds_down():
          1.4999999999999998, -1.4999999999999998],
         dtype="float64",
     )
-    assert list(_round_half_away_e12(below)) == [0, 0, 1, -1]
+    assert list(_round_nearest_ties_away_e12(below)) == [0, 0, 1, -1]
     con = duckdb.connect()
     for v, want in zip(below, [0, 0, 1, -1]):
         got = con.execute(
@@ -84,7 +84,7 @@ def test_numpy_round_matches_spark_round(spark):
     spark_rounded = [
         r[0] for r in df.select(F.round("v").cast("long")).collect()
     ]
-    assert list(_round_half_away_e12(vals)) == spark_rounded
+    assert list(_round_nearest_ties_away_e12(vals)) == spark_rounded
 
 
 def test_cosine_topk_matches_pure_numpy_reference(spark):
@@ -101,13 +101,13 @@ def test_cosine_topk_matches_pure_numpy_reference(spark):
     }
     # independent reference: same integer contract, naive loops
     x = vecs.astype("float64")
-    norms = _round_half_away_e12(x * x * 1e12).sum(axis=1)
+    norms = _round_nearest_ties_away_e12(x * x * 1e12).sum(axis=1)
     for q in range(5):
         scored = []
         for j in range(n):
             if j == q:
                 continue
-            dot = _round_half_away_e12(x[q] * x[j] * 1e12).sum()
+            dot = _round_nearest_ties_away_e12(x[q] * x[j] * 1e12).sum()
             cos = float(dot) / (np.sqrt(float(norms[q])) * np.sqrt(float(norms[j])))
             scored.append((-cos, j))
         scored.sort()
