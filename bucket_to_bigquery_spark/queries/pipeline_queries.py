@@ -32,37 +32,49 @@ from .registry import query, tables
 
 _Q51_WINDOW = 8  # tokens per window; docs are 10-99 tokens at every SF
 
-# Shared CTE chain (q51 stats + q53 scrub): corpus -> token arrays ->
-# window hashes -> duplicated positions -> gaps-and-islands spans.
-_Q51_SPAN_CTES = (
-    f"corpus AS ({CORPUS_SQL}), "
-    f"tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus), "
-    # 1-based window starts 1 .. len-W+1; t[i:i+W-1] is W elements
-    # (DuckDB list slicing is inclusive); hash = the shingle_hash idiom
-    # (15 md5 hex chars -> 60-bit BIGINT), mirrored literally.
-    "wins AS (SELECT doc_id, len(t) AS n_tokens, i AS pos, "
-    f"CAST(('0x' || substr(md5(array_to_string(t[i:i+{_Q51_WINDOW - 1}], ' ')), 1, 15)) AS BIGINT) "
-    "AS whash "
-    f"FROM tok, LATERAL unnest(range(1, len(t) - {_Q51_WINDOW - 2})) AS u(i) "
-    f"WHERE len(t) >= {_Q51_WINDOW}), "
-    "dup AS (SELECT whash FROM wins GROUP BY whash "
-    "HAVING COUNT(DISTINCT doc_id) >= 2), "
-    "m AS (SELECT doc_id, n_tokens, pos FROM wins "
-    "WHERE whash IN (SELECT whash FROM dup)), "
-    # gaps-and-islands: new island when the start gap exceeds the window
-    # width (windows at p1 < p2 cover contiguous tokens iff p2 <= p1+W);
-    # first row per doc: lag is NULL -> comparison NULL -> ELSE 0.
-    "brk AS (SELECT doc_id, n_tokens, pos, "
-    f"CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_Q51_WINDOW} "
-    "THEN 1 ELSE 0 END AS b FROM m), "
-    "isl AS (SELECT doc_id, n_tokens, pos, "
-    "SUM(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
-    "AS island FROM brk), "
-    "spans AS (SELECT doc_id, n_tokens, island, MIN(pos) AS span_start, "
-    f"MAX(pos) + {_Q51_WINDOW - 1} AS span_end, "
-    f"MAX(pos) - MIN(pos) + {_Q51_WINDOW} AS span_tokens "
-    "FROM isl GROUP BY doc_id, n_tokens, island)"
-)
+def span_ctes(rel: str, p: str = "") -> str:
+    """The repeated-substring span CTE chain over relation ``rel``
+    (doc_id, text): token arrays -> window hashes -> duplicated
+    positions -> gaps-and-islands spans. CTE names are prefixed with
+    ``p`` so the chain composes into a larger oracle (q54 runs it over
+    the pipeline's survivor corpus as ``s``-prefixed CTEs) without name
+    collisions — the q47_index_ctes/gates_ctes no-drift pattern.
+    """
+    W = _Q51_WINDOW
+    return (
+        f"{p}tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM {rel}), "
+        # 1-based window starts 1 .. len-W+1; t[i:i+W-1] is W elements
+        # (DuckDB list slicing is inclusive); hash = the shingle_hash
+        # idiom (15 md5 hex chars -> 60-bit BIGINT), mirrored literally.
+        f"{p}wins AS (SELECT doc_id, len(t) AS n_tokens, i AS pos, "
+        f"CAST(('0x' || substr(md5(array_to_string(t[i:i+{W - 1}], ' ')), 1, 15)) AS BIGINT) "
+        "AS whash "
+        f"FROM {p}tok, LATERAL unnest(range(1, len(t) - {W - 2})) AS u(i) "
+        f"WHERE len(t) >= {W}), "
+        f"{p}dup AS (SELECT whash FROM {p}wins GROUP BY whash "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        f"{p}m AS (SELECT doc_id, n_tokens, pos FROM {p}wins "
+        f"WHERE whash IN (SELECT whash FROM {p}dup)), "
+        # gaps-and-islands: new island when the start gap exceeds the
+        # window width (windows at p1 < p2 cover contiguous tokens iff
+        # p2 <= p1+W); first row per doc: lag NULL -> comparison NULL ->
+        # ELSE 0.
+        f"{p}brk AS (SELECT doc_id, n_tokens, pos, "
+        f"CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {W} "
+        f"THEN 1 ELSE 0 END AS b FROM {p}m), "
+        f"{p}isl AS (SELECT doc_id, n_tokens, pos, "
+        "SUM(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+        f"AS island FROM {p}brk), "
+        f"{p}spans AS (SELECT doc_id, n_tokens, island, MIN(pos) AS span_start, "
+        f"MAX(pos) + {W - 1} AS span_end, "
+        f"MAX(pos) - MIN(pos) + {W} AS span_tokens "
+        f"FROM {p}isl GROUP BY doc_id, n_tokens, island)"
+    )
+
+
+# Shared CTE chain (q51 stats + q53 scrub): the span chain over the
+# planted-duplicate corpus, unprefixed (q53's SQL references tok/spans).
+_Q51_SPAN_CTES = f"corpus AS ({CORPUS_SQL}), " + span_ctes("corpus")
 
 _Q51_SQL = (
     f"WITH {_Q51_SPAN_CTES} "
@@ -201,13 +213,25 @@ _Q52_SQL = (
 
 def pack_chunks(with_text: DataFrame) -> DataFrame:
     """Concat-and-chunk packing over any (doc_id, text) frame — ONE
-    definition shared by q52 and the q54 pipeline tail (the same
-    no-drift rationale as quality_gates/q47_index_ctes)."""
+    definition shared by q52 and (through :func:`pack_chunks_counts`)
+    the q54 pipeline tail (the same no-drift rationale as
+    quality_gates/q47_index_ctes)."""
     from ..operators.dedup import tokens
 
-    tok = with_text.select(
+    return pack_chunks_counts(
+        with_text.select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+        )
+    )
+
+
+def pack_chunks_counts(counts: DataFrame) -> DataFrame:
+    """Packing over precomputed token counts (doc_id, n_tok) — the seam
+    that lets q54 pack the SCRUBBED token counts (n_kept) without
+    re-tokenizing the rebuilt text."""
+    tok = counts.select(
         "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.col("n_tok").cast("long").alias("n_tok"),
         (F.col("doc_id") % _Q52_SHARDS).cast("long").alias("shard_id"),
     )
     w = (
@@ -281,9 +305,22 @@ _Q54_SQL = (
     "UNION SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b), "
     "lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a), "
     "surv AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id), "
-    "ptok AS (SELECT t2.doc_id, CAST(len(t2.t) AS BIGINT) AS n_tok, "
-    f"CAST(t2.doc_id % {_Q52_SHARDS} AS BIGINT) AS shard_id "
-    "FROM tok t2 JOIN surv USING (doc_id)), "
+    # SCRUB stage (r7, VERDICT r6 #4): the q51/q53 span chain over the
+    # near-dup SURVIVOR corpus (s-prefixed CTEs, same shared fragment).
+    # Spans of one doc are pairwise disjoint by construction (a new
+    # island requires a start gap > window — the q53 oracle certifies
+    # the position-level equivalence), so the kept-token count is
+    # n_tokens - SUM(span_tokens) without a position explosion.
+    "fin AS (SELECT c2.doc_id, c2.text FROM corpus2 c2 JOIN surv USING (doc_id)), "
+    + span_ctes("fin", "s") + ", "
+    "sdoc AS (SELECT doc_id, SUM(span_tokens) AS dup FROM sspans GROUP BY doc_id), "
+    "skept AS (SELECT t.doc_id, len(t.t) - COALESCE(d.dup, 0) AS n_kept "
+    "FROM stok t LEFT JOIN sdoc d USING (doc_id)), "
+    # fully-scrubbed docs (n_kept = 0) carry nothing to train on: drop
+    # them before packing (declared policy, mirrored in the builder)
+    "ptok AS (SELECT doc_id, CAST(n_kept AS BIGINT) AS n_tok, "
+    f"CAST(doc_id % {_Q52_SHARDS} AS BIGINT) AS shard_id "
+    "FROM skept WHERE n_kept > 0), "
     + pack_sql_tail("ptok")
 )
 
@@ -298,14 +335,18 @@ _Q54_SQL = (
         "exact gate set, one shared definition) -> exact dedup min-id "
         "survivors (q46) -> near-dup pair mining + connected-components "
         "min-id survivors (q47/q46c/q46d machinery, same literals) -> "
-        "sharded concat-and-chunk packing into 512-token sequences "
-        "(q52), emitting the per-chunk training manifest. Every stage is "
-        "the already-audited operator; the composition hands Catalyst "
-        "the WHOLE lineage, so filters prune before the expensive "
-        "inverted index and nothing materializes between stages. The "
-        "oracle composes the same stages from the same CTE fragments "
-        "(shared constants, not copies) with a recursive closure for the "
-        "cluster stage."
+        "ExactSubstr scrub of cross-document duplicated spans (q51/q53 "
+        "machinery; fully-scrubbed docs dropped — this is the Lee et "
+        "al. ACL 2022 pipeline order, added r7) -> sharded "
+        "concat-and-chunk packing of the SCRUBBED token counts into "
+        "512-token sequences (q52), emitting the per-chunk training "
+        "manifest. Every stage is the already-audited operator; the "
+        "composition hands Catalyst the WHOLE lineage, so filters prune "
+        "before the expensive inverted index, the scrub's unused "
+        "clean-text aggregate is pruned out of the packing plan, and "
+        "nothing materializes between stages. The oracle composes the "
+        "same stages from the same CTE fragments (shared constants, not "
+        "copies) with a recursive closure for the cluster stage."
     ),
     tags=("llm",),
 )
@@ -335,4 +376,15 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     final = exact_surv.join(surv, "doc_id")
-    return pack_chunks(final.select("doc_id", "text"))
+    # scrub stage: the REAL operator (clean_text and all); packing only
+    # selects n_kept, so Catalyst prunes the clean-text rebuild out of
+    # the Aggregate (plan-asserted in tests/test_plan_shapes.py) — the
+    # declared plan stays the full pipeline, the executed plan pays only
+    # for the counts. Fully-scrubbed docs (n_kept = 0) are dropped.
+    scrubbed = substring_scrub(
+        final, "doc_id", "text", window=_Q51_WINDOW, min_doc_freq=2
+    )
+    return pack_chunks_counts(
+        scrubbed.where(F.col("n_kept") > 0)
+        .select("doc_id", F.col("n_kept").alias("n_tok"))
+    )

@@ -1,9 +1,13 @@
 """Randomized end-to-end differential test for the q54 full pipeline:
-gates -> exact dedup -> near-dup clusters -> packing, compared against a
-pure-Python reference composition on hypothesis corpora. The oracle
-parity test covers the one planted corpus; this covers the edge cases
-random corpora produce (everything filtered, no duplicates, all
-duplicates, single-token docs, megatokens, stopword-free docs)."""
+gates -> exact dedup -> near-dup clusters -> substring scrub -> packing,
+compared against a pure-Python reference composition on hypothesis
+corpora. The oracle parity test covers the one planted corpus; this
+covers the edge cases random corpora produce (everything filtered, no
+duplicates, all duplicates, single-token docs, megatokens,
+stopword-free docs) plus a planted shared-prefix pair that exercises
+the scrub stage (two docs sharing an 8-token run whose jaccard stays
+under the 0.6 near-dup gate, so BOTH survive clustering and the shared
+run is scrubbed from each)."""
 
 from __future__ import annotations
 
@@ -85,6 +89,30 @@ def _ref_cc_survivors(ids: list[int], pairs: list[tuple[int, int]]) -> set[int]:
     return {i for i in ids if find(i) == i}
 
 
+def _ref_scrub_counts(toks: dict[int, list[str]], window: int = 8) -> dict[int, int]:
+    """Kept-token count per doc after excising every position covered by
+    an 8-token window whose content occurs in >= 2 distinct docs. The
+    operator merges duplicated windows into gaps-and-islands spans; a
+    new island requires a start gap > window, so span coverage equals
+    the plain UNION of duplicated windows' positions — which is what
+    this reference computes directly."""
+    from collections import defaultdict
+
+    docs_by_win: dict[tuple[str, ...], set[int]] = defaultdict(set)
+    for d, t in toks.items():
+        for i in range(len(t) - window + 1):
+            docs_by_win[tuple(t[i:i + window])].add(d)
+    dup = {w for w, ds in docs_by_win.items() if len(ds) >= 2}
+    out = {}
+    for d, t in toks.items():
+        covered: set[int] = set()
+        for i in range(len(t) - window + 1):
+            if tuple(t[i:i + window]) in dup:
+                covered.update(range(i, i + window))
+        out[d] = len(t) - len(covered)
+    return out
+
+
 def _ref_pipeline(docs: dict[int, str]):
     toks = {d: t.split() for d, t in docs.items()}
     kept = {d for d, t in toks.items() if _ref_gate(t)}
@@ -95,14 +123,17 @@ def _ref_pipeline(docs: dict[int, str]):
     exact = set(by_text.values())
     pairs = _ref_pairs({d: toks[d] for d in exact}, n=3, thr=0.6)
     surv = _ref_cc_survivors(sorted(exact), pairs)
-    # packing: concat-and-chunk per shard in doc_id order
+    # scrub over the SURVIVOR corpus; fully-scrubbed docs are dropped
+    n_kept = _ref_scrub_counts({d: toks[d] for d in surv})
+    surv = {d for d in surv if n_kept[d] > 0}
+    # packing: concat-and-chunk per shard in doc_id order, SCRUBBED counts
     chunks: dict[tuple[int, int], list[tuple[int, int]]] = {}
     for shard in range(_Q52_SHARDS):
         off = 0
         for d in sorted(x for x in surv if x % _Q52_SHARDS == shard):
             cid = off // _Q52_SEQ_LEN
-            chunks.setdefault((shard, cid), []).append((d, len(toks[d])))
-            off += len(toks[d])
+            chunks.setdefault((shard, cid), []).append((d, n_kept[d]))
+            off += n_kept[d]
     return {
         (s, c): (
             len(ds), sum(n for _, n in ds), min(d for d, _ in ds),
@@ -120,12 +151,21 @@ def test_full_pipeline_matches_reference(spark, texts):
         ngram_jaccard_pairs,
     )
     from bucket_to_bigquery_spark.operators.graph import connected_components
-    from bucket_to_bigquery_spark.queries.pipeline_queries import pack_chunks
+    from bucket_to_bigquery_spark.operators.substring import substring_scrub
+    from bucket_to_bigquery_spark.queries.pipeline_queries import (
+        pack_chunks_counts,
+    )
     from pyspark.sql import functions as F
 
     # plant exact copies of the first two docs so dedup is exercised
     rows = [(i, t) for i, t in enumerate(texts)]
     rows += [(100 + i, t) for i, t in rows[:2]]
+    # plant a shared-prefix pair so the SCRUB stage is exercised: both
+    # pass the gates (>=5 tokens, stopwords, no megatoken), share the
+    # 8-token run (6 common 3-gram shingles; jaccard 6/16 = 0.375 < 0.6
+    # so both survive clustering), and scrub to n_kept = 5 each
+    run8 = "the data model train and of xx yy"
+    rows += [(201, run8 + " aa bb cc dd ee"), (202, run8 + " ff gg hh ii jj")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
     kept = quality_gates(df).where("kept").select("doc_id")
@@ -146,12 +186,17 @@ def test_full_pipeline_matches_reference(spark, texts):
         comp.where(F.col("node") == F.col("cluster_id"))
         .select(F.col("node").alias("doc_id"))
     )
+    scrubbed = substring_scrub(
+        exact_surv.join(surv, "doc_id").select("doc_id", "text"),
+        "doc_id", "text", window=8, min_doc_freq=2,
+    )
     got = {
         (r["shard_id"], r["chunk_id"]): (
             r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"]
         )
-        for r in pack_chunks(
-            exact_surv.join(surv, "doc_id").select("doc_id", "text")
+        for r in pack_chunks_counts(
+            scrubbed.where(F.col("n_kept") > 0)
+            .select("doc_id", F.col("n_kept").alias("n_tok"))
         ).collect()
     }
     expect = _ref_pipeline(dict(rows))

@@ -281,3 +281,10 @@ def test_q54_pipeline_no_cartesian_all_partitioned(spark, sf_dir):
     assert specs and all(
         ("shard_id" in ln or "doc_id" in ln) for ln in specs
     )
+    # the scrub stage is declared through the REAL substring_scrub
+    # operator (clean_text and all) but packing only consumes n_kept —
+    # Catalyst must prune the clean-text rebuild (collect_list +
+    # sort_array + array_join) out of the executed plan, leaving only
+    # the count aggregate
+    assert "collect_list" not in plan
+    assert "sort_array" not in plan
