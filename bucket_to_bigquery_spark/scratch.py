@@ -12,15 +12,20 @@ because a change there pulls its 35 (mostly out-of-window) entries into
 the 50-slot correctness gate (tools/check_gate_rotation.py); migrating
 it is the first r8 task (GATE_r07.md).
 
-Staleness contract (explicit): scratch is keyed by the sf_dir BASENAME,
-not by content — regenerating the testdata in place serves stale
-derived corpora until ``/tmp/b2bqs`` is wiped. That is the established
-repo-wide scratch contract (see .claude/skills/verify: "deterministic
-paths, safe to wipe").
+Staleness contract (r7, ADVICE r6 #2): the scratch key embeds a
+CONTENT fingerprint of the source directory (sorted (entry, size,
+mtime_ns) of its immediate children) alongside the sf_dir basename —
+regenerating the testdata in place changes the fingerprint, so a
+derived corpus can never be served stale against a refreshed source
+(pre-r7 the key was the basename alone, and an in-place regeneration
+surfaced as confusing gate failures: Spark read the stale materialized
+corpus while the DuckDB oracle recomputed fresh). Paths remain
+deterministic for an unchanged source and safe to wipe.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from collections.abc import Callable
@@ -30,9 +35,28 @@ _DONE = ".b2bqs_done"
 _PUBLISHED: set[str] = set()
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """8-hex digest of the source dir's (name, size, mtime_ns) listing.
+
+    Non-recursive: the testdata layout is flat files (driver-written
+    parquet), and even for directory-valued entries a regeneration
+    rewrites children, bumping the directory mtime. A missing/unreadable
+    source hashes to a constant so error surfacing stays with the reader
+    that actually opens it.
+    """
+    h = hashlib.md5()
+    try:
+        for entry in sorted(os.listdir(sf_dir)):
+            st = os.stat(os.path.join(sf_dir, entry))
+            h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns};".encode())
+    except OSError:
+        h.update(b"unreadable")
+    return h.hexdigest()[:8]
+
+
 def scratch_path(name: str, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"{_ROOT}/{name}/{tag}"
+    return f"{_ROOT}/{name}/{tag}-{_source_fingerprint(sf_dir)}"
 
 
 def materialize_once(path: str, write: Callable[[str], None]) -> str:

@@ -118,18 +118,24 @@ def main() -> int:
             t0 = time.time()
             rows = build(corpus, s).count()
             wall = time.time() - t0
-            rec = {"op": name, "scale": s, "sec": round(wall, 2), "rows": rows}
+            # keep the unrounded wall for the trend ratio (ADVICE r6 #3:
+            # a sub-10ms base rounds to 0.0 and the summary division
+            # raised AFTER all measurements completed); round for display
+            rec = {"op": name, "scale": s, "sec": round(wall, 2), "rows": rows,
+                   "_wall": wall}
             results.append(rec)
-            print(json.dumps(rec), flush=True)
+            print(json.dumps({k: v for k, v in rec.items()
+                              if not k.startswith("_")}), flush=True)
 
     # trend summary: sec(S) / (S * sec(1)) — 1.0 = perfectly linear,
     # < 1.0 = better-than-linear (parallelism amortization)
-    base = {r["op"]: r["sec"] for r in results if r["scale"] == scales[0]}
+    base = {r["op"]: r["_wall"] for r in results if r["scale"] == scales[0]}
     for r in results:
         if r["scale"] != scales[0]:
-            r2 = r["sec"] / (r["scale"] / scales[0] * base[r["op"]])
+            denom = r["scale"] / scales[0] * base[r["op"]]
+            r2 = r["_wall"] / denom if denom > 0 else None
             print(json.dumps({"op": r["op"], "scale": r["scale"],
-                              "vs_linear": round(r2, 2)}), flush=True)
+                              "vs_linear": r2 and round(r2, 2)}), flush=True)
     shutil.rmtree(SCRATCH, ignore_errors=True)
     return 0
 
