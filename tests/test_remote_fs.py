@@ -204,3 +204,62 @@ def test_event_candidates_match_across_uri_spellings(spark, workdir):
         task, [f"file:{workdir}/src/a.csv", f"file://{workdir}/other/b.csv"]
     )
     assert got == [f"file:{workdir}/src/a.csv"]
+
+
+def test_hadoop_fs_over_real_network_scheme(spark, workdir):
+    """A1 parity over a REAL network scheme, not file:// posix
+    passthrough: Hadoop's read-only HttpFileSystem (hadoop-client-api
+    3.4, HADOOP-14383) against a live local HTTP server. The ranged
+    header sniff — the reference's [0, maxBytes] GET,
+    commands/GetStorageToBuffer.js:14-42 — and the full-object buffer
+    read run over an actual TCP socket through the SAME HadoopFS seam
+    every other connector (gs://, s3a://, hdfs://) plugs into.
+
+    Boundary notes (why this scheme, and only this far): http:// is the
+    one networked FileSystem the stock pyspark jars ship that this
+    sandbox can genuinely serve (no hadoop-aws/gcs-connector jars, no
+    egress). HttpFileSystem is read-only and cannot list — so
+    spark.read/glob over it is unsupported (Spark raises
+    UNSUPPORTED_FILE_SYSTEM: listStatus) and its getFileStatus/exists is
+    a stub that answers True even for missing objects; the loader e2e
+    therefore still needs a write-capable scheme (SURVEY §8's documented
+    environmental boundary, exercised over file:// above).
+    """
+    import functools
+    import http.server
+    import socketserver
+    import threading
+
+    from bucket_to_bigquery_spark.ingest.schema_registry import (
+        sniff_csv_headers,
+    )
+
+    _write_csv(
+        f"{workdir}/www/readings.csv",
+        ["timestamp", "utc_offset", "location"],
+        [["2024-01-01 00:00:00", "1.5", "berlin"],
+         ["2024-01-02 00:00:00", "2.0", "paris"]],
+    )
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=f"{workdir}/www"
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            fs = HadoopFS(spark)
+            uri = f"http://127.0.0.1:{port}/readings.csv"
+            # bounded ranged read: a 16-byte sniff returns exactly 16
+            # bytes no matter the object size
+            assert fs.read_head(uri, 16) == b"timestamp,utc_of"
+            # the loader's actual sniff composition (loader.py sniff():
+            # read_head(f, 4000) -> sniff_csv_headers) over the network
+            assert sniff_csv_headers(fs.read_head(uri, 4000)) == [
+                "timestamp", "utc_offset", "location",
+            ]
+            # full-object buffer read (GetStorageToBuffer's whole-object
+            # mode) matches the bytes served
+            with open(f"{workdir}/www/readings.csv", "rb") as fh:
+                assert fs.read_bytes(uri) == fh.read()
+        finally:
+            srv.shutdown()
