@@ -348,11 +348,31 @@ def signgrid_ann_topk(
             "bc.band", "bc.code",
         )
 
-    q = F.broadcast(coded(queries, "q", probe=probe_hamming == 1))
+    # dedup the candidate PAIR before scoring: a pair colliding in
+    # several bands (true neighbors collide in many — more still under
+    # multi-probe) must pay the dim-length dot product ONCE, not once
+    # per collision — scoring pre-dedup measured q48e at 2x its r6 cost
+    # when the r7 multi-probe promotion multiplied collisions per pair.
+    # The match uses a codes-only broadcast (Catalyst prunes the unused
+    # query vector/norm out of its coded() branch) so the pair-dedup
+    # exchange carries one copy of the corpus vector and no query
+    # vector; query features re-attach from a Q-row broadcast afterward.
+    qc = coded(queries, "q", probe=probe_hamming == 1)
+    q_codes = F.broadcast(qc.select("q_id", "band", "code"))
+    q_feats = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_e12(F.col(vec_col)).alias("q_norm"),
+        )
+    )
     scored = (
         coded(corpus, "n")
-        .join(q, ["band", "code"])
+        .join(q_codes, ["band", "code"])
         .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "n_vec", "n_norm")
+        .dropDuplicates(["q_id", "n_id"])
+        .join(q_feats, "q_id")
         .select(
             "q_id",
             "n_id",
@@ -362,9 +382,6 @@ def signgrid_ann_topk(
                 F.col("n_norm"),
             ).alias("cosine"),
         )
-        # a pair colliding in several bands scores identically each time
-        # (cosine is a pure function of the pair): dedup the triples
-        .dropDuplicates(["q_id", "n_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (

@@ -174,6 +174,53 @@ def repeated_substring_spans(
     )
 
 
+def substring_scrub_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """The token ACCOUNTING of :func:`substring_scrub`, without the text.
+
+    Returns ``(doc_id, n_tokens, n_kept, n_removed)`` — exactly
+    ``substring_scrub(...)`` minus ``clean_text`` (equality
+    property-tested on random corpora) — computed as per-doc span
+    arithmetic instead of a position explosion: merged spans are
+    pairwise disjoint by construction (a new island requires a start
+    gap > window), so ``n_removed = Σ span_tokens`` without ever
+    materializing covered positions.
+
+    The seam exists for manifest-only consumers (q54's packing tail
+    needs counts, not rebuilt text): at 100 TB the scrub's
+    position-level path adds ~n_tokens rows per document (posexplode +
+    anti-join + rebuild agg) that a counts consumer pays for and then
+    discards — Catalyst prunes the unused clean-text AGGREGATE but
+    cannot know the position explosion itself is count-reducible. Here
+    the whole tail after span mining is one per-doc sum plus a join to
+    the token-count projection.
+    """
+    ranges = repeated_substring_ranges(
+        df, id_col, text_col, window=window, min_doc_freq=min_doc_freq
+    )
+    removed = ranges.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("n_removed")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+    )
+
+
 def substring_scrub(
     df: DataFrame,
     id_col: str,

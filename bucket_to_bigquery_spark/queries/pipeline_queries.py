@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.substring import repeated_substring_spans, substring_scrub
+from ..operators.substring import (
+    repeated_substring_spans,
+    substring_scrub,
+    substring_scrub_counts,
+)
 from .llm_queries import CORPUS_SQL, _TOKS_SQL, _dedup_corpus
 from .registry import query, tables
 
@@ -340,12 +344,14 @@ _Q54_SQL = (
         "al. ACL 2022 pipeline order, added r7) -> sharded "
         "concat-and-chunk packing of the SCRUBBED token counts into "
         "512-token sequences (q52), emitting the per-chunk training "
-        "manifest. Every stage is the already-audited operator; the "
-        "composition hands Catalyst the WHOLE lineage, so filters prune "
-        "before the expensive inverted index, the scrub's unused "
-        "clean-text aggregate is pruned out of the packing plan, and "
-        "nothing materializes between stages. The oracle composes the "
-        "same stages from the same CTE fragments (shared constants, not "
+        "manifest. Every stage is the already-audited operator (the "
+        "scrub enters through substring_scrub_counts, the span-"
+        "arithmetic counts projection property-tested equal to the full "
+        "scrub — a manifest consumer never pays the position-level "
+        "rebuild); the composition hands Catalyst the WHOLE lineage, so "
+        "filters prune before the expensive inverted index and nothing "
+        "materializes between stages. The oracle composes the same "
+        "stages from the same CTE fragments (shared constants, not "
         "copies) with a recursive closure for the cluster stage."
     ),
     tags=("llm",),
@@ -376,12 +382,14 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     final = exact_surv.join(surv, "doc_id")
-    # scrub stage: the REAL operator (clean_text and all); packing only
-    # selects n_kept, so Catalyst prunes the clean-text rebuild out of
-    # the Aggregate (plan-asserted in tests/test_plan_shapes.py) — the
-    # declared plan stays the full pipeline, the executed plan pays only
-    # for the counts. Fully-scrubbed docs (n_kept = 0) are dropped.
-    scrubbed = substring_scrub(
+    # scrub stage, counts projection: packing needs n_kept, not rebuilt
+    # text, and substring_scrub_counts derives it as per-doc span
+    # arithmetic (removed = Σ span_tokens, exact by span disjointness —
+    # property-tested equal to the full substring_scrub) — Catalyst can
+    # prune the full scrub's unused clean-text AGGREGATE but not its
+    # position explosion, which cost q54 a second corpus-sized
+    # posexplode + anti-join. Fully-scrubbed docs (n_kept = 0) drop.
+    scrubbed = substring_scrub_counts(
         final, "doc_id", "text", window=_Q51_WINDOW, min_doc_freq=2
     )
     return pack_chunks_counts(

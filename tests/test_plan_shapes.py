@@ -281,10 +281,9 @@ def test_q54_pipeline_no_cartesian_all_partitioned(spark, sf_dir):
     assert specs and all(
         ("shard_id" in ln or "doc_id" in ln) for ln in specs
     )
-    # the scrub stage is declared through the REAL substring_scrub
-    # operator (clean_text and all) but packing only consumes n_kept —
-    # Catalyst must prune the clean-text rebuild (collect_list +
-    # sort_array + array_join) out of the executed plan, leaving only
-    # the count aggregate
+    # the scrub stage enters through the counts projection
+    # (substring_scrub_counts): none of the clean-text rebuild machinery
+    # (collect_list/sort_array over kept positions) may appear — the
+    # span-index window-hash explode is the only scrub-stage generator
     assert "collect_list" not in plan
     assert "sort_array" not in plan

@@ -166,6 +166,34 @@ def test_substring_scrub_matches_reference(spark, texts):
     assert got == expect
 
 
+@settings(max_examples=5, deadline=None)
+@given(docs_strategy)
+def test_scrub_counts_equal_full_scrub(spark, texts):
+    # substring_scrub_counts is the counts projection of substring_scrub
+    # (span arithmetic instead of position explosion — valid because
+    # merged spans are disjoint); the two must agree on every document
+    from bucket_to_bigquery_spark.operators.substring import (
+        substring_scrub,
+        substring_scrub_counts,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_removed"])
+        for r in substring_scrub(
+            df, "doc_id", "text", window=3, min_doc_freq=2
+        ).collect()
+    }
+    counts = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_removed"])
+        for r in substring_scrub_counts(
+            df, "doc_id", "text", window=3, min_doc_freq=2
+        ).collect()
+    }
+    assert counts == full
+
+
 def test_substring_scrub_shapes(spark):
     """Identical docs scrub to empty; a doc embedding another loses
     exactly the embedded run; untouched docs pass through verbatim
