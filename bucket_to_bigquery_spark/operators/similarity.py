@@ -324,13 +324,29 @@ def signgrid_ann_topk(
 
     def coded(df: DataFrame, prefix: str, probe: bool = False) -> DataFrame:
         vec = F.col(vec_col)
-        structs = []
+        # Two-step projection: compute each band's sign code ONCE (a
+        # bits-deep when-chain), then build the (band, code[, probe
+        # ring]) structs off the materialized codes ARRAY. Inlining the
+        # chains into every struct (the pre-r7 shape) made the explode
+        # expression bands x (1 + bits x probe) chains wide, and Janino
+        # recompiles that tree per plan; multi-use non-trivial aliases
+        # survive CollapseProject, so the split stays two Projects.
+        band_codes = []
         for j in range(bands):
             code: Column = F.lit(0)
             for t in range(bits):
                 code = code + F.when(
                     F.element_at(vec, j * bits + t + 1) > 0, F.lit(1 << t)
                 ).otherwise(F.lit(0))
+            band_codes.append(code.cast("long"))
+        with_codes = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            vec.alias(f"{prefix}_vec"),
+            F.array(*band_codes).alias("_codes"),
+        )
+        structs = []
+        for j in range(bands):
+            code = F.element_at(F.col("_codes"), j + 1)
             variants = [code] if not probe else [
                 code, *(code.bitwiseXOR(F.lit(1 << t)) for t in range(bits))
             ]
@@ -338,14 +354,11 @@ def signgrid_ann_topk(
                 F.struct(F.lit(j).alias("band"), v.cast("long").alias("code"))
                 for v in variants
             )
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            vec.alias(f"{prefix}_vec"),
-            norm_e12(vec).alias(f"{prefix}_norm"),
+        return with_codes.select(
+            f"{prefix}_id", f"{prefix}_vec",
             F.explode(F.array(*structs)).alias("bc"),
         ).select(
-            f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm",
-            "bc.band", "bc.code",
+            f"{prefix}_id", f"{prefix}_vec", "bc.band", "bc.code",
         )
 
     # dedup the candidate PAIR before scoring: a pair colliding in
@@ -363,25 +376,47 @@ def signgrid_ann_topk(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            norm_e12(F.col(vec_col)).alias("q_norm"),
         )
     )
+    # Candidate scoring runs as one Arrow-batched numpy pass per
+    # partition (row-aligned pair scoring — no Q x N blowup) under the
+    # SAME integer contract as dot_e12/norm_e12, replicated exactly by
+    # _round_nearest_ties_away_e12 (the q48 exact-scorer precedent:
+    # Catalyst higher-order lambdas stay interpreted — never
+    # whole-stage-codegen'd — and measured ~3x the Arrow pass on the
+    # candidate volume the promoted multi-probe point produces). Still
+    # fully distributed: no driver collect anywhere on this path.
+    import numpy as np
+    import pandas as pd
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
+            )
+            qv = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["q_vec"]]
+            )
+            nn = _round_nearest_ties_away_e12(x * x * 1e12).sum(axis=1)
+            qn = _round_nearest_ties_away_e12(qv * qv * 1e12).sum(axis=1)
+            dots = _round_nearest_ties_away_e12(x * qv * 1e12).sum(axis=1)
+            cos = dots.astype("float64") / (
+                np.sqrt(nn.astype("float64")) * np.sqrt(qn.astype("float64"))
+            )
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "cosine": cos}
+            )
+
     scored = (
         coded(corpus, "n")
         .join(q_codes, ["band", "code"])
         .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", "n_vec", "n_norm")
+        .select("q_id", "n_id", "n_vec")
         .dropDuplicates(["q_id", "n_id"])
         .join(q_feats, "q_id")
-        .select(
-            "q_id",
-            "n_id",
-            cosine_from_e12(
-                dot_e12(F.col("q_vec"), F.col("n_vec")),
-                F.col("q_norm"),
-                F.col("n_norm"),
-            ).alias("cosine"),
-        )
+        .mapInPandas(_score, "q_id long, n_id long, cosine double")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
