@@ -34,8 +34,8 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 #      round commit is aliased (a regression in changed code must be
 #      visible to THIS round's gate), and
 #   2. remaining slots rotate through the stalest previously-verified
-#      entries (round 6: q25-q37, whose newest driver rows are r3 —
-#      the last block older than one round).
+#      entries (round 7: the four r3-era capacity evictions plus the
+#      r4-era q38-q45 streaming/UDF block, minus q45 at capacity).
 #
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
