@@ -155,6 +155,10 @@ def connected_components(
 
     Returns ``(node, cluster_id)`` — one row per node.
     """
+    if retain not in ("cache", "checkpoint"):
+        # fail before the iteration, not after it (``_publish`` is only
+        # reached once the whole fixpoint has already been computed)
+        raise ValueError(f"retain must be 'cache' or 'checkpoint', got {retain!r}")
     if skew_safe:
         return _star_contraction(
             edges, src, dst, nodes, node_col, max_iterations, retain
