@@ -190,6 +190,23 @@ def test_q48e_queries_broadcast_corpus_unshuffled(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q48e_signgrid_ann")
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
+    # r7 shape pins: candidate scoring is the Arrow pass (never
+    # interpreted higher-order lambdas), it runs downstream of the pair
+    # dedup (score once per pair — pre-dedup scoring paid the dot
+    # product once per band collision), and the band codes are computed
+    # once into an array (the codes Project must survive
+    # CollapseProject: 'element_at(_codes' refs instead of re-inlined
+    # when-chains in the explode)
+    assert "MapInPandas" in plan
+    assert "element_at(_codes" in plan
+    # the pair-dedup aggregate must sit UPSTREAM of the scorer (executed
+    # plans print consumers above producers, so upstream = later in the
+    # string): everything the Arrow pass scores is already one row per
+    # (q_id, n_id). It plans as a two-phase (Sort|Hash)Aggregate keyed
+    # on the pair with a map-side partial_first before the exchange.
+    after_score = plan[plan.index("MapInPandas"):]
+    assert "Aggregate(key=[q_id" in after_score
+    assert "partial_first" in after_score
 
 
 def test_q49l_vocab_is_takeordered_and_broadcast(spark, sf_dir):
