@@ -78,6 +78,7 @@ def main() -> int:
     )
     from bucket_to_bigquery_spark.operators.substring import (
         repeated_substring_spans,
+        substring_scrub_counts as _scrub_counts,
     )
     from bucket_to_bigquery_spark.session import get_spark
 
@@ -95,6 +96,12 @@ def main() -> int:
         # super-linearly, breaking the probe's own premise)
         "q47_ngram_jaccard": lambda df, s: ngram_jaccard_pairs(
             df, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
+        ),
+        # the q54 scrub stage's shape (r7): span mining + per-doc count
+        # arithmetic — output exactly one row per doc, wall bounded by
+        # the same windowed-hash index as q51
+        "q54_scrub_counts": lambda df, s: _scrub_counts(
+            df, "doc_id", "text", window=8, min_doc_freq=2
         ),
         "q51_repeated_substrings": lambda df, s: repeated_substring_spans(
             df, "doc_id", "text", window=8, min_doc_freq=2
