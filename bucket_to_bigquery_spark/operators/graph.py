@@ -89,11 +89,18 @@ def _publish(result: DataFrame, inputs: list[tuple[DataFrame, list[int]]],
     per call. The published frame is a normal cached Dataset — the
     caller's ``df.unpersist()`` (or a session ``clearCache()``) reclaims
     it. MEMORY_AND_DISK spills instead of evicting, so recomputation is
-    never needed on a healthy session; the trade is that losing an
-    executor AFTER the checkpoint blocks are freed loses the cached
-    partitions irrecoverably — single-process local mode can't hit
-    this, a 1000-executor run should pass ``retain="checkpoint"`` (and
-    checkpoint to reliable storage, module docstring).
+    never needed on a healthy session; the trades (pinned in tests) are
+    that a published frame is dead-or-correct once reclaimed —
+    re-collecting after ``clearCache()`` raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND once the freed blocks actually
+    drop (unpersist is asynchronous, so a fast re-read may still serve
+    the same labels; it can never serve different ones). Rebuild by
+    calling the operator again; consumers must finish before
+    session-level cache sweeps. Losing an executor after the checkpoint
+    blocks are freed likewise loses cached partitions irrecoverably —
+    single-process local mode can't hit that; a 1000-executor run
+    should pass ``retain="checkpoint"`` (and checkpoint to reliable
+    storage, module docstring).
 
     ``retain="checkpoint"``: the pre-r7 behavior — return the lazy plan
     over the final checkpointed frame, blocks retained for the life of

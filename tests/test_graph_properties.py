@@ -79,6 +79,18 @@ def test_cc_default_retain_is_fully_reclaimable(spark):
         # ...and a plain clearCache reclaims the whole call
         spark.catalog.clearCache()
         assert _persistent_rdd_ids(spark) == set(), kwargs
+        # after reclaim the frame is dead-or-correct: its checkpoint
+        # inputs were freed at publish, so a re-collect either raises
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND or — because unpersist is
+        # asynchronous and blocks may linger — still serves the SAME
+        # labels. What it may never do is silently recompute
+        # wrong/partial labels.
+        try:
+            again = {r["node"]: r["cluster_id"] for r in labels.collect()}
+        except Exception as ex:  # noqa: BLE001 — the expected dead path
+            assert "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in str(ex), kwargs
+        else:
+            assert again == got, kwargs
 
 
 def test_cc_retain_checkpoint_keeps_blocks(spark):
