@@ -71,21 +71,26 @@ GATE_PRIORITY = frozenset({
     # -> SCRUB -> pack), oracle composed from the same shared fragments
     "q51_repeated_substrings", "q52_sequence_packing",
     "q53_substring_scrub", "q54_full_pipeline",
+    # NEW this round (r7, late session): queries/formats.py — the XML
+    # sink+scan roundtrip (new module, new code => must be in-window).
+    # Its slot comes from evicting the q44 stale refresh (below).
+    "q02c_xml_scan_roundtrip",
     # stale rotation (r7), GATE_r06 plan executed: the four r6 capacity
     # evictions (r3 rows) ...
     "q27_global_sort_limit", "q28_union_all", "q29_intersect",
     "q33b_vector_norm",
-    # ... plus 10 of the 11 r4-era streaming/UDF entries. The window is
-    # again AT CAPACITY (50/50): q45_map_in_pandas_tokenize is the ONE
-    # deferred stale entry (udf_queries.py untouched since r4, its family
-    # keeps three r7-fresh representatives; FIRST for the r8 rotation —
-    # GATE_r07.md).
+    # ... plus 9 of the 11 r4-era streaming/UDF entries. The window is
+    # again AT CAPACITY (50/50): q45_map_in_pandas_tokenize and
+    # q44_grouped_agg_udf_weighted_mean are the TWO deferred stale
+    # entries (udf_queries.py untouched since r4 so their r4 rows remain
+    # valid under the rotation invariant; q44's slot went to the new
+    # q02c entry above; the family keeps two r7-fresh representatives;
+    # FIRST for the r8 rotation — GATE_r07.md).
     "q38_session_window", "q38b_custom_stateful_sessions",
     "q39_watermark_append", "q40_stream_dedup",
     "q41_exactly_once_file_ingest", "q41b_stream_static_enrich",
     "q41c_stream_stream_join",
     "q42_pandas_udf_normalize", "q43_apply_in_pandas_zscore",
-    "q44_grouped_agg_udf_weighted_mean",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

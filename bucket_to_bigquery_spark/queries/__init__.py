@@ -16,6 +16,7 @@ from . import udf_queries  # noqa: F401
 from . import llm_queries  # noqa: F401
 from . import skew_queries  # noqa: F401
 from . import pipeline_queries  # noqa: F401
+from . import formats  # noqa: F401
 from .registry import REGISTRY, Query
 
 

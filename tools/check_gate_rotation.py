@@ -72,6 +72,9 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "ingest/events.py",
     ],
     PKG + "queries/scalar.py": [],
+    PKG + "queries/formats.py": [
+        PKG + "scratch.py",
+    ],
     PKG + "queries/udf_queries.py": [],
     PKG + "queries/skew_queries.py": [
         PKG + "operators/salted_join.py",
