@@ -55,6 +55,9 @@ def q02c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("xml")
         .option("rowTag", "order")
+        # the reader default trims element-text surrounding whitespace;
+        # a lossless round-trip must keep it — the data IS the text
+        .option("ignoreSurroundingSpaces", False)
         .schema(t["orders"].schema)
         .load(path)
         .orderBy("o_orderkey")

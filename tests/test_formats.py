@@ -1,0 +1,83 @@
+"""q02c XML round-trip edge cases the sf-table parity run cannot force:
+markup-significant characters, whitespace shapes, and nulls.
+
+The oracle-parity suite proves the orders table round-trips bit-exact;
+this suite pins the properties that make that hold — the writer/reader
+pair must escape/unescape element text (&, <, >, quotes), preserve
+leading/trailing/internal whitespace, and map an absent element back to
+NULL under an explicit schema — on a synthetic frame that contains each
+hazard explicitly (testdata free text is not guaranteed to).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+ROWS = [
+    Row(id=1, s="plain", d=1.5, n=7),
+    Row(id=2, s="amp & angle <tag> 'q' \"qq\"", d=-0.0, n=None),
+    Row(id=3, s="  leading and trailing  ", d=float("inf"), n=0),
+    Row(id=4, s=None, d=None, n=-1),
+    Row(id=5, s="unicode é中文 and ]]> seq", d=1e-300, n=2**62),
+]
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def roundtripped(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("xmlrt") / "data")
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    df.write.format("xml").option("rowTag", "r").mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "r")
+        # mirrors q02c: the reader's default trims surrounding spaces,
+        # which is lossy — rely on writer-side escaping instead
+        .option("ignoreSurroundingSpaces", False)
+        .schema(SCHEMA)
+        .load(path)
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    yield rows
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_xml_escapes_markup_characters(roundtripped):
+    assert roundtripped[2]["s"] == "amp & angle <tag> 'q' \"qq\""
+
+
+def test_xml_preserves_whitespace(roundtripped):
+    assert roundtripped[3]["s"] == "  leading and trailing  "
+
+
+def test_xml_preserves_unicode_and_cdata_end(roundtripped):
+    assert roundtripped[5]["s"] == "unicode é中文 and ]]> seq"
+
+
+def test_xml_null_fields_round_trip_as_null(roundtripped):
+    assert roundtripped[4]["s"] is None
+    assert roundtripped[4]["d"] is None
+    assert roundtripped[2]["n"] is None
+
+
+def test_xml_numeric_fidelity(roundtripped):
+    # -0.0 keeps its sign bit, denormal-near doubles and int64 extremes
+    # survive the text representation
+    import math
+
+    assert math.copysign(1.0, roundtripped[2]["d"]) == -1.0
+    assert roundtripped[3]["d"] == float("inf")
+    assert roundtripped[5]["d"] == 1e-300
+    assert roundtripped[5]["n"] == 2**62
