@@ -10,6 +10,15 @@ feeds are XML more often than CSV) and the round-trip proves schema,
 timestamp and floating-point fidelity end-to-end, exactly like q02
 (CSV) and q02b (ORC) in ``relational.py``.
 
+Representability boundary (dead-or-correct, pinned in
+tests/test_formats.py): XML 1.0 cannot carry most C0 control
+characters (0x00-0x08, 0x0B-0x1F except tab/newline/CR), and the
+writer FAILS the job on such a value (Woodstox "Invalid white space
+character" via TASK_WRITE_FAILED) rather than silently dropping or
+substituting it — a corpus that needs those bytes belongs in
+parquet/ORC, not XML. Tab, newline, DEL and all higher Unicode are
+legal and round-trip exactly.
+
 The round-trip lives in its own module (not relational.py) so adding it
 does not pull the 35-entry relational block into the correctness-gate
 window (tools/check_gate_rotation.py file-level dep map; the scratch

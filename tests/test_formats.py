@@ -72,6 +72,30 @@ def test_xml_null_fields_round_trip_as_null(roundtripped):
     assert roundtripped[2]["n"] is None
 
 
+def test_xml_control_chars_fail_loudly_not_silently(spark, tmp_path):
+    # XML 1.0 cannot represent 0x01; the writer must FAIL the job
+    # (dead-or-correct), never drop or substitute the byte. Legal
+    # whitespace controls (tab) and DEL are representable and exact.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import Row
+    from pyspark.sql.utils import CapturedException
+
+    path = str(tmp_path / "ctl")
+    bad = spark.createDataFrame([Row(id=1, s="a\x01b")], SCHEMA[:2])
+    with pytest.raises((Py4JJavaError, CapturedException)):
+        bad.write.format("xml").option("rowTag", "r").save(path)
+
+    ok_path = str(tmp_path / "ok")
+    ok = spark.createDataFrame([Row(id=1, s="tab\there \x7f del")], SCHEMA[:2])
+    ok.write.format("xml").option("rowTag", "r").save(ok_path)
+    back = (
+        spark.read.format("xml").option("rowTag", "r")
+        .option("ignoreSurroundingSpaces", False)
+        .schema(T.StructType(SCHEMA[:2])).load(ok_path)
+    )
+    assert back.collect()[0]["s"] == "tab\there \x7f del"
+
+
 def test_xml_numeric_fidelity(roundtripped):
     # -0.0 keeps its sign bit, denormal-near doubles and int64 extremes
     # survive the text representation
