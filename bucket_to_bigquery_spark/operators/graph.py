@@ -166,6 +166,11 @@ def connected_components(
         # fail before the iteration, not after it (``_publish`` is only
         # reached once the whole fixpoint has already been computed)
         raise ValueError(f"retain must be 'cache' or 'checkpoint', got {retain!r}")
+    if max_iterations < 1:
+        # below 1 the seed labels are never re-checkpointed, so they
+        # still read the edge-set checkpoint blocks the publish step
+        # frees — the result would be dead-on-arrival, not "unconverged"
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     if skew_safe:
         return _star_contraction(
             edges, src, dst, nodes, node_col, max_iterations, retain

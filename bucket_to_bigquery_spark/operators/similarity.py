@@ -372,11 +372,16 @@ def signgrid_ann_topk(
     # vector; query features re-attach from a Q-row broadcast afterward.
     qc = coded(queries, "q", probe=probe_hamming == 1)
     q_codes = F.broadcast(qc.select("q_id", "band", "code"))
+    # one feature row per query id: the candidate-pair dedup runs BEFORE
+    # this join, so a duplicated id row in the queries frame would fan
+    # each deduped pair back out into duplicate scored rows — and
+    # duplicate n_ids in the top-k (the pre-r7 score-then-dedup order
+    # tolerated duplicated query rows; keep that contract)
     q_feats = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-        )
+        ).dropDuplicates(["q_id"])
     )
     # Candidate scoring runs as one Arrow-batched numpy pass per
     # partition (row-aligned pair scoring — no Q x N blowup) under the
@@ -409,6 +414,11 @@ def signgrid_ann_topk(
                 {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "cosine": cos}
             )
 
+    # id dtypes pass through the Arrow stage as-is (string/int ids both
+    # valid — the pre-r7 pure-Column pipeline was id-type-generic and the
+    # mapInPandas rewrite must not narrow that to long)
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    n_id_t = corpus.schema[id_col].dataType.simpleString()
     scored = (
         coded(corpus, "n")
         .join(q_codes, ["band", "code"])
@@ -416,7 +426,7 @@ def signgrid_ann_topk(
         .select("q_id", "n_id", "n_vec")
         .dropDuplicates(["q_id", "n_id"])
         .join(q_feats, "q_id")
-        .mapInPandas(_score, "q_id long, n_id long, cosine double")
+        .mapInPandas(_score, f"q_id {q_id_t}, n_id {n_id_t}, cosine double")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (

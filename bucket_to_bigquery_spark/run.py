@@ -229,7 +229,19 @@ def pipeline_main(argv: list[str]) -> int:
     args = ap.parse_args(argv)
 
     spark = get_spark("b2bqs-pipeline")
-    docs = spark.read.parquet(args.documents).select(
+    raw = spark.read.parquet(args.documents)
+    # fail BEFORE the expensive dedup stages, not at the chunks write:
+    # the packing tail shards on ``doc_id % 8``, so the id column must
+    # be integral — every earlier stage (gates/dedup/CC/scrub) happily
+    # accepts string ids and would burn the whole run first
+    id_type = raw.schema[args.id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        print(json.dumps({"error": (
+            f"--id-col {args.id_col!r} has type {id_type}; the packing "
+            "stage shards on doc_id % 8 and needs an integral id column"
+        )}), file=sys.stderr)
+        return 2
+    docs = raw.select(
         F.col(args.id_col).alias("doc_id"),
         F.col(args.text_col).alias("text"),
     )

@@ -59,6 +59,38 @@ def scratch_path(name: str, sf_dir: str) -> str:
     return f"{_ROOT}/{name}/{tag}-{_source_fingerprint(sf_dir)}"
 
 
+def _prune_stale_siblings(path: str) -> None:
+    """Remove same-tag siblings of ``path`` carrying a DIFFERENT
+    fingerprint (plus their crashed ``.tmp.*`` leftovers).
+
+    The fingerprinted keys mean every in-place source regeneration mints
+    a fresh ``{tag}-{fp}`` directory; without pruning, the old ones —
+    each a multi-hundred-MB materialized corpus at bench scale — pile up
+    under ``/tmp/b2bqs`` forever. Anything with a different fingerprint
+    describes a source state that no longer exists, so removal is safe
+    by construction; a LIVE racer materializing the same (current) key
+    writes under ``{path}.tmp.<pid>``, which is explicitly spared.
+    Only prunes under the scratch root: callers may hand
+    ``materialize_once`` foreign paths whose siblings are not ours to
+    manage.
+    """
+    parent = os.path.dirname(path)
+    root = os.path.realpath(_ROOT)
+    if not os.path.realpath(parent).startswith(root + os.sep):
+        return
+    base = os.path.basename(path)
+    tag = base.rsplit("-", 1)[0]
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for entry in entries:
+        if entry == base or entry.startswith(f"{base}.tmp."):
+            continue
+        if entry.startswith(f"{tag}-"):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
 def materialize_once(path: str, write: Callable[[str], None]) -> str:
     """Write derived data exactly once per path, atomically published.
 
@@ -85,5 +117,6 @@ def materialize_once(path: str, write: Callable[[str], None]) -> str:
             except OSError:
                 # another process published first; keep theirs
                 shutil.rmtree(tmp, ignore_errors=True)
+        _prune_stale_siblings(path)
         _PUBLISHED.add(path)
     return path

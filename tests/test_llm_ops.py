@@ -236,3 +236,63 @@ def test_q48d_prebuilt_index_matches_inline_ivf(spark, sf_dir):
     prebuilt = [tuple(r) for r in
                 qs["q48d_ivf_prebuilt"].builder(spark, sf_dir).collect()]
     assert prebuilt == inline
+
+
+def test_signgrid_tolerates_duplicate_query_rows(spark):
+    # pair-dedup runs BEFORE query features re-attach (r7 rewrite): a
+    # duplicated query row must not fan deduped pairs back out into
+    # duplicate neighbors in the top-k (the pre-r7 score-then-dedup
+    # order tolerated this input; the contract is pinned here)
+    from bucket_to_bigquery_spark.operators.similarity import signgrid_ann_topk
+
+    vecs = [
+        (1, [1.0, 2.0, -1.0, 0.5]),
+        (2, [1.1, 1.9, -0.9, 0.4]),
+        (3, [-1.0, -2.0, 1.0, -0.5]),
+        (4, [0.9, 2.1, -1.2, 0.6]),
+    ]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q_one = spark.createDataFrame(vecs[:1], ["vec_id", "embedding"])
+    q_dup = q_one.unionAll(q_one)
+
+    def ranked(df):
+        return [tuple(r) for r in df.orderBy("q_id", "rank").collect()]
+
+    base = ranked(signgrid_ann_topk(corpus, q_one, k=3, bands=2, bits=2))
+    dup = ranked(signgrid_ann_topk(corpus, q_dup, k=3, bands=2, bits=2))
+    assert dup == base
+    n_ids = [r[2] for r in dup]
+    assert len(n_ids) == len(set(n_ids)), f"duplicate neighbors: {n_ids}"
+
+
+def test_signgrid_preserves_non_long_id_types(spark):
+    # the Arrow scoring stage derives its output schema from the input
+    # id dtype — string document ids (valid pre-r7) must still work
+    from bucket_to_bigquery_spark.operators.similarity import signgrid_ann_topk
+
+    vecs = [
+        ("docA", [1.0, 2.0, -1.0, 0.5]),
+        ("docB", [1.1, 1.9, -0.9, 0.4]),
+        ("docC", [-1.0, -2.0, 1.0, -0.5]),
+    ]
+    corpus = spark.createDataFrame(vecs, ["doc_id", "embedding"])
+    queries = spark.createDataFrame(vecs[:1], ["doc_id", "embedding"])
+    out = signgrid_ann_topk(corpus, queries, id_col="doc_id", k=2,
+                            bands=2, bits=2)
+    assert dict(out.dtypes)["q_id"] == "string"
+    assert dict(out.dtypes)["n_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r["q_id"] == "docA" for r in rows)
+    assert {r["n_id"] for r in rows} <= {"docB", "docC"}
+
+
+def test_connected_components_rejects_zero_iterations(spark):
+    # below 1 the seed labels still read the freed edge checkpoint
+    # blocks: fail before the computation, not after it
+    import pytest as _pytest
+
+    from bucket_to_bigquery_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="max_iterations"):
+        connected_components(edges, max_iterations=0)

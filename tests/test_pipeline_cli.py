@@ -99,3 +99,23 @@ def test_pipeline_cli_no_gates(spark, workdir, capsys):
     # dropping it (it is no one's duplicate)
     assert report["documentsOut"] == 3
     assert report["tokensOut"] == 22 + 1
+
+
+def test_pipeline_cli_rejects_non_integral_id_upfront(spark, tmp_path, capsys):
+    # the packing tail shards on doc_id % 8; a string id must fail fast
+    # at argument validation, not hours later at the chunks write
+    src = tmp_path / "docs_str.parquet"
+    spark.createDataFrame(
+        [("u1", "alpha beta gamma delta epsilon zeta")],
+        ["uuid", "text"],
+    ).write.parquet(str(src))
+    rc = run_main([
+        "pipeline",
+        "--documents", str(src),
+        "--output", str(tmp_path / "out"),
+        "--id-col", "uuid",
+    ])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().err)
+    assert "integral" in err["error"]
+    assert not (tmp_path / "out").exists()  # nothing expensive ran

@@ -48,3 +48,51 @@ def test_regenerated_source_rematerializes(tmp_path):
     f.write_bytes(b"v2!")  # in-place regeneration
     materialize_once(scratch_path("corp", str(src)), write)
     assert len(calls) == 2  # new fingerprint -> fresh materialization
+
+
+def test_publish_prunes_stale_fingerprint_siblings(tmp_path):
+    import shutil
+
+    from bucket_to_bigquery_spark import scratch
+
+    src = tmp_path / "sf9"
+    src.mkdir()
+    f = src / "documents.parquet"
+    f.write_bytes(b"v1")
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+
+    p1 = materialize_once(scratch_path("prune", str(src)), write)
+    parent = os.path.dirname(p1)
+    # a crashed writer's temp dir for the OLD key must also go
+    stale_tmp = p1 + ".tmp.99999"
+    os.makedirs(stale_tmp, exist_ok=True)
+    # a DIFFERENT sf tag under the same name must be spared
+    other_tag = os.path.join(parent, "sfX-deadbeef")
+    os.makedirs(other_tag, exist_ok=True)
+
+    f.write_bytes(b"v2!")  # in-place regeneration -> new fingerprint
+    p2 = materialize_once(scratch_path("prune", str(src)), write)
+    assert p2 != p1
+    assert not os.path.exists(p1), "stale-fingerprint sibling not pruned"
+    assert not os.path.exists(stale_tmp), "stale temp leftover not pruned"
+    assert os.path.exists(other_tag), "different-tag sibling wrongly pruned"
+    assert os.path.exists(p2)
+    # a live racer's temp for the CURRENT key is spared
+    live_tmp = p2 + ".tmp.12345"
+    os.makedirs(live_tmp, exist_ok=True)
+    scratch._prune_stale_siblings(p2)
+    assert os.path.exists(live_tmp), "live same-key racer temp wrongly pruned"
+    shutil.rmtree(parent, ignore_errors=True)
+
+
+def test_prune_never_touches_paths_outside_scratch_root(tmp_path):
+    from bucket_to_bigquery_spark import scratch
+
+    foreign = tmp_path / "data" / "sf9-aaaa"
+    sibling = tmp_path / "data" / "sf9-bbbb"
+    foreign.mkdir(parents=True)
+    sibling.mkdir()
+    scratch._prune_stale_siblings(str(foreign))
+    assert sibling.exists()

@@ -66,10 +66,18 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "ingest/schema_registry.py",
         PKG + "ingest/events.py",
         PKG + "ingest/manifest.py",
+        # executes relational.py's _materialize_once/_scratch helpers
+        # (ingest_queries.py:22) — the same coupling rule that retired
+        # the llm->relational edge in r7 applies here until the r8
+        # migration moves these imports to scratch.py
+        PKG + "queries/relational.py",
     ],
     PKG + "queries/streaming_queries.py": [
         PKG + "streaming/__init__.py",
         PKG + "ingest/events.py",
+        # executes relational.py's _materialize_once/_scratch helpers
+        # (streaming_queries.py:20); see the ingest_queries note above
+        PKG + "queries/relational.py",
     ],
     PKG + "queries/scalar.py": [],
     PKG + "queries/formats.py": [
