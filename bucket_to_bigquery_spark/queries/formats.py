@@ -5,10 +5,10 @@ format is fixed per ingestion config (BucketToBigQuery.js:334-339 sets
 the CSV options; SURVEY A14).  This engine keeps the same
 explicit-schema, never-infer contract while speaking every format the
 Spark runtime ships a native reader for; XML (built in since Spark 4)
-is the one the reference's config files themselves hint at (retail
-feeds are XML more often than CSV) and the round-trip proves schema,
-timestamp and floating-point fidelity end-to-end, exactly like q02
-(CSV) and q02b (ORC) in ``relational.py``.
+is engine-added breadth beyond the reference's CSV/JSON load surface,
+and the round-trip proves schema, timestamp and floating-point
+fidelity end-to-end, exactly like q02 (CSV) and q02b (ORC) in
+``relational.py``.
 
 Representability boundary (dead-or-correct, pinned in
 tests/test_formats.py): XML 1.0 cannot carry most C0 control

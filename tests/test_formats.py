@@ -105,3 +105,51 @@ def test_xml_numeric_fidelity(roundtripped):
     assert roundtripped[3]["d"] == float("inf")
     assert roundtripped[5]["d"] == 1e-300
     assert roundtripped[5]["n"] == 2**62
+
+
+# ---------------------------------------------------------------------------
+# Randomized round-trip: any XML-1.0-representable string survives
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# XML 1.0 Char production: #x9 | #xA | #xD | [#x20-#xD7FF] |
+# [#xE000-#xFFFD] | [#x10000-#x10FFFF]. The writer escapes markup and
+# CR (&#xd; — sparing it from parser line-ending normalization), so
+# everything in the production must survive bit-exact; everything
+# outside it fails the write loudly (pinned above).
+_xml_char = st.characters(
+    blacklist_categories=("Cs",),  # surrogates are not chars
+    blacklist_characters=(
+        [chr(c) for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)]
+        + ["￾", "￿"]
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet=_xml_char, max_size=40), min_size=1, max_size=8))
+def test_xml_roundtrips_any_representable_string(spark, tmp_path_factory, texts):
+    import shutil as _shutil
+
+    from pyspark.sql import Row
+
+    path = str(tmp_path_factory.mktemp("xmlprop") / "data")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    rows = [Row(id=i, s=s) for i, s in enumerate(texts)]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.format("xml").option("rowTag", "r").mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml").option("rowTag", "r")
+        .option("ignoreSurroundingSpaces", False)
+        .schema(schema).load(path)
+    )
+    got = {r["id"]: r["s"] for r in back.collect()}
+    # exact: with surrounding-space trimming off, even the empty string
+    # survives as '' (an empty element), distinct from NULL (an absent
+    # element — pinned in test_xml_null_fields_round_trip_as_null)
+    assert got == dict(enumerate(texts))
+    _shutil.rmtree(path, ignore_errors=True)

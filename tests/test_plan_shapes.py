@@ -304,3 +304,14 @@ def test_q54_pipeline_no_cartesian_all_partitioned(spark, sf_dir):
     # span-index window-hash explode is the only scrub-stage generator
     assert "collect_list" not in plan
     assert "sort_array" not in plan
+
+
+def test_q02c_xml_scan_is_parallel_file_scan(spark, sf_dir):
+    # the XML read must plan as a plain distributed FileScan over the
+    # materialized part files with the EXPLICIT orders schema (a
+    # schema-inference job before the scan would be a second full read;
+    # a single-partition read would serialize a 1000-file feed)
+    plan = _plan(spark, sf_dir, "q02c_xml_scan_roundtrip")
+    assert "FileScan xml" in plan, plan[:1500]
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and any("o_orderkey" in ln for ln in read)
