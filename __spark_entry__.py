@@ -34,8 +34,8 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 #      round commit is aliased (a regression in changed code must be
 #      visible to THIS round's gate), and
 #   2. remaining slots rotate through the stalest previously-verified
-#      entries (round 7: the four r3-era capacity evictions plus the
-#      r4-era q38-q45 streaming/UDF block, minus q45 at capacity).
+#      entries (round 8: the two r4-row UDF deferrals q44/q45 — the
+#      relational/ingest/streaming migration fills the other 48 slots).
 #
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
@@ -46,51 +46,41 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # changed this round (r7): queries/llm_queries.py (q48d migrated to
-    # scratch.materialize_once — removes the llm->relational coupling;
-    # q48e promoted to the 9x7 Hamming-1 multi-probe operating point) +
-    # operators/graph.py (CC final-label block-release seam) +
-    # operators/similarity.py (rename + multi-probe promotion) +
-    # scratch.py (source-content fingerprint in the scratch key) -> the
-    # whole q46-q50 surface via the file-level dep map
-    "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
-    "q46d_dedup_apply",
-    "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
-    "q47c_embedding_neardup", "q47d_benchmark_decontamination",
-    "q47e_containment_pairs", "q47f_embedding_dedup_apply",
-    "q48_cosine_topk", "q48b_ann_lsh_topk", "q48c_ivf_topk",
-    "q48d_ivf_prebuilt", "q48e_signgrid_ann", "q48f_knn_label_audit",
-    "q49_text_stats", "q49b_length_histogram", "q49c_language_id",
-    "q49d_doc_fingerprint", "q49e_quality_filter", "q49f_repetition_ratio",
-    "q49g_stratified_sample", "q49h_shard_assignment",
-    "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
-    "q49l_vocab_coverage", "q49m_bigram_lm_score",
-    "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
-    # changed this round (r7): queries/pipeline_queries.py — q54 extended
-    # in place with the ExactSubstr scrub stage (gates -> exact -> near-dup
-    # -> SCRUB -> pack), oracle composed from the same shared fragments
-    "q51_repeated_substrings", "q52_sequence_packing",
-    "q53_substring_scrub", "q54_full_pipeline",
-    # NEW this round (r7, late session): queries/formats.py — the XML
-    # sink+scan roundtrip (new module, new code => must be in-window).
-    # Its slot comes from evicting the q44 stale refresh (below).
-    "q02c_xml_scan_roundtrip",
-    # stale rotation (r7), GATE_r06 plan executed: the four r6 capacity
-    # evictions (r3 rows) ...
-    "q27_global_sort_limit", "q28_union_all", "q29_intersect",
-    "q33b_vector_norm",
-    # ... plus 9 of the 11 r4-era streaming/UDF entries. The window is
-    # again AT CAPACITY (50/50): q45_map_in_pandas_tokenize and
-    # q44_grouped_agg_udf_weighted_mean are the TWO deferred stale
-    # entries (udf_queries.py untouched since r4 so their r4 rows remain
-    # valid under the rotation invariant; q44's slot went to the new
-    # q02c entry above; the family keeps two r7-fresh representatives;
-    # FIRST for the r8 rotation — GATE_r07.md).
-    "q38_session_window", "q38b_custom_stateful_sessions",
-    "q39_watermark_append", "q40_stream_dedup",
-    "q41_exactly_once_file_ingest", "q41b_stream_static_enrich",
-    "q41c_stream_stream_join",
-    "q42_pandas_udf_normalize", "q43_apply_in_pandas_zscore",
+    # changed this round (r8): queries/relational.py — the deferred
+    # scratch-helper migration (_materialize_once/_scratch retired in
+    # favor of scratch.materialize_once/scratch_path, atomic publish +
+    # content-fingerprinted keys; GATE_r07.md r8 plan #1) pulls ALL 35
+    # relational entries in-window, refreshing the r4/r5-era q01-q29
+    # rows as a side effect.
+    "q01_parquet_scan", "q02_csv_scan_roundtrip", "q02b_orc_scan_roundtrip",
+    "q03_json_extract", "q05_glob_scan", "q06_project_filter",
+    "q07_select_except", "q08_compound_predicates", "q09_inner_join",
+    "q10_broadcast_join_agg", "q11_left_outer_join", "q12_semi_join",
+    "q13_anti_join", "q14_range_join", "q15_asof_join",
+    "q15b_asof_join_tolerance", "q16_tpch_q3_shape", "q17_tpch_q1_shape",
+    "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
+    "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
+    "q22_having", "q23_ranking_windows", "q24_lag_lead",
+    "q25_window_frames", "q26_topk_per_group", "q27_global_sort_limit",
+    "q28_union_all", "q28b_union_distinct", "q29_intersect", "q29b_except",
+    # changed this round (r8): queries/ingest_queries.py — same migration
+    # (its _build now writes under the atomic-publish temp path) plus the
+    # q04b clock seam (ingest/loader.py grows a fixed-import-timestamp
+    # seam so the audit table gets a full value oracle; r8 plan #3).
+    "q04_ingest_partitioned_sink", "q04b_imported_audit",
+    "q04c_partition_pruned_scan", "q04d_catalog_sql",
+    # changed this round (r8): queries/streaming_queries.py — same
+    # migration (stream_events + the q41 staged ingest tree move to
+    # scratch.materialize_once).
+    "q36_tumbling_window", "q37_sliding_window", "q38_session_window",
+    "q38b_custom_stateful_sessions", "q39_watermark_append",
+    "q40_stream_dedup", "q41_exactly_once_file_ingest",
+    "q41b_stream_static_enrich", "q41c_stream_stream_join",
+    # stale rotation (r8), GATE_r07 plan #2: the two r4-row UDF
+    # deferrals — the oldest evidence in the repo (q44's r7 slot was
+    # re-assigned to the late q02c entry; udf_queries.py untouched since
+    # r4 so the r4 rows stayed valid under the rotation invariant).
+    "q44_grouped_agg_udf_weighted_mean", "q45_map_in_pandas_tokenize",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")
