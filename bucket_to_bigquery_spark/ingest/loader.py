@@ -124,10 +124,18 @@ class BatchLoader:
 
     def __init__(self, spark: SparkSession, warehouse: str,
                  job_id_seed: str | None = None,
-                 allow_quoted_newlines: bool = False):
+                 allow_quoted_newlines: bool = False,
+                 import_ts: str | None = None):
         self.spark = tune(spark)
         self.warehouse = warehouse
         self._job_id_seed = job_id_seed  # deterministic seam for tests (A18)
+        # Deterministic seam for the audit clock (A15): when set (a
+        # ``yyyy-MM-dd HH:mm:ss`` string), ``store_as_imported`` stamps it
+        # instead of wall clock, making the ``_imported`` table fully
+        # value-checkable (the driver's q04b oracle). Production default
+        # stays current_timestamp — parity with storeAsImported
+        # (BucketToBigQuery.js:390-397).
+        self._import_ts = import_ts
         # The reference hardcodes allowQuotedNewlines:true (js:337). Spark's
         # equivalent (multiLine=True) makes every CSV file single-split —
         # one task per file regardless of size, a 100 TB parallelism killer —
@@ -268,8 +276,12 @@ class BatchLoader:
     def store_as_imported(self, task: Task, files: list[str]) -> None:
         """``storeAsImported`` (BucketToBigQuery.js:390-397). Timestamps are
         second-precision naive UTC — the reference writes
-        ``yyyy-MM-dd HH:mm:ss`` strings for Excel compatibility."""
-        now = F.date_trunc("second", F.current_timestamp())
+        ``yyyy-MM-dd HH:mm:ss`` strings for Excel compatibility. The
+        ``import_ts`` constructor seam substitutes a fixed stamp."""
+        if self._import_ts is not None:
+            now = F.lit(self._import_ts).cast("timestamp")
+        else:
+            now = F.date_trunc("second", F.current_timestamp())
         df = (
             self.spark.createDataFrame([(f,) for f in files], ["uri"])
             .select(now.alias("imported_at"), "uri")

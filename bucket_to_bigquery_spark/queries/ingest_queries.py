@@ -12,14 +12,17 @@ parquet. A hash match proves the whole CSV→typed→partitioned round trip.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest import BatchLoader, parse_manifest
+from ..scratch import materialize_once, scratch_path
 from .registry import dsum, dsum_sql, query, tables
-from .relational import _materialize_once, _scratch
+
+# Fixed audit clock for the materialized ingest (the loader's import_ts
+# seam, A15): the `_imported` timestamps become deterministic, which is
+# what gives q04b a full value oracle instead of a rows-only check.
+_Q04_IMPORT_TS = "2000-01-01 00:00:00"
 
 _ORDERS_FIELDS = [
     {"name": "o_orderkey", "type": "integer"},
@@ -50,12 +53,22 @@ def _ingest_manifest(base: str) -> dict:
 def _ingested_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, object]:
     """Materialize the ingested warehouse once per sf_dir; always return a
     loader + task handle over it. Everything inside the materializer is the
-    pipeline under test; repeat builder invocations only read."""
-    base = _scratch("q04_ingest", sf_dir)
-    manifest = parse_manifest(_ingest_manifest(base))
-    task = manifest.tasks[0]
+    pipeline under test; repeat builder invocations only read.
 
-    def _build(_p: str) -> None:
+    The build runs entirely under the atomic-publish TEMP directory
+    ``materialize_once`` hands it (source CSV batch, warehouse, audit),
+    becoming visible in one rename — so a concurrent reader can never see
+    a half-ingested warehouse. The build-time manifest therefore references
+    temp-rooted paths; the audit's ``uri`` values embed them, which is why
+    q04b projects load-deterministic columns (bucket + seamed timestamp)
+    rather than raw URIs. Post-publish readers (read_table / read_audit /
+    register_catalog_table) address the FINAL base only.
+    """
+    base = scratch_path("q04_ingest", sf_dir)
+    task = parse_manifest(_ingest_manifest(base)).tasks[0]
+
+    def _build(p: str) -> None:
+        manifest = parse_manifest(_ingest_manifest(p))
         t = tables(spark, sf_dir)
         # source batch: orders as CSV split across files/folders (the
         # many-files-per-task shape the reference batches into one job).
@@ -72,9 +85,9 @@ def _ingested_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, obj
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .option("header", True)
-            .csv(f"{base}/src")
+            .csv(f"{p}/src")
         )
-        loader = BatchLoader(spark, f"{base}/warehouse")
+        loader = BatchLoader(spark, f"{p}/warehouse", import_ts=_Q04_IMPORT_TS)
         r1, = loader.run(manifest)
         assert r1.rows_loaded > 0, "ingest loaded nothing"
         r2, = loader.run(manifest)  # idempotent reload: MUST be a no-op
@@ -82,7 +95,7 @@ def _ingested_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, obj
             f"reload was not idempotent: {r2.files_loaded}"
         )
 
-    _materialize_once(base, lambda p: _build(p))
+    materialize_once(base, _build)
     return BatchLoader(spark, f"{base}/warehouse"), task
 
 
@@ -116,12 +129,22 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q04b_imported_audit",
-    oracle=None,  # audit timestamps are wall-clock; rows-only check
+    oracle=(
+        # one audit row per loaded source file: the build's
+        # repartition('__bucket') + partitionBy writes exactly one CSV
+        # per bucket, so the audit is one row per DISTINCT bucket value,
+        # stamped with the loader's seamed import clock
+        "SELECT DISTINCT CAST(o_orderkey % 4 AS INTEGER) AS bucket, "
+        f"TIMESTAMP '{_Q04_IMPORT_TS}' AS imported_at FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1996-01-01' ORDER BY bucket"
+    ),
     description=(
         "Q4b: the <table>_imported audit table (A15): one row per loaded "
-        "source file, second run added none. Timestamps are load-time wall "
-        "clock, so the driver records a rows-only check; the pytest golden "
-        "test asserts exact per-file audit behavior."
+        "source file, second run added none. The loader's import_ts seam "
+        "fixes the audit clock, so the driver value-checks the full table "
+        "(bucket derived from each file's uri + the seamed timestamp); "
+        "the pytest golden test asserts exact per-file audit behavior "
+        "including raw URIs."
     ),
     tags=("ingest",),
 )
@@ -129,8 +152,13 @@ def q04b(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader, task = _ingested_loader(spark, sf_dir)
     return (
         loader.read_audit(task)
-        .select("uri")
-        .orderBy("uri")
+        .select(
+            F.regexp_extract("uri", r"__bucket=(\d+)", 1)
+            .cast("int")
+            .alias("bucket"),
+            "imported_at",
+        )
+        .orderBy("bucket")
     )
 
 

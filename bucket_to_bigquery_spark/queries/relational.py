@@ -9,44 +9,20 @@ column name). Reference-parity rows cite SURVEY §2.A/§2.B operator ids.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof_join import asof_join
 from ..operators.range_join import range_join_bucketed
+from ..scratch import materialize_once, scratch_path
 from .registry import davg, davg_sql, dsum, dsum_sql, query, tables
 
-# Scratch root is version-salted: materialize-once artifacts persist across
-# processes (marker files), so a layout change in any builder must land in a
-# fresh directory — bump the salt whenever scratch-data layout changes.
-_TMP = "/tmp/b2bqs/v3"
-_MATERIALIZED: set[str] = set()
-
-
-def _scratch(name: str, sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"{_TMP}/{name}/{tag}"
-
-
-def _materialize_once(path: str, write) -> str:
-    """Write scratch input data exactly once per path.
-
-    Query builders must be side-effect-free on re-invocation (the bench times
-    them repeatedly); the first call writes and drops a done-marker, later
-    calls — including from other processes — see the marker and skip.
-    """
-    marker = f"{path}/.b2bqs_done"
-    if path not in _MATERIALIZED:
-        if not os.path.exists(marker):
-            shutil.rmtree(path, ignore_errors=True)
-            write(path)
-            with open(marker, "w") as fh:
-                fh.write("ok")
-        _MATERIALIZED.add(path)
-    return path
+# Scratch inputs (q02/q02b/q05 write their own source data once per sf_dir)
+# go through scratch.materialize_once: atomic temp-dir publish — a reader
+# can never observe a half-written directory — with keys fingerprinted on
+# the source dir's content, so an in-place testdata regeneration can never
+# serve a stale materialized copy. This retired the module's original
+# non-atomic _materialize_once/_scratch pair (r8, GATE_r07.md plan #1).
 
 
 # ---------------------------------------------------------------------------
@@ -75,8 +51,8 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
-    path = _materialize_once(
-        _scratch("q02_csv", sf_dir),
+    path = materialize_once(
+        scratch_path("q02_csv", sf_dir),
         lambda p: t["orders"].write.mode("overwrite").option("header", True).csv(f"{p}/data"),
     ) + "/data"
     df = (
@@ -101,8 +77,8 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q02b(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
-    path = _materialize_once(
-        _scratch("q02b_orc", sf_dir),
+    path = materialize_once(
+        scratch_path("q02b_orc", sf_dir),
         lambda p: t["orders"].write.mode("overwrite").orc(f"{p}/data"),
     ) + "/data"
     return spark.read.orc(path).orderBy("o_orderkey")
@@ -147,7 +123,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         for sub in ("a/x", "b/y/z"):
             t["region"].write.mode("overwrite").parquet(f"{p}/data/{sub}")
 
-    base = _materialize_once(_scratch("q05_glob", sf_dir), _write) + "/data"
+    base = materialize_once(scratch_path("q05_glob", sf_dir), _write) + "/data"
     df = (
         spark.read.option("recursiveFileLookup", True)
         .option("pathGlobFilter", "*.parquet")

@@ -11,20 +11,22 @@ append-mode watermark query the oracle mirrors Spark's emission rule
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..scratch import materialize_once, scratch_path
 from ..streaming import ingest_stream, run_stream_to_memory
 from .registry import dsum, dsum_sql, query
-from .relational import _materialize_once, _scratch
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A streaming view of ``events``: the table split into 8 parquet files
     (micro-batch-able arrivals), ts already microsecond timestamps."""
-    base = _scratch("stream_events", sf_dir)
-    _materialize_once(
+    base = scratch_path("stream_events", sf_dir)
+    materialize_once(
         base,
         lambda p: load_table(spark, sf_dir, "events")
         .repartition(8)
@@ -287,7 +289,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _scratch("q41_ingest", sf_dir)
+    base = scratch_path("q41_ingest", sf_dir)
     cols = ["event_id", "user_id", "event_type", "ts", "value"]
 
     def _build(p: str) -> None:
@@ -305,8 +307,20 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_stream(spark, f"{p}/src", schema, f"{p}/sink", f"{p}/ckpt")
         # re-run with nothing new: MUST be a no-op (exactly-once across runs)
         ingest_stream(spark, f"{p}/src", schema, f"{p}/sink", f"{p}/ckpt")
+        # The file sink's _spark_metadata log and the checkpoint's source
+        # log both record ABSOLUTE paths, which the atomic publish is
+        # about to rename out from under them — a post-publish
+        # spark.read.parquet(sink) would resolve the log's dangling
+        # temp-dir entries instead of listing the directory. The staged
+        # ingest is complete (all three runs committed above; every part
+        # file in the sink is committed output), so the logs have served
+        # their exactly-once purpose: drop them and let the published
+        # sink read as a plain parquet directory. The write-once marker
+        # guarantees no ingest ever resumes against the published copy.
+        shutil.rmtree(f"{p}/sink/_spark_metadata")
+        shutil.rmtree(f"{p}/ckpt")
 
-    _materialize_once(base, _build)
+    materialize_once(base, _build)
     return spark.read.parquet(f"{base}/sink").select(*cols).orderBy("event_id")
 
 

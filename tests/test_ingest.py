@@ -264,6 +264,23 @@ def test_golden_load_idempotent_expand(spark, workdir):
     assert df.where("ch2 = 99.0").count() == 1
 
 
+def test_import_ts_seam_fixes_audit_clock(spark, workdir):
+    # A15 clock seam: with import_ts set, every audit row carries exactly
+    # that stamp (deterministic — the q04b value-oracle substrate); the
+    # default path stays wall clock (a fresh, second-truncated timestamp).
+    _write_csv(
+        f"{workdir}/src/2024/01/a.csv",
+        ["timestamp", "utc_offset", "location"],
+        [["2024-01-01 00:00:00", "1.5", "syd"]],
+    )
+    loader = BatchLoader(spark, f"{workdir}/warehouse",
+                         import_ts="2000-01-01 00:00:00")
+    manifest = _manifest(workdir)
+    loader.run(manifest)
+    rows = loader.read_audit(manifest.tasks[0]).collect()
+    assert [str(r["imported_at"]) for r in rows] == ["2000-01-01 00:00:00"]
+
+
 def test_jagged_short_rows_null_fill(spark, workdir):
     # allowJaggedRows parity: rows with FEWER cells than the schema load
     # with trailing NULLs (BucketToBigQuery.js:336)

@@ -59,6 +59,9 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/relational.py": [
         PKG + "operators/asof_join.py",
         PKG + "operators/range_join.py",
+        # q02/q02b/q05 materialize scratch inputs through scratch.py
+        # since the r8 migration (GATE_r07.md plan #1)
+        PKG + "scratch.py",
     ],
     PKG + "queries/ingest_queries.py": [
         PKG + "ingest/loader.py",
@@ -66,18 +69,15 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "ingest/schema_registry.py",
         PKG + "ingest/events.py",
         PKG + "ingest/manifest.py",
-        # executes relational.py's _materialize_once/_scratch helpers
-        # (ingest_queries.py:22) — the same coupling rule that retired
-        # the llm->relational edge in r7 applies here until the r8
-        # migration moves these imports to scratch.py
-        PKG + "queries/relational.py",
+        # the r8 migration moved the scratch-helper imports off
+        # relational.py onto scratch.py — the relational edge is retired
+        PKG + "scratch.py",
     ],
     PKG + "queries/streaming_queries.py": [
         PKG + "streaming/__init__.py",
         PKG + "ingest/events.py",
-        # executes relational.py's _materialize_once/_scratch helpers
-        # (streaming_queries.py:20); see the ingest_queries note above
-        PKG + "queries/relational.py",
+        # see the ingest_queries note above (r8 migration)
+        PKG + "scratch.py",
     ],
     PKG + "queries/scalar.py": [],
     PKG + "queries/formats.py": [
