@@ -71,6 +71,55 @@ def _warm_python_workers(spark) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate(spark) -> float:
+    """Fixed-cost CPU-only probe: 64M-row integer fold across 32 partitions
+    — no IO, no shuffle, no Python workers, plan identical every run. Its
+    wall time is a REGIME MARKER: the sandbox host has two scheduling
+    regimes (same-code full-bench totals swing ~151 ↔ 267 s at sf0.1,
+    BASELINE.md), and a per-record probe lets a reader attribute an
+    inflated sample to the host rather than to code from the record alone
+    (VERDICT r7 #4). Run before and after the timed loop; a stall that
+    hits only one probe is the rotating-stall signature."""
+    t0 = time.perf_counter()
+    spark.range(0, 1 << 26, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _ann_recall_at_5(spark, registry, sf_dir) -> dict[str, float]:
+    """recall@5 of each ANN variant vs the exact top-k (q48), computed
+    OUTSIDE the timed loop on the same sf. The ANN rows are rows-only in
+    the correctness gate by declared design (RNG/k-means bucketing is not
+    SQL-expressible), so this puts their quality numbers — pytest pins
+    floors per variant — into the driver-visible bench record itself
+    (VERDICT r7 #7). Emitted as METRIC lines and in the stdout JSON."""
+    try:
+        exact = registry["q48_cosine_topk"].builder(spark, sf_dir).collect()
+    except Exception:  # noqa: BLE001 — recall is advisory; never kill bench
+        return {}
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    total = sum(len(s) for s in exact_sets.values())
+    out: dict[str, float] = {}
+    for name in ("q48b_ann_lsh_topk", "q48c_ivf_topk",
+                 "q48d_ivf_prebuilt", "q48e_signgrid_ann"):
+        try:
+            rows = registry[name].builder(spark, sf_dir).collect()
+        except Exception:  # noqa: BLE001
+            continue
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits = sum(len(exact_sets[q] & got.get(q, set())) for q in exact_sets)
+        code = name.split("_", 1)[0]
+        out[code] = round(hits / total, 4) if total else 0.0
+        print(f"METRIC b2bqs.ann_recall_at_5.{code} {out[code]}",
+              file=sys.stderr)
+    return out
+
+
 def _jvm_stats(spark) -> tuple[int, int]:
     """(cumulative GC ms, current heap-used bytes) of the local JVM —
     driver == executors on local[*], so this covers the whole engine."""
@@ -109,6 +158,7 @@ def main() -> None:
     _warm_python_workers(spark)
 
     _sweep_state(spark)  # warm-up leftovers out of the timed window
+    calib_pre = _calibrate(spark)
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     for name in sorted(registry):
@@ -133,6 +183,9 @@ def main() -> None:
             "leaked_rdds": leaked,
         }
 
+    calib_post = _calibrate(spark)
+    recall = _ann_recall_at_5(spark, registry, sf_dir)
+
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -141,6 +194,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_stats": stats,
+        "calib_s": [calib_pre, calib_post],
+        "ann_recall_at_5": recall,
         "sf": sf_val,
     }
     if errors:
@@ -171,6 +226,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        "calib_s": [calib_pre, calib_post],
+        "ann_recall_at_5": recall,
         "queries": {
             (k if codes[k] in collided else codes[k]): round(v, 2)
             for k, v in timings.items()
