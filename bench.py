@@ -98,25 +98,29 @@ def _ann_recall_at_5(spark, registry, sf_dir) -> dict[str, float]:
         exact = registry["q48_cosine_topk"].builder(spark, sf_dir).collect()
     except Exception:  # noqa: BLE001 — recall is advisory; never kill bench
         return {}
-    exact_sets: dict = {}
-    for r in exact:
-        exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
-    total = sum(len(s) for s in exact_sets.values())
+    try:
+        exact_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+        total = sum(len(s) for s in exact_sets.values())
+    except Exception:  # noqa: BLE001 — e.g. an output-schema drift
+        return {}
     out: dict[str, float] = {}
     for name in ("q48b_ann_lsh_topk", "q48c_ivf_topk",
                  "q48d_ivf_prebuilt", "q48e_signgrid_ann"):
         try:
             rows = registry[name].builder(spark, sf_dir).collect()
+            got: dict = {}
+            for r in rows:
+                got.setdefault(r["q_id"], set()).add(r["n_id"])
+            hits = sum(len(exact_sets[q] & got.get(q, set()))
+                       for q in exact_sets)
+            code = name.split("_", 1)[0]
+            out[code] = round(hits / total, 4) if total else 0.0
+            print(f"METRIC b2bqs.ann_recall_at_5.{code} {out[code]}",
+                  file=sys.stderr)
         except Exception:  # noqa: BLE001
             continue
-        got: dict = {}
-        for r in rows:
-            got.setdefault(r["q_id"], set()).add(r["n_id"])
-        hits = sum(len(exact_sets[q] & got.get(q, set())) for q in exact_sets)
-        code = name.split("_", 1)[0]
-        out[code] = round(hits / total, 4) if total else 0.0
-        print(f"METRIC b2bqs.ann_recall_at_5.{code} {out[code]}",
-              file=sys.stderr)
     return out
 
 

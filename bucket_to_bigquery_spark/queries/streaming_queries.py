@@ -312,13 +312,27 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         # about to rename out from under them — a post-publish
         # spark.read.parquet(sink) would resolve the log's dangling
         # temp-dir entries instead of listing the directory. The staged
-        # ingest is complete (all three runs committed above; every part
-        # file in the sink is committed output), so the logs have served
-        # their exactly-once purpose: drop them and let the published
-        # sink read as a plain parquet directory. The write-once marker
-        # guarantees no ingest ever resumes against the published copy.
+        # ingest is complete (all three runs committed above), so the
+        # logs have served their exactly-once purpose: drop them and let
+        # the published sink read as a plain parquet directory. The
+        # write-once marker guarantees no ingest ever resumes against
+        # the published copy.
         shutil.rmtree(f"{p}/sink/_spark_metadata")
         shutil.rmtree(f"{p}/ckpt")
+        # Without the log, the read trusts the raw listing — which would
+        # also surface any orphan part file a crashed-then-retried write
+        # task left behind (the log existed to hide those). Verify the
+        # log-free sink equals the source COUNT before publishing; a
+        # mismatch fails the build loudly (temp dir discarded) instead
+        # of publishing silent duplicates.
+        n_src = ev.count()
+        n_sink = spark.read.parquet(f"{p}/sink").count()
+        if n_src != n_sink:
+            raise RuntimeError(
+                f"q41 sink/source mismatch after metadata-log drop: "
+                f"{n_sink} sink rows vs {n_src} source rows "
+                f"(orphan or missing part files)"
+            )
 
     materialize_once(base, _build)
     return spark.read.parquet(f"{base}/sink").select(*cols).orderBy("event_id")

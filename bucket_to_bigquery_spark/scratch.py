@@ -1,16 +1,25 @@
 """Atomic write-once scratch materialization for derived bench inputs.
 
-Used by the q46-q54 planted-corpus builders (llm_queries/_dedup_corpus,
-_embedding_dedup_pairs) and, since r7, q48d's prebuilt-IVF-index writer.
-Differs from relational._materialize_once (the q02/q05 scratch writer)
-in HOW the publish happens: the data is written to a process-private
-temp directory and published with one ``os.rename`` — so a reader can
-never observe a half-written directory, even if two processes race to
-be first writer (the loser's rename fails and its temp dir is
-discarded). relational.py still carries its original non-atomic variant
-because a change there pulls its 35 (mostly out-of-window) entries into
-the 50-slot correctness gate (tools/check_gate_rotation.py); migrating
-it is the first r8 task (GATE_r07.md).
+The single scratch layer for every query that writes its own input data:
+the q46-q54 planted-corpus builders, q48d's prebuilt IVF index, the
+q02c XML round-trip, and — since the r8 migration retired
+relational.py's non-atomic ``_materialize_once``/``_scratch`` pair —
+the q02/q02b/q05 scratch sources, the q04 ingest warehouse, the shared
+streaming source, and q41's staged ingest tree. Data is written to a
+process-private temp directory and published with one ``os.rename`` —
+a reader can never observe a half-written directory, even if two
+processes race to be first writer (the loser's rename fails and its
+temp dir is discarded). Note the dep-map consequence: this module is an
+implementing file of all six query modules above (85 registry entries),
+so a behavior change here cannot fit one 50-slot gate window — it needs
+a deliberate multi-round rotation plan in GATE_r{N}.md
+(tools/check_gate_rotation.py exempts comment/docstring-only edits via
+AST comparison).
+
+The key fingerprints SOURCE content only, not builder layout: the
+``name`` argument doubles as the layout version — rename the key when a
+builder's output layout changes (see the caller-side note in
+queries/relational.py).
 
 Staleness contract (r7, ADVICE r6 #2): the scratch key embeds a
 CONTENT fingerprint of the source directory (sorted (entry, size,

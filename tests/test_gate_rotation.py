@@ -32,6 +32,26 @@ def test_gate_names_are_parseable():
         _gate_name("quux")
 
 
+def test_ast_fingerprint_ignores_comments_and_docstrings_only():
+    # the semantic-diff exemption: comment/docstring/formatting edits are
+    # not behavior changes (wide-fan-in files like scratch.py could never
+    # fit a window otherwise); ANY code-level edit must still register
+    from tools.check_gate_rotation import ast_fingerprint
+
+    base = 'def f(x):\n    """old doc."""\n    return x + 1  # add one\n'
+    doc_edit = 'def f(x):\n    """new doc, rewritten."""\n    # renamed comment\n    return x + 1\n'
+    fmt_edit = "def f(x):\n    return (x\n            + 1)\n"
+    code_edit = 'def f(x):\n    """old doc."""\n    return x + 2\n'
+    docstring_only_body = 'def f(x):\n    """just a doc."""\n'
+    assert ast_fingerprint(base) == ast_fingerprint(doc_edit)
+    assert ast_fingerprint(base) == ast_fingerprint(fmt_edit)
+    assert ast_fingerprint(base) != ast_fingerprint(code_edit)
+    # a function whose body is ONLY a docstring stays parseable (Pass fill)
+    assert ast_fingerprint(docstring_only_body) is not None
+    # unparseable → None (callers treat as changed)
+    assert ast_fingerprint("def f(:") is None
+
+
 def test_base_ref_detection_matches_driver_convention():
     base = default_base_ref()
     if base is None:  # fresh repo: nothing to check

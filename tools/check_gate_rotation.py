@@ -30,6 +30,7 @@ tests/test_gate_rotation.py.
 
 from __future__ import annotations
 
+import ast
 import os
 import re
 import subprocess
@@ -133,6 +134,49 @@ def _git(*args: str) -> str:
     return subprocess.check_output(["git", *args], cwd=REPO, text=True)
 
 
+def ast_fingerprint(src: str) -> str | None:
+    """Structural fingerprint of a Python source: the AST dump with every
+    docstring normalized away. Two sources with the same fingerprint can
+    only differ in comments, whitespace/formatting, or docstrings — none
+    of which can change a query result. ``None`` when unparseable (the
+    caller must then treat the file as changed)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(body, list) and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    return ast.dump(tree, include_attributes=False)
+
+
+def _behavior_changed(path: str, base: str) -> bool:
+    """True unless the base→HEAD diff of ``path`` is comment/docstring-only.
+
+    The rotation invariant exists to surface BEHAVIOR changes in the gate
+    window; a file-level diff would also flag pure documentation fixes,
+    which matters because wide-fan-in files (scratch.py: 85 dependent
+    entries) can never fit one 50-slot window — without this, a stale
+    docstring there would be permanently unfixable. Conservative on every
+    edge: added files, unreadable revisions, or unparseable content count
+    as changed."""
+    try:
+        old = _git("show", f"{base}:{path}")
+        new = _git("show", f"HEAD:{path}")
+    except subprocess.CalledProcessError:
+        return True  # added/removed/renamed → behavioral by definition
+    fp_old, fp_new = ast_fingerprint(old), ast_fingerprint(new)
+    if fp_old is None or fp_new is None:
+        return True
+    return fp_old != fp_new
+
+
 def default_base_ref() -> str | None:
     for line in _git("log", "--format=%H %s").splitlines():
         sha, _, subject = line.partition(" ")
@@ -167,10 +211,15 @@ def check(base_ref: str | None = None) -> list[str]:
               "nothing to diff against (fresh repo) — skipping diff check")
         changed: set[str] = set()
     else:
-        changed = {
+        touched = {
             f for f in _git("diff", "--name-only", f"{base}..HEAD").splitlines()
             if f.startswith(PKG) and f.endswith(".py")
         }
+        changed = {f for f in touched if _behavior_changed(f, base)}
+        doc_only = touched - changed
+        if doc_only:
+            print(f"comment/docstring-only (exempt from rotation): "
+                  f"{sorted(doc_only)}")
 
     hot_infra = changed & RESULT_AFFECTING_INFRA
     if hot_infra:
