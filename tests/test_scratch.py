@@ -87,6 +87,70 @@ def test_publish_prunes_stale_fingerprint_siblings(tmp_path):
     shutil.rmtree(parent, ignore_errors=True)
 
 
+def test_crashed_write_publishes_nothing_and_rebuilds(tmp_path):
+    # Atomic-publish contract the r8 migration leans on for the q04/q41
+    # pipeline builds: a write callback that dies mid-build must leave NO
+    # published path (readers can never see the half-built warehouse), and
+    # the next call must rebuild from scratch.
+    import pytest
+
+    src = tmp_path / "sf9"
+    src.mkdir()
+    (src / "documents.parquet").write_bytes(b"v1")
+    path = scratch_path("crash", str(src))
+    calls: list[str] = []
+
+    def dying_write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        open(os.path.join(tmp, "partial"), "w").close()
+        calls.append(tmp)
+        raise RuntimeError("simulated mid-build crash")
+
+    with pytest.raises(RuntimeError):
+        materialize_once(path, dying_write)
+    assert not os.path.exists(path), "crashed build must publish nothing"
+
+    def good_write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        calls.append(tmp)
+
+    out = materialize_once(path, good_write)
+    assert out == path and os.path.exists(os.path.join(path, ".b2bqs_done"))
+    assert len(calls) == 2  # the crash never counted as a publish
+    import shutil
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_losing_racer_keeps_winner_and_discards_own_temp(tmp_path):
+    # Two processes race to be first writer: the loser's rename fails
+    # because the winner's dir exists; the loser must keep the winner's
+    # copy intact and remove its own temp. Simulated by pre-publishing
+    # the winner, then forcing a second build attempt (fresh module state
+    # — the _PUBLISHED memo is process-local, so clear it).
+    from bucket_to_bigquery_spark import scratch
+
+    src = tmp_path / "sf9"
+    src.mkdir()
+    (src / "documents.parquet").write_bytes(b"v1")
+    path = scratch_path("race", str(src))
+
+    def winner_write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        open(os.path.join(tmp, "winner"), "w").close()
+
+    materialize_once(path, winner_write)
+    scratch._PUBLISHED.discard(path)  # forget; simulate a second process
+    # second process: marker exists on disk, so its write must be skipped
+    calls: list[str] = []
+    materialize_once(path, lambda tmp: calls.append(tmp))
+    assert calls == [], "marker on disk must short-circuit a second build"
+    assert os.path.exists(os.path.join(path, "winner"))
+    import shutil
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
 def test_prune_never_touches_paths_outside_scratch_root(tmp_path):
     from bucket_to_bigquery_spark import scratch
 
