@@ -81,9 +81,9 @@ def _calibrate(spark) -> float:
     (VERDICT r7 #4). Run before and after the timed loop; a stall that
     hits only one probe is the rotating-stall signature."""
     t0 = time.perf_counter()
-    spark.range(0, 1 << 26, 1, 32).selectExpr(
+    _execute(spark.range(0, 1 << 26, 1, 32).selectExpr(
         "sum(id * 2654435761 % 1000003) AS s"
-    ).write.format("noop").mode("overwrite").save()
+    ))
     return round(time.perf_counter() - t0, 3)
 
 

@@ -134,7 +134,11 @@ class BatchLoader:
         # instead of wall clock, making the ``_imported`` table fully
         # value-checkable (the driver's q04b oracle). Production default
         # stays current_timestamp — parity with storeAsImported
-        # (BucketToBigQuery.js:390-397).
+        # (BucketToBigQuery.js:390-397). Validated here: a malformed
+        # string would otherwise cast to NULL executor-side and stamp
+        # NULL into every audit row with no error at load time.
+        if import_ts is not None:
+            time.strptime(import_ts, "%Y-%m-%d %H:%M:%S")
         self._import_ts = import_ts
         # The reference hardcodes allowQuotedNewlines:true (js:337). Spark's
         # equivalent (multiLine=True) makes every CSV file single-split —

@@ -279,6 +279,9 @@ def test_import_ts_seam_fixes_audit_clock(spark, workdir):
     loader.run(manifest)
     rows = loader.read_audit(manifest.tasks[0]).collect()
     assert [str(r["imported_at"]) for r in rows] == ["2000-01-01 00:00:00"]
+    # a malformed seam fails at CONSTRUCTION, not as NULL stamps at load
+    with pytest.raises(ValueError):
+        BatchLoader(spark, f"{workdir}/warehouse", import_ts="2000-13-99")
 
 
 def test_jagged_short_rows_null_fill(spark, workdir):

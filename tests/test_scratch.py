@@ -122,12 +122,12 @@ def test_crashed_write_publishes_nothing_and_rebuilds(tmp_path):
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
-def test_losing_racer_keeps_winner_and_discards_own_temp(tmp_path):
-    # Two processes race to be first writer: the loser's rename fails
-    # because the winner's dir exists; the loser must keep the winner's
-    # copy intact and remove its own temp. Simulated by pre-publishing
-    # the winner, then forcing a second build attempt (fresh module state
-    # — the _PUBLISHED memo is process-local, so clear it).
+def test_marker_on_disk_short_circuits_second_process(tmp_path):
+    # A second process finding the winner's on-disk marker must skip its
+    # own build entirely (the _PUBLISHED memo is process-local; the
+    # marker is the cross-process signal).
+    import shutil
+
     from bucket_to_bigquery_spark import scratch
 
     src = tmp_path / "sf9"
@@ -141,13 +141,48 @@ def test_losing_racer_keeps_winner_and_discards_own_temp(tmp_path):
 
     materialize_once(path, winner_write)
     scratch._PUBLISHED.discard(path)  # forget; simulate a second process
-    # second process: marker exists on disk, so its write must be skipped
     calls: list[str] = []
     materialize_once(path, lambda tmp: calls.append(tmp))
     assert calls == [], "marker on disk must short-circuit a second build"
     assert os.path.exists(os.path.join(path, "winner"))
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_losing_racer_keeps_winner_and_discards_own_temp(tmp_path):
+    # The true rename-collision path: the loser passes the marker check
+    # (nothing published yet), builds its temp copy, and the WINNER
+    # publishes while the loser is still writing — the loser's
+    # os.rename then fails against the winner's non-empty directory, and
+    # the loser must discard its own temp and leave the winner's copy
+    # untouched. The winner is simulated from inside the loser's write
+    # callback (exactly the mid-build interleaving of a real race).
     import shutil
 
+    from bucket_to_bigquery_spark import scratch
+
+    src = tmp_path / "sf9"
+    src.mkdir()
+    (src / "documents.parquet").write_bytes(b"v1")
+    path = scratch_path("race2", str(src))
+
+    def loser_write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        open(os.path.join(tmp, "loser"), "w").close()
+        # winner publishes mid-build (marker included)
+        os.makedirs(path, exist_ok=True)
+        open(os.path.join(path, "winner"), "w").close()
+        with open(os.path.join(path, scratch._DONE), "w") as fh:
+            fh.write("ok")
+
+    out = materialize_once(path, loser_write)
+    assert out == path
+    assert os.path.exists(os.path.join(path, "winner")), "winner clobbered"
+    assert not os.path.exists(os.path.join(path, "loser")), (
+        "loser's copy must not replace the winner's"
+    )
+    leftovers = [e for e in os.listdir(os.path.dirname(path))
+                 if ".tmp." in e]
+    assert leftovers == [], f"loser's temp not discarded: {leftovers}"
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
