@@ -88,6 +88,28 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/skew_queries.py": [
         PKG + "operators/salted_join.py",
     ],
+    # Staged r9 surface (GATE_r08.md "Round-9 rotation plan"): these
+    # modules are NOT imported by queries/__init__ yet, so they register
+    # ZERO entries this round — the mapping exists so the "unmapped
+    # changed file" guard knows them, and so their r9 registration
+    # inherits correct dependency pull-in from day one.
+    PKG + "queries/joins_ext.py": [],
+    PKG + "queries/mixture.py": [],
+    PKG + "queries/sketches.py": [
+        PKG + "operators/dedup.py",
+    ],
+    PKG + "queries/maintenance.py": [
+        PKG + "ingest/loader.py",
+        PKG + "ingest/fs.py",
+        PKG + "ingest/schema_registry.py",
+        PKG + "ingest/events.py",
+        PKG + "ingest/manifest.py",
+        PKG + "scratch.py",
+    ],
+    PKG + "queries/incremental.py": [
+        PKG + "operators/dedup.py",
+        PKG + "scratch.py",
+    ],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
