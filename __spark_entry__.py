@@ -46,41 +46,46 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # changed this round (r8): queries/relational.py — the deferred
-    # scratch-helper migration (_materialize_once/_scratch retired in
-    # favor of scratch.materialize_once/scratch_path, atomic publish +
-    # content-fingerprinted keys; GATE_r07.md r8 plan #1) pulls ALL 35
-    # relational entries in-window, refreshing the r4/r5-era q01-q29
-    # rows as a side effect.
-    "q01_parquet_scan", "q02_csv_scan_roundtrip", "q02b_orc_scan_roundtrip",
-    "q03_json_extract", "q05_glob_scan", "q06_project_filter",
-    "q07_select_except", "q08_compound_predicates", "q09_inner_join",
-    "q10_broadcast_join_agg", "q11_left_outer_join", "q12_semi_join",
-    "q13_anti_join", "q14_range_join", "q15_asof_join",
-    "q15b_asof_join_tolerance", "q16_tpch_q3_shape", "q17_tpch_q1_shape",
-    "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
-    "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
-    "q22_having", "q23_ranking_windows", "q24_lag_lead",
-    "q25_window_frames", "q26_topk_per_group", "q27_global_sort_limit",
-    "q28_union_all", "q28b_union_distinct", "q29_intersect", "q29b_except",
-    # changed this round (r8): queries/ingest_queries.py — same migration
-    # (its _build now writes under the atomic-publish temp path) plus the
-    # q04b clock seam (ingest/loader.py grows a fixed-import-timestamp
-    # seam so the audit table gets a full value oracle; r8 plan #3).
-    "q04_ingest_partitioned_sink", "q04b_imported_audit",
-    "q04c_partition_pruned_scan", "q04d_catalog_sql",
-    # changed this round (r8): queries/streaming_queries.py — same
-    # migration (stream_events + the q41 staged ingest tree move to
-    # scratch.materialize_once).
-    "q36_tumbling_window", "q37_sliding_window", "q38_session_window",
-    "q38b_custom_stateful_sessions", "q39_watermark_append",
-    "q40_stream_dedup", "q41_exactly_once_file_ingest",
-    "q41b_stream_static_enrich", "q41c_stream_stream_join",
-    # stale rotation (r8), GATE_r07 plan #2: the two r4-row UDF
-    # deferrals — the oldest evidence in the repo (q44's r7 slot was
-    # re-assigned to the late q02c entry; udf_queries.py untouched since
-    # r4 so the r4 rows stayed valid under the rotation invariant).
-    "q44_grouped_agg_udf_weighted_mean", "q45_map_in_pandas_tokenize",
+    # changed this round (r9): operators/similarity.py — the IVF
+    # operating-point fix (VERDICT r8 #2: n_lists/n_probe now scale with
+    # corpus size; driver-recorded recall@5 was 0.48 at sf0.1 on the
+    # fixed 16/4 point) — similarity.py is a dep of every llm_queries.py
+    # entry, so all 32 are in-window; the q48c/q48d decorator
+    # descriptions change in the same commit (llm_queries.py), which
+    # additionally pulls the 4 pipeline entries (MODULE_DEPS: pipeline ->
+    # llm_queries). Net effect: the whole r7-row LLM/pipeline surface
+    # refreshes this round, which is also the staleness rotation VERDICT
+    # r8 #3 asked for.
+    "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
+    "q46d_dedup_apply", "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
+    "q47c_embedding_neardup", "q47d_benchmark_decontamination",
+    "q47e_containment_pairs", "q47f_embedding_dedup_apply",
+    "q48_cosine_topk", "q48b_ann_lsh_topk", "q48c_ivf_topk",
+    "q48d_ivf_prebuilt", "q48e_signgrid_ann", "q48f_knn_label_audit",
+    "q49_text_stats", "q49b_length_histogram", "q49c_language_id",
+    "q49d_doc_fingerprint", "q49e_quality_filter", "q49f_repetition_ratio",
+    "q49g_stratified_sample", "q49h_shard_assignment",
+    "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
+    "q49l_vocab_coverage", "q49m_bigram_lm_score", "q50_multimodal_bytes",
+    "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
+    "q51_repeated_substrings", "q52_sequence_packing",
+    "q53_substring_scrub", "q54_full_pipeline",
+    # newly registered this round (r9): the r8-staged surface (GATE_r08
+    # plan #1) — first-ever driver rows, so all 7 take slots. The modules
+    # themselves are unchanged since r8 (registration happens in
+    # queries/__init__, INFRA), so they pull no family.
+    "q04e_compaction", "q11b_full_outer_join", "q49n_heavy_hitters_cms",
+    "q55_incremental_dedup", "q55b_incremental_dedup_apply",
+    "q56_mixture_sampling", "q56b_mixture_composition",
+    # stale rotation (r9), GATE_r08 plan + VERDICT r8 #3: q09b carries
+    # the oldest row in the repo (r5); q30-q35 are 6 of the 8 r6-row
+    # scalar entries. The remaining window could not take q31b/q31c
+    # (r6), q42/q43/q02c (r7), or q33b (r7) — deferred to r10 with their
+    # prior rows valid (skew_queries/scalar/udf_queries/formats all
+    # untouched this round); see GATE_r09.md "Round-10 rotation plan".
+    "q09b_salted_skew_join", "q30_string_funcs", "q31_datetime_funcs",
+    "q32_math_funcs", "q33_array_funcs", "q34_map_struct_funcs",
+    "q35_conditional_funcs",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -17,7 +17,23 @@ from . import llm_queries  # noqa: F401
 from . import skew_queries  # noqa: F401
 from . import pipeline_queries  # noqa: F401
 from . import formats  # noqa: F401
-from .registry import REGISTRY, Query
+
+# The r8-staged surface (GATE_r08.md "Round-9 rotation plan" #1): these
+# modules shipped in round 8 fully oracle-verified but unregistered (the
+# r8 gate window was at capacity); round 9 wires them in here. The
+# modules themselves are unchanged at registration time, so each entry
+# costs exactly its own GATE_PRIORITY slot and pulls no family.
+from . import incremental  # noqa: E402
+from . import joins_ext  # noqa: E402
+from . import maintenance  # noqa: E402
+from . import mixture  # noqa: E402
+from . import sketches  # noqa: E402
+
+for _staged in (incremental, joins_ext, maintenance, mixture, sketches):
+    _staged.register()
+del _staged
+
+from .registry import REGISTRY, Query  # noqa: E402
 
 
 def all_queries() -> dict[str, Query]:

@@ -1,18 +1,16 @@
-"""The staged r9 surface (GATE_r08.md "Round-9 rotation plan"): builders
-land in r8 fully oracle-verified, registration waits for round 9.
+"""The r8-staged / r9-registered surface (GATE_r08.md "Round-9 rotation
+plan"): builders landed in r8 fully oracle-verified; round 9 registered
+them via ``queries/__init__`` (the modules themselves unchanged).
 
-Two obligations checked here:
+Checked here:
 
-1. **Staging containment** — importing the staged modules must NOT touch
-   the global registry: the r8 gate window is at capacity, so a staged
-   entry leaking into ``all_queries()`` would break the rotation
-   invariant (tools/check_gate_rotation.py) the moment its file counts as
-   changed.
-2. **Full oracle parity NOW** — every staged builder runs against its
-   DuckDB oracle with the exact driver-faithful comparison the registered
-   surface uses (tests/oracle.py), plus the per-family semantic
-   assertions (compaction shrinks files, CMS never underestimates,
-   planted dup bands get the expected verdicts).
+1. **Registration** — every formerly-staged entry is now in
+   ``all_queries()`` with its oracle intact, and ``register()`` stays
+   idempotent (queries/__init__ already called it once at import).
+2. **Per-family semantics** beyond the hash oracle (compaction shrinks
+   files, CMS never underestimates, planted dup bands get the expected
+   verdicts). Driver-faithful oracle parity is covered by
+   test_oracle_parity.py now that the entries are registered.
 """
 
 from __future__ import annotations
@@ -33,7 +31,6 @@ from bucket_to_bigquery_spark.queries.registry import (
     _with_tuning,
 )
 
-from .oracle import compare, duck_connection
 
 _STAGED_MODULES = (joins_ext, mixture, sketches, maintenance, incremental)
 
@@ -44,52 +41,30 @@ STAGED: dict[str, Query] = {
 }
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duck_connection(sf_dir)
-    yield con
-    con.close()
-
-
 # ---------------------------------------------------------------------------
 # 1. Staging containment
 # ---------------------------------------------------------------------------
 
 
-def test_staged_modules_do_not_register():
-    """Importing a staged module must leave the global registry untouched
-    (the r8 window has no slot for a new entry)."""
-    leaked = set(STAGED) & set(all_queries())
-    assert not leaked, f"staged entries leaked into the registry: {sorted(leaked)}"
+def test_staged_entries_are_registered():
+    """Round 9 wiring: every formerly-staged entry is in the registry with
+    its oracle and description (queries/__init__ calls register())."""
+    reg = all_queries()
+    for name, q in STAGED.items():
+        assert name in reg, f"{name} not registered — queries/__init__ wiring lost"
+        assert reg[name].oracle == q.oracle
+        assert reg[name].description
 
 
-def test_register_seam_is_complete_and_reversible():
-    """`register()` (the r9 wiring seam) must install every staged entry
-    with its oracle — verified against a snapshot and rolled back, so the
-    registry other tests see stays exactly the r8 surface."""
+def test_register_is_idempotent():
+    """Re-calling register() (already run once at package import) must not
+    duplicate or mutate entries."""
     before = dict(REGISTRY)
-    try:
-        for mod in _STAGED_MODULES:
-            mod.register()
-        for name, q in STAGED.items():
-            assert name in REGISTRY, f"register() missed {name}"
-            assert REGISTRY[name].oracle == q.oracle
-            assert REGISTRY[name].description
-    finally:
-        REGISTRY.clear()
-        REGISTRY.update(before)
-    assert set(all_queries()) == set(before)
-
-
-# ---------------------------------------------------------------------------
-# 2. Oracle parity (driver-faithful, same machinery as test_oracle_parity)
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("qname", sorted(STAGED))
-def test_staged_query_matches_oracle(qname, spark, duck, sf_dir):
-    problems = compare(qname, spark, duck, sf_dir, STAGED)
-    assert not problems, f"{qname}: " + "; ".join(problems)
+    for mod in _STAGED_MODULES:
+        mod.register()
+    assert set(REGISTRY) == set(before)
+    for name in STAGED:
+        assert REGISTRY[name].oracle == before[name].oracle
 
 
 # ---------------------------------------------------------------------------
