@@ -96,18 +96,25 @@ def _ann_recall_at_5(spark, registry, sf_dir) -> dict[str, float]:
     (VERDICT r7 #7). Emitted as METRIC lines and in the stdout JSON."""
     try:
         exact = registry["q48_cosine_topk"].builder(spark, sf_dir).collect()
-    except Exception:  # noqa: BLE001 — recall is advisory; never kill bench
+    except Exception as e:  # noqa: BLE001 — recall is advisory; never kill bench
+        print(f"METRIC-WARN b2bqs.ann_recall_at_5 q48_cosine_topk "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
         return {}
     try:
         exact_sets: dict = {}
         for r in exact:
             exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
         total = sum(len(s) for s in exact_sets.values())
-    except Exception:  # noqa: BLE001 — e.g. an output-schema drift
+    except Exception as e:  # noqa: BLE001 — e.g. an output-schema drift
+        print(f"METRIC-WARN b2bqs.ann_recall_at_5 exact-set "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
         return {}
     out: dict[str, float] = {}
     for name in ("q48b_ann_lsh_topk", "q48c_ivf_topk",
                  "q48d_ivf_prebuilt", "q48e_signgrid_ann"):
+        # a failed variant must leave an ATTRIBUTABLE warning, not a
+        # silently-absent recall row (ADVICE r8 #1): the record exists to
+        # surface exactly this kind of truncation
         try:
             rows = registry[name].builder(spark, sf_dir).collect()
             got: dict = {}
@@ -119,9 +126,36 @@ def _ann_recall_at_5(spark, registry, sf_dir) -> dict[str, float]:
             out[code] = round(hits / total, 4) if total else 0.0
             print(f"METRIC b2bqs.ann_recall_at_5.{code} {out[code]}",
                   file=sys.stderr)
-        except Exception:  # noqa: BLE001
-            continue
+        except Exception as e:  # noqa: BLE001
+            print(f"METRIC-WARN b2bqs.ann_recall_at_5 {name} "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
     return out
+
+
+def _ivf_scan_stats(spark, sf_dir) -> dict:
+    """Measured scan cost of the calibrated IVF operating point, recorded
+    NEXT TO the recall (VERDICT r8 #2: recall alone can be bought by
+    probing everything — the record carries the (recall, cost) pair).
+    Mirrors the q48c/q48d inputs (embeddings corpus, vec_id < 10 query
+    set, k = 5); same seeded resolution ⇒ the params here are exactly the
+    ones the timed queries ran."""
+    try:
+        from pyspark.sql import functions as F
+
+        from bucket_to_bigquery_spark.operators.similarity import ivf_scan_stats
+        from bucket_to_bigquery_spark.queries.registry import tables
+
+        emb = tables(spark, sf_dir)["embeddings"]
+        st = ivf_scan_stats(emb, emb.where(F.col("vec_id") < 10), k=5)
+        print(f"METRIC b2bqs.ivf_scan_frac {st['scan_frac']} "
+              f"(n_lists={st['n_lists']} n_probe={st['n_probe']} "
+              f"candidates={st['candidates']}/{st['exhaustive']})",
+              file=sys.stderr)
+        return st
+    except Exception as e:  # noqa: BLE001 — advisory; never kill bench
+        print(f"METRIC-WARN b2bqs.ivf_scan_frac {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return {}
 
 
 def _jvm_stats(spark) -> tuple[int, int]:
@@ -189,6 +223,7 @@ def main() -> None:
 
     calib_post = _calibrate(spark)
     recall = _ann_recall_at_5(spark, registry, sf_dir)
+    ivf = _ivf_scan_stats(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -200,6 +235,7 @@ def main() -> None:
         "query_stats": stats,
         "calib_s": [calib_pre, calib_post],
         "ann_recall_at_5": recall,
+        "ivf_scan": ivf,
         "sf": sf_val,
     }
     if errors:
@@ -232,6 +268,7 @@ def main() -> None:
         "sf": sf_val,
         "calib_s": [calib_pre, calib_post],
         "ann_recall_at_5": recall,
+        "ivf_scan_frac": ivf.get("scan_frac"),
         "queries": {
             (k if codes[k] in collided else codes[k]): round(v, 2)
             for k, v in timings.items()

@@ -18,6 +18,8 @@ Two paths, as the north star prescribes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -439,7 +441,37 @@ def signgrid_ann_topk(
 # Bump when the quantizer/index layout changes: consumers key their
 # persisted-index scratch paths on this so a params change can never
 # silently reuse a stale on-disk index.
-IVF_INDEX_VERSION = 3  # v3: numpy sample-fit quantizer replaced ml.KMeans
+IVF_INDEX_VERSION = 4  # v4: corpus-scaled n_lists + recall-calibrated n_probe
+
+# recall@k the probe width is calibrated to on the fit sample when the
+# caller does not pin n_probe (VERDICT r8 #2: the fixed 16-list/4-probe
+# point measured recall@5 = 0.48 at sf0.1 and degraded monotonically with
+# corpus size). Recall alone can be bought by probing everything, so the
+# calibrated width and the measured scan cost travel together — see
+# :func:`ivf_scan_stats`, which bench.py records next to the recall.
+IVF_RECALL_TARGET = 0.9
+
+
+def ivf_operating_point(n_corpus: int) -> int:
+    """Corpus-scaled list count: ``n_lists ≈ √N``, clamped to [8, 4096].
+
+    The classic IVF sizing — it balances list length (N/√N = √N candidates
+    per probed list) against the broadcast centroid table (√N rows), so
+    BOTH stay sub-linear as the corpus grows. The fixed ``n_lists=16``
+    this replaces quantized ever more coarsely as N grew and recall@5 fell
+    0.64 → 0.48 from sf0.01 to sf0.1 in the r8 driver record. The 4096
+    cap bounds the driver-side fit (see :func:`_fit_sample_for`) and the
+    broadcast; past it, recall is held by the probe calibration instead of
+    finer quantization."""
+    return max(8, min(int(round(math.sqrt(max(n_corpus, 1)))), 4096))
+
+
+def _fit_sample_for(n_lists: int) -> int:
+    """Fit-sample size for a given list count: ≥ 32 training vectors per
+    centroid (the usual k-means sizing floor), bounded at 65536 so the
+    one-time driver-side fit collect stays ≤ 65536 × d floats (~32 MB at
+    d=64) no matter how large the corpus is."""
+    return min(max(4096, 32 * n_lists), 65536)
 
 
 def _featurize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -450,26 +482,51 @@ def _featurize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _fit_centroids_sample(
+def _lloyd(x, n_lists: int, seed: int, iters: int):
+    """Seeded Lloyd's iterations on an in-memory sample; returns the
+    (≤ n_lists, d) centroid array. Distances use the matmul identity
+    ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² with the per-row ‖x‖² dropped (constant
+    under argmin), so the working set is the N×L distance matrix — the
+    previous broadcasting form materialized an N×L×d intermediate, which
+    at the v4 operating point (sample 65536, L 4096) would be ~130 GB.
+    Centroid updates are scatter-adds, O(N·d) per iteration."""
+    import numpy as np
+
+    # fewer points than lists: every point is its own centroid — the same
+    # clamped degradation ml.KMeans applied (k capped by distinct points)
+    n_lists = min(n_lists, len(x))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = d2.argmin(axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=len(cent))
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+    return cent
+
+
+def _fit_quantizer(
     corpus: DataFrame,
     vec_col: str,
     n_lists: int,
     seed: int,
     fit_sample_size: int,
     fit_max_iter: int,
-) -> list[list[float]]:
-    """Coarse-quantizer centroids: seeded Lloyd's iterations in numpy on a
-    bounded sample.
+):
+    """Coarse-quantizer fit on a bounded seeded sample; returns
+    ``(centroids, sample)`` — the sample array is reused by
+    :func:`_calibrate_n_probe` so calibration costs no extra Spark job.
 
-    The quantizer needs only a sketch of the distribution, so the fit input
-    is <= ``fit_sample_size`` vectors BY CONSTRUCTION — one bounded driver
-    collect (4096 × 64 floats ≈ 2 MB; Spark's own KMeans ships every
-    per-iteration centroid update through the driver too), then ``argmin``
-    /``mean`` matmuls that finish in milliseconds where the ml fit paid
-    per-iteration job scheduling. The ONLY full-corpus pass of an IVF
-    build remains the assignment. At warehouse scale the sample would come
-    from a maintained sample table; the seam is this function.
-    """
+    The quantizer needs only a sketch of the distribution, so the fit
+    input is <= ``fit_sample_size`` vectors BY CONSTRUCTION — one bounded
+    driver collect, then numpy Lloyd's iterations that finish in
+    milliseconds-to-seconds where an ml.KMeans fit paid per-iteration job
+    scheduling. The ONLY full-corpus pass of an IVF build remains the
+    assignment. At warehouse scale the sample would come from a
+    maintained sample table; the seam is this function."""
     import numpy as np
 
     n = corpus.count()
@@ -486,22 +543,92 @@ def _fit_centroids_sample(
             f"IVF quantizer fit: corpus column {vec_col!r} produced an "
             f"empty sample (corpus rows={n}) — cannot fit any centroids"
         )
-    # A tiny/smoke corpus (or an unlucky Bernoulli sample) can yield fewer
-    # vectors than n_lists; rng.choice(replace=False) would raise an opaque
-    # ValueError. Clamp instead — fewer lists just means coarser pruning,
-    # which is the right degradation for small inputs (ml.KMeans behaved
-    # the same way: k is capped by the number of distinct points).
-    n_lists = min(n_lists, len(x))
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
-    for _ in range(fit_max_iter):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(n_lists):
-            members = x[assign == j]
-            if len(members):
-                cent[j] = members.mean(axis=0)
-    return [[float(v) for v in row] for row in cent]
+    cent = _lloyd(x, n_lists, seed, fit_max_iter)
+    return [[float(v) for v in row] for row in cent], x
+
+
+def _calibrate_n_probe(
+    x,
+    centroids,
+    target: float = IVF_RECALL_TARGET,
+    k: int = 5,
+    n_cal: int = 64,
+    seed: int = 42,
+) -> int:
+    """Smallest ``n_probe`` whose recall@k reaches ``target`` on seeded
+    calibration queries drawn from the fit sample.
+
+    Mechanism: for each calibration query, take its exact top-k within the
+    sample and record the probe RANK of each true neighbor's list (rank 1
+    = the query's nearest centroid, matching the engine's deterministic
+    d2-asc/list-id-asc probe order). recall(n_probe) is the fraction of
+    neighbor ranks ≤ n_probe, so the answer is the target-quantile of the
+    rank distribution — no per-n_probe search. This is what makes the
+    operating point self-tuning at any scale: on clusterable corpora true
+    neighbors share the query's nearest lists and the quantile lands at a
+    few probes; on near-uniform corpora (the synthetic test embeddings —
+    the worst case for ANY partitioning index) it honestly widens the
+    probe to hold the recall target, and :func:`ivf_scan_stats` reports
+    the cost it paid."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype="float64")
+    n_rows = len(x)
+    n_lists = len(cent)
+    if n_rows < 2 or n_lists == 1:
+        return 1
+    rng = np.random.RandomState(seed + 1)
+    qi = rng.choice(n_rows, size=min(n_cal, n_rows), replace=False)
+    c2 = (cent * cent).sum(axis=1)
+    assign = (c2[None, :] - 2.0 * (x @ cent.T)).argmin(axis=1)
+    nrm = np.sqrt((x * x).sum(axis=1))
+    nrm[nrm == 0.0] = 1.0
+    list_ids = np.arange(n_lists)
+    ranks = []
+    for i in qi:
+        cos = (x @ x[i]) / (nrm * nrm[i])
+        cos[i] = -np.inf
+        topk = np.argsort(-cos, kind="stable")[: min(k, n_rows - 1)]
+        qd2 = c2 - 2.0 * (x @ cent.T)[i]
+        order = np.lexsort((list_ids, qd2))  # d2 asc, list_id asc
+        pos = np.empty(n_lists, dtype="int64")
+        pos[order] = np.arange(1, n_lists + 1)
+        ranks.extend(int(pos[assign[j]]) for j in topk)
+    ranks = np.sort(np.asarray(ranks))
+    idx = max(min(int(math.ceil(target * len(ranks))) - 1, len(ranks) - 1), 0)
+    return int(ranks[idx])
+
+
+def _resolve_ivf_params(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int | None,
+    n_probe: int | None,
+    recall_target: float,
+    seed: int,
+    fit_sample_size: int | None,
+    fit_max_iter: int,
+    k: int,
+):
+    """Shared operating-point resolution for the inline query, the offline
+    index build, and the scan-cost probe: corpus-scaled ``n_lists``
+    (:func:`ivf_operating_point`), quantizer fit, and recall-calibrated
+    ``n_probe`` — all seeded, so every caller derives the SAME point from
+    the same corpus (q48d's prebuilt == q48c's inline is pytest-pinned).
+    Returns ``(centroids, n_probe, n_corpus)``."""
+    n = corpus.count()
+    if n_lists is None:
+        n_lists = ivf_operating_point(n)
+    if fit_sample_size is None:
+        fit_sample_size = _fit_sample_for(n_lists)
+    centroids, x = _fit_quantizer(
+        corpus, vec_col, n_lists, seed, fit_sample_size, fit_max_iter
+    )
+    if n_probe is None:
+        n_probe = _calibrate_n_probe(
+            x, centroids, target=recall_target, k=k, seed=seed
+        )
+    return centroids, min(n_probe, len(centroids)), n
 
 
 def _assign_lists(feats: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -594,21 +721,30 @@ def ivf_build_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
+    n_probe: int | None = None,
+    recall_target: float = IVF_RECALL_TARGET,
+    k: int = 5,
     seed: int = 42,
-    fit_sample_size: int = 4096,
+    fit_sample_size: int | None = None,
     fit_max_iter: int = 4,
-) -> None:
-    """Build and persist an IVF index: ``<path>/centroids`` (n_lists rows)
-    and ``<path>/assigned`` (one row per corpus vector with its list id,
-    written partitioned BY list id so a probe reads only its lists).
+) -> dict:
+    """Build and persist an IVF index: ``<path>/centroids`` (n_lists rows),
+    ``<path>/assigned`` (one row per corpus vector with its list id,
+    written partitioned BY list id so a probe reads only its lists), and
+    ``<path>/params`` (one row: the resolved operating point, so the
+    online path probes at the width the build calibrated).
 
     This is the 100 TB deployment shape: the quantizer fit + full-corpus
     assignment pass runs ONCE (per corpus version) as an offline job; the
-    online path (:func:`ivf_probe_prebuilt`) only reads the index. Seeded
-    sample-fit ⇒ rebuilding from the same corpus reproduces the index."""
-    centroids = _fit_centroids_sample(
-        corpus, vec_col, n_lists, seed, fit_sample_size, fit_max_iter
+    online path (:func:`ivf_probe_prebuilt`) only reads the index. By
+    default the operating point is corpus-scaled and recall-calibrated
+    (see :func:`ivf_operating_point` / :func:`_calibrate_n_probe`); the
+    seeded fit ⇒ rebuilding from the same corpus reproduces the index.
+    Returns the persisted params row as a dict."""
+    centroids, n_probe, n = _resolve_ivf_params(
+        corpus, vec_col, n_lists, n_probe, recall_target, seed,
+        fit_sample_size, fit_max_iter, k,
     )
     feats = _featurize(corpus, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
@@ -622,9 +758,21 @@ def ivf_build_index(
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(f"{path}/assigned")
     )
-    corpus.sparkSession.createDataFrame(
+    spark = corpus.sparkSession
+    spark.createDataFrame(
         list(enumerate(centroids)), ["list_id", "centroid"]
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    params = {
+        "index_version": IVF_INDEX_VERSION,
+        "n_corpus": n,
+        "n_lists": len(centroids),
+        "n_probe": n_probe,
+        "recall_target": float(recall_target),
+    }
+    spark.createDataFrame(
+        [tuple(params.values())], list(params.keys())
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    return params
 
 
 def ivf_probe_prebuilt(
@@ -634,12 +782,26 @@ def ivf_probe_prebuilt(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a prebuilt :func:`ivf_build_index` index — the
     online serving path: centroids broadcast from a tiny parquet, probed
     lists read via partition pruning, exact cosine re-rank. No fit, no
-    full-corpus pass in the query."""
+    full-corpus pass in the query. ``n_probe`` defaults to the width the
+    BUILD calibrated for its recall target (persisted in
+    ``<path>/params``); pass it explicitly to trade recall for scan cost
+    at query time without rebuilding."""
+    if n_probe is None:
+        try:
+            n_probe = int(
+                spark.read.parquet(f"{path}/params").head()["n_probe"]
+            )
+        except Exception as e:  # noqa: BLE001 — pre-v4 index layouts
+            raise ValueError(
+                f"IVF index at {path!r} has no readable params table — "
+                f"it predates IVF_INDEX_VERSION=4 (calibrated n_probe). "
+                f"Rebuild with ivf_build_index or pass n_probe explicitly."
+            ) from e
     assigned = spark.read.parquet(f"{path}/assigned")
     centroids = spark.read.parquet(f"{path}/centroids")
     return _ivf_probe(assigned, centroids, queries, id_col, vec_col, k, n_probe)
@@ -651,32 +813,35 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 4,
+    n_lists: int | None = None,
+    n_probe: int | None = None,
+    recall_target: float = IVF_RECALL_TARGET,
     seed: int = 42,
-    fit_sample_size: int = 4096,
+    fit_sample_size: int | None = None,
     fit_max_iter: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantization + n-probe bucket search.
 
     The inverted-file index pattern: corpus vectors are assigned to
-    ``n_lists`` k-means centroids (the 'inverted lists'); each query scores
-    only the vectors in its ``n_probe`` nearest lists, then exact cosine
-    re-ranks the candidates. Search cost drops from O(N·Q) to
-    ≈ O(N·Q·n_probe/n_lists) — the classic vector-index trade: recall is
-    bounded by whether a true neighbor's list is probed (checked against
-    the exact brute force in tests). Centroids are a broadcast-sized side
-    table; the probe join is an equi-join on the list id.
+    ``n_lists`` k-means centroids (the 'inverted lists'); each query
+    scores only the vectors in its ``n_probe`` nearest lists, then exact
+    cosine re-ranks the candidates. Search cost drops from O(N·Q) to
+    ≈ O(N·Q·n_probe/n_lists) — recall is bounded by whether a true
+    neighbor's list is probed.
 
-    Index-build cost is amortized the way a 100 TB deployment must: the
-    quantizer fits on a seeded ≤``fit_sample_size``-vector sample with
-    ``fit_max_iter`` Lloyd's iterations driver-side in numpy (bounded
-    collect — see :func:`_fit_centroids_sample`; the ml.KMeans stage this
-    replaced spent its time on per-iteration job scheduling, not math);
-    only the cheap Arrow-batched assignment pass touches the full corpus.
-    """
-    centroids = _fit_centroids_sample(
-        corpus, vec_col, n_lists, seed, fit_sample_size, fit_max_iter
+    Operating point (v4): ``n_lists`` scales as √N with the corpus
+    (:func:`ivf_operating_point`) and ``n_probe`` is calibrated on the
+    fit sample to hold ``recall_target`` (:func:`_calibrate_n_probe`) —
+    the r8 driver record showed the previous fixed 16/4 point degrading
+    monotonically with corpus size (recall@5 0.64 → 0.48). Both remain
+    overridable for an explicit cost ceiling. Index-build cost is
+    amortized the way a 100 TB deployment must: the quantizer fits on a
+    seeded bounded sample driver-side in numpy (:func:`_fit_quantizer`),
+    calibration reuses that sample for free, and only the cheap
+    Arrow-batched assignment pass touches the full corpus."""
+    centroids, n_probe, _ = _resolve_ivf_params(
+        corpus, vec_col, n_lists, n_probe, recall_target, seed,
+        fit_sample_size, fit_max_iter, k,
     )
     feats = _featurize(corpus, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
@@ -687,6 +852,79 @@ def ivf_topk(
         list(enumerate(centroids)), ["list_id", "centroid"]
     )
     return _ivf_probe(assigned, cdf, queries, id_col, vec_col, k, n_probe)
+
+
+def ivf_scan_stats(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int | None = None,
+    n_probe: int | None = None,
+    recall_target: float = IVF_RECALL_TARGET,
+    seed: int = 42,
+    fit_sample_size: int | None = None,
+    fit_max_iter: int = 4,
+) -> dict:
+    """Measured scan cost of the IVF operating point :func:`ivf_topk`
+    would use on this corpus: resolves the SAME seeded params, then sums
+    the actual probed-list sizes per query instead of scoring candidates
+    — one assignment pass + a tiny (Q × n_probe) ⋈ (n_lists) join, no
+    re-rank. Returns ``{n_corpus, n_queries, n_lists, n_probe,
+    candidates, exhaustive, scan_frac}`` where ``scan_frac`` =
+    candidates / (N·Q), the fraction of brute-force scoring the index
+    pays (self-matches not excluded: ≤ Q rows, negligible). bench.py
+    records this next to the driver-visible recall so the (recall, cost)
+    pair is judged together — recall alone can be bought by probing
+    every list."""
+    centroids, n_probe, n = _resolve_ivf_params(
+        corpus, vec_col, n_lists, n_probe, recall_target, seed,
+        fit_sample_size, fit_max_iter, k,
+    )
+    feats = _featurize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.col("nrm").alias("n_norm"),
+    )
+    sizes = _assign_lists(feats, centroids).groupBy("list_id").count()
+    cdf = corpus.sparkSession.createDataFrame(
+        list(enumerate(centroids)), ["list_id", "centroid"]
+    )
+    q = _featurize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"), F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("q_id", "list_id")
+    )
+    agg = probes.join(F.broadcast(sizes), "list_id").agg(
+        F.sum("count").alias("candidates"),
+        F.countDistinct("q_id").alias("n_queries"),
+    ).head()
+    candidates = int(agg["candidates"] or 0)
+    n_queries = int(agg["n_queries"] or 0)
+    exhaustive = n * n_queries
+    return {
+        "n_corpus": n,
+        "n_queries": n_queries,
+        "n_lists": len(centroids),
+        "n_probe": n_probe,
+        "candidates": candidates,
+        "exhaustive": exhaustive,
+        "scan_frac": round(candidates / exhaustive, 4) if exhaustive else 0.0,
+    }
 
 
 def ann_topk_lsh(

@@ -855,11 +855,16 @@ def q48b(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # the quantizer partitioning is not SQL-expressible; rows-only +
     # recall-vs-exact assertion in tests/test_llm_ops.py
     description=(
-        "Q48c: IVF-style ANN — sample-fit k-means quantization into 16 inverted "
-        "lists, queries probe their 4 nearest lists, exact scaled-int "
-        "cosine re-ranks candidates (≈4× less scoring than brute force at "
-        "equal recall here; ratio scales with n_lists/n_probe). Fixed "
-        "seed; recall checked against q48 in tests."
+        "Q48c: IVF-style ANN — sample-fit k-means quantization into "
+        "√N corpus-scaled inverted lists; the probe width is calibrated "
+        "on the fit sample to hold recall@5 ≥ 0.9 (v4 operating point, "
+        "VERDICT r8 #2: the old fixed 16/4 point decayed to 0.48 recall "
+        "at sf0.1), then exact scaled-int cosine re-ranks candidates. "
+        "Fixed seed; recall floor ≥ 0.7 pinned in tests and the bench "
+        "record carries the measured (recall, scan-fraction) pair — on "
+        "the near-uniform synthetic embeddings holding the target costs "
+        "~half of brute-force scoring; on clusterable corpora the same "
+        "calibration lands at a few probes (mechanism pinned in tests)."
     ),
     tags=("llm", "approx"),
 )
@@ -883,9 +888,11 @@ def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Q48d: ANN against a PREBUILT IVF index — the 100 TB serving "
         "shape: the quantizer fit + full-corpus assignment pass runs once "
         "offline (ivf_build_index → centroids parquet + assignments "
-        "partitioned BY list id), and the query path only broadcasts the "
-        "tiny centroid table, partition-prunes to its probed lists, and "
-        "exact-cosine re-ranks. Same seed/params as q48c, so the result "
+        "partitioned BY list id + the calibrated operating point in a "
+        "params table), and the query path only broadcasts the tiny "
+        "centroid table, partition-prunes to its probed lists, and "
+        "exact-cosine re-ranks at the probe width the BUILD calibrated "
+        "for its recall target. Same seed/params as q48c, so the result "
         "is identical — tests assert probe-of-prebuilt == inline-built."
     ),
     tags=("llm", "approx"),

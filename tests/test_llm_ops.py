@@ -176,9 +176,64 @@ def test_q48c_ivf_recall_vs_exact(spark, sf_dir):
     assert set(ivf_sets) == set(exact_sets)
     hits = sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in exact_sets)
     recall = hits / sum(len(s) for s in exact_sets.values())
-    # random 64-dim embeddings have weak cluster structure, so probing 4/16
-    # lists bounds recall well below 1.0 — the explicit cost/recall trade
-    assert recall >= 0.4, f"IVF recall@5 = {recall:.2f}"
+    # v4 operating point (VERDICT r8 #2): n_lists scales as sqrt(N) and
+    # n_probe is calibrated on the fit sample to hold recall >= 0.9, so
+    # corpus recall must clear 0.7 at EVERY scale (the 10-query gate set
+    # is small, so the corpus number sits a few hits below the
+    # calibration estimate; the old floor of 0.4 let the fixed 16/4
+    # point decay to 0.48 at sf0.1 unnoticed)
+    assert recall >= 0.7, f"IVF recall@5 = {recall:.2f}"
+
+
+def test_ivf_calibration_adapts_to_cluster_structure():
+    """The v4 operating point is self-tuning: on a tightly CLUSTERED
+    corpus the calibrated probe width collapses to a few lists (true
+    neighbors share the query's nearest centroid), while on a uniform
+    corpus of the same size/dim it widens to hold the recall target.
+    This pins the MECHANISM that makes the point survive scale-up —
+    the scan fraction is a property of the data, the recall target is
+    held by construction."""
+    import numpy as np
+
+    from bucket_to_bigquery_spark.operators.similarity import (
+        _calibrate_n_probe,
+        _lloyd,
+        ivf_operating_point,
+    )
+
+    rng = np.random.RandomState(0)
+    n, d = 2048, 64
+    n_lists = ivf_operating_point(n)  # 45
+    centers = rng.randn(32, d) * 10.0
+    clustered = (
+        np.repeat(centers, n // 32, axis=0) + rng.randn(n, d) * 0.05
+    )
+    uniform = rng.randn(n, d)
+    p_clustered = _calibrate_n_probe(
+        clustered, _lloyd(clustered, n_lists, seed=42, iters=4)
+    )
+    p_uniform = _calibrate_n_probe(
+        uniform, _lloyd(uniform, n_lists, seed=42, iters=4)
+    )
+    assert p_clustered <= 4, p_clustered
+    assert p_uniform > 2 * p_clustered, (p_clustered, p_uniform)
+
+
+def test_ivf_operating_point_scales_with_corpus():
+    from bucket_to_bigquery_spark.operators.similarity import (
+        _fit_sample_for,
+        ivf_operating_point,
+    )
+
+    assert ivf_operating_point(500) == 22
+    assert ivf_operating_point(2000) == 45
+    assert ivf_operating_point(10**6) == 1000
+    assert ivf_operating_point(10**9) == 4096      # clamped
+    assert ivf_operating_point(0) == 8             # floor
+    # fit sample: >= 32 vectors per centroid, bounded driver collect
+    assert _fit_sample_for(22) == 4096
+    assert _fit_sample_for(1000) == 32000
+    assert _fit_sample_for(4096) == 65536
 
 
 def test_connected_components_multihop_chain(spark):
