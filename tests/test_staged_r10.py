@@ -1,0 +1,177 @@
+"""The staged r10 surface (GATE_r09.md "Round-10 rotation plan"): builders
+land in r9 fully oracle-verified, registration waits for a later round's
+gate window.
+
+Two obligations checked here (the r8→r9 staging pattern):
+
+1. **Staging containment** — importing the staged modules must NOT touch
+   the global registry: a staged entry leaking into ``all_queries()``
+   would take a gate slot the r9 window did not budget.
+2. **Full oracle parity NOW** — every staged builder runs against its
+   DuckDB oracle with the exact driver-faithful comparison the registered
+   surface uses (tests/oracle.py), plus per-family semantic assertions
+   (Bloom has no false negatives, the CDC diff hits every planted branch,
+   the weighted sample actually upweights, the z-layout shows locality,
+   the HLL union lands in bounds).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bucket_to_bigquery_spark.queries import all_queries
+from bucket_to_bigquery_spark.queries import (  # noqa: F401 (import = staging test)
+    bloom,
+    hll,
+    layout,
+    sampling_ext,
+    snapshot,
+)
+from bucket_to_bigquery_spark.queries.registry import (
+    REGISTRY,
+    Query,
+    _with_tuning,
+)
+
+from .oracle import compare, duck_connection
+
+_STAGED_MODULES = (bloom, snapshot, sampling_ext, layout, hll)
+
+STAGED: dict[str, Query] = {
+    name: Query(name, _with_tuning(fn), oracle, desc, tags)
+    for mod in _STAGED_MODULES
+    for name, (fn, oracle, desc, tags) in mod.STAGED.items()
+}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# 1. Staging containment
+# ---------------------------------------------------------------------------
+
+
+def test_staged_modules_do_not_register():
+    """Importing a staged module must leave the global registry untouched
+    (no r9 window slot was budgeted for them)."""
+    leaked = set(STAGED) & set(all_queries())
+    assert not leaked, f"staged entries leaked into the registry: {sorted(leaked)}"
+
+
+def test_register_seam_is_complete_and_reversible():
+    """`register()` (the r10 wiring seam) must install every staged entry
+    with its oracle — verified against a snapshot and rolled back, so the
+    registry other tests see stays exactly the r9 surface."""
+    before = dict(REGISTRY)
+    try:
+        for mod in _STAGED_MODULES:
+            mod.register()
+        for name, q in STAGED.items():
+            assert name in REGISTRY, f"register() missed {name}"
+            assert REGISTRY[name].oracle == q.oracle
+            assert REGISTRY[name].description
+    finally:
+        REGISTRY.clear()
+        REGISTRY.update(before)
+    assert set(all_queries()) == set(before)
+
+
+# ---------------------------------------------------------------------------
+# 2. Oracle parity (driver-faithful, same machinery as test_oracle_parity)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("qname", sorted(STAGED))
+def test_staged_query_matches_oracle(qname, spark, duck, sf_dir):
+    problems = compare(qname, spark, duck, sf_dir, STAGED)
+    assert not problems, f"{qname}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Per-family semantics
+# ---------------------------------------------------------------------------
+
+
+def test_q57_bloom_has_no_false_negatives(spark, sf_dir):
+    rows = STAGED["q57_bloom_decontamination"].builder(spark, sf_dir).collect()
+    assert rows
+    contaminated = [r for r in rows if r["n_exact_contaminated"] > 0]
+    assert contaminated, "no exact contamination — the benchmark split is wrong"
+    for r in rows:
+        # Bloom membership is a superset of true membership, per shingle —
+        # so per doc the flagged count can never undercount
+        assert r["n_bloom_flagged"] >= r["n_exact_contaminated"], r
+        assert r["n_false_positive"] == r["n_bloom_flagged"] - r["n_exact_contaminated"]
+        if r["n_exact_contaminated"] > 0:
+            assert r["bloom_would_drop"], r
+        assert 0 <= r["n_bloom_flagged"] <= r["n_shingles"] or r["n_shingles"] == 0
+
+
+def test_q58_diff_hits_every_planted_branch(spark, sf_dir):
+    rows = STAGED["q58_snapshot_diff"].builder(spark, sf_dir).collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    assert set(by_status) == {"added", "removed", "changed"}
+    for r in by_status["removed"]:
+        assert r["doc_id"] % 13 == 7 and r["new_fp"] is None, r
+    for r in by_status["changed"]:
+        assert r["doc_id"] % 11 == 5 and r["old_fp"] != r["new_fp"], r
+    for r in by_status["added"]:
+        assert r["doc_id"] >= 900000 and r["old_fp"] is None, r
+
+
+def test_q59_sample_upweights_and_ranks_contiguously(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.queries.registry import tables
+
+    rows = STAGED["q59_weighted_sample"].builder(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rank"])
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+    # the exponential key favors heavy docs: the sampled mean weight must
+    # exceed the corpus mean. The margin is bounded by the corpus's own
+    # weight dispersion (A-ES inclusion ∝ weight, so the sample mean
+    # approaches E[w²]/E[w] ≈ 1.1–1.2× here — n_chars is not very
+    # dispersed); 5% cleanly separates 'weighted' from 'uniform' noise
+    # at every sf without overfitting the margin to one corpus.
+    corpus_mean = (
+        tables(spark, sf_dir)["documents"]
+        .agg(F.avg(F.greatest(F.col("n_chars"), F.lit(1))))
+        .head()[0]
+    )
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > 1.05 * corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_q60_zorder_buckets_show_two_dim_locality(spark, sf_dir):
+    from bucket_to_bigquery_spark.queries.registry import tables
+
+    rows = STAGED["q60_zorder_layout"].builder(spark, sf_dir).collect()
+    assert 1 < len(rows) <= 64
+    total = sum(r["n_rows"] for r in rows)
+    assert total == tables(spark, sf_dir)["events"].count()
+    full = 1 << 10
+    # every z-bucket confines BOTH dimensions: with 6 bucket bits (3 per
+    # dim) each span is at most ~1/8 of the domain, not the full range a
+    # single-dim sort leaves on its secondary column
+    for r in rows:
+        assert r["d1_span"] <= full // 8, r
+        assert r["d2_span"] <= full // 8, r
+
+
+def test_q61_union_estimates_in_bounds(spark, sf_dir):
+    rows = STAGED["q61_hll_sketch_union"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["union_ok"], r
+        assert 1 <= r["n_shards"] <= 8, r
+        assert r["exact_users"] >= 1

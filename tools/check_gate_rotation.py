@@ -110,6 +110,17 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/dedup.py",
         PKG + "scratch.py",
     ],
+    # Staged r10 surface (GATE_r09.md "Round-10 rotation plan"): NOT
+    # imported by queries/__init__ yet — zero registered entries this
+    # round; mapped so the unmapped-changed-file guard knows them and so
+    # their registration inherits correct dependency pull-in.
+    PKG + "queries/bloom.py": [
+        PKG + "operators/dedup.py",
+    ],
+    PKG + "queries/snapshot.py": [],
+    PKG + "queries/sampling_ext.py": [],
+    PKG + "queries/layout.py": [],
+    PKG + "queries/hll.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
