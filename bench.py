@@ -184,7 +184,13 @@ def main() -> None:
     # here purely to materialize the shared source.
     errors: dict[str, str] = {}
     for name in sorted(registry):
-        if name.startswith(("q02", "q04", "q05", "q36", "q38b", "q41", "q48d")):
+        # q55* joined the prefix in r9: its one-time historical shingle
+        # index is a scratch-materialized offline artifact like q48d's
+        # IVF index (25.5 s cold vs ~3 s warm at sf0.1 — the timed row
+        # must measure the per-batch probe, which is the operation).
+        if name.startswith(
+            ("q02", "q04", "q05", "q36", "q38b", "q41", "q48d", "q55")
+        ):
             try:
                 registry[name].builder(spark, sf_dir)
             except Exception as e:  # noqa: BLE001

@@ -130,7 +130,16 @@ def _hist_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame,
         )
         hot.write.parquet(f"{p}/hot")
 
+    # observability (the q48d ivf_index_reused pattern): a timed q55 run
+    # must show reused=1 — the index build is the offline path and
+    # belongs to bench warm-up. stderr: stdout is the bench's
+    # one-JSON-line contract.
+    import os
+    import sys
+
+    reused = int(os.path.exists(os.path.join(base, ".b2bqs_done")))
     materialize_once(base, _build)
+    print(f"METRIC b2bqs.q55_hist_index_reused {reused}", file=sys.stderr)
     idx = spark.read.schema("shingle long, doc_id long").parquet(f"{base}/idx")
     sizes = spark.read.schema("doc_id long, ns long").parquet(f"{base}/sizes")
     hot = spark.read.schema("shingle long").parquet(f"{base}/hot")
