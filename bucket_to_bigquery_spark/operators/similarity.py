@@ -515,6 +515,7 @@ def _fit_quantizer(
     seed: int,
     fit_sample_size: int,
     fit_max_iter: int,
+    n: int | None = None,
 ):
     """Coarse-quantizer fit on a bounded seeded sample; returns
     ``(centroids, sample)`` — the sample array is reused by
@@ -529,7 +530,8 @@ def _fit_quantizer(
     maintained sample table; the seam is this function."""
     import numpy as np
 
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     s = (
         corpus.select(vec_col)
         if n <= fit_sample_size
@@ -580,7 +582,12 @@ def _calibrate_n_probe(
     rng = np.random.RandomState(seed + 1)
     qi = rng.choice(n_rows, size=min(n_cal, n_rows), replace=False)
     c2 = (cent * cent).sum(axis=1)
-    assign = (c2[None, :] - 2.0 * (x @ cent.T)).argmin(axis=1)
+    # one (n_rows × n_lists) matmul shared by the assignment AND every
+    # per-query centroid ranking below — recomputing it inside the loop
+    # would cost ~2 GB / 34 GFLOPs per calibration query at the v4 caps
+    # (sample 65536 × 4096 lists)
+    xc = x @ cent.T
+    assign = (c2[None, :] - 2.0 * xc).argmin(axis=1)
     nrm = np.sqrt((x * x).sum(axis=1))
     nrm[nrm == 0.0] = 1.0
     list_ids = np.arange(n_lists)
@@ -589,7 +596,7 @@ def _calibrate_n_probe(
         cos = (x @ x[i]) / (nrm * nrm[i])
         cos[i] = -np.inf
         topk = np.argsort(-cos, kind="stable")[: min(k, n_rows - 1)]
-        qd2 = c2 - 2.0 * (x @ cent.T)[i]
+        qd2 = c2 - 2.0 * xc[i]
         order = np.lexsort((list_ids, qd2))  # d2 asc, list_id asc
         pos = np.empty(n_lists, dtype="int64")
         pos[order] = np.arange(1, n_lists + 1)
@@ -622,7 +629,7 @@ def _resolve_ivf_params(
     if fit_sample_size is None:
         fit_sample_size = _fit_sample_for(n_lists)
     centroids, x = _fit_quantizer(
-        corpus, vec_col, n_lists, seed, fit_sample_size, fit_max_iter
+        corpus, vec_col, n_lists, seed, fit_sample_size, fit_max_iter, n=n
     )
     if n_probe is None:
         n_probe = _calibrate_n_probe(
@@ -663,6 +670,31 @@ def _assign_lists(feats: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def _probe_lists(q: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
+    """The probe-selection block shared by :func:`_ivf_probe` and
+    :func:`ivf_scan_stats`: rank the broadcast centroids per query by
+    exact d² (ties → lowest list id, matching :func:`_assign_lists`) and
+    keep each query's ``n_probe`` nearest lists. ONE definition on
+    purpose — the scan fraction the stats report must describe exactly
+    the lists the query plan probes."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"), F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= n_probe)
+        .drop("d2", "probe_rank", "centroid")
+    )
+
+
 def _ivf_probe(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -679,21 +711,8 @@ def _ivf_probe(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
         F.col("nrm").alias("q_norm"),
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"), F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", d2)
-        .withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= n_probe)
-        .select("q_id", "q_vec", "q_norm", "list_id")
+    probes = _probe_lists(q, centroids, n_probe).select(
+        "q_id", "q_vec", "q_norm", "list_id"
     )
     scored = (
         probes.join(assigned, "list_id")
@@ -893,22 +912,7 @@ def ivf_scan_stats(
     q = _featurize(queries, id_col, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"), F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
-    probes = (
-        q.crossJoin(F.broadcast(cdf))
-        .withColumn("d2", d2)
-        .withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= n_probe)
-        .select("q_id", "list_id")
-    )
+    probes = _probe_lists(q, cdf, n_probe).select("q_id", "list_id")
     agg = probes.join(F.broadcast(sizes), "list_id").agg(
         F.sum("count").alias("candidates"),
         F.countDistinct("q_id").alias("n_queries"),

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles, tokens
+from .llm_queries import _SH5_SQL, _TOKS_SQL
 from .registry import query, tables
 
 # m = 2^16 bit positions, k = 4 salted hashes. At the gate corpus
@@ -51,12 +52,9 @@ _BLOOM_K = 4
 # gates stay independently evolvable
 _BENCH_MOD, _BENCH_REM = 19, 7
 
-_TOKS_SQL = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
-_SH5_SQL = (
-    "CASE WHEN len(t) >= 5 THEN list_distinct(list_transform("
-    "range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) "
-    "ELSE [] END"
-)
+# _TOKS_SQL/_SH5_SQL come from llm_queries: q57's oracle MUST tokenize
+# and shingle exactly like q47d's (both mirror operators/dedup.tokens/
+# shingles) — one definition, no third private copy to desynchronize.
 # position of shingle s under salt j — identical expression both engines:
 # first 8 md5 hex chars of '<j>:<s>' as int64, mod m
 _POS_SQL = (
@@ -134,7 +132,9 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-step select: the shingle expression references its token
         # array 3×; an attribute boundary computes it once per row
         # (q47d's measured 10×-at-sf0.1 lesson). Persisted because both
-        # the benchmark and corpus branches consume it.
+        # the benchmark and corpus branches consume it; retained for the
+        # session like q47d's (a lazy builder cannot unpersist its own
+        # result) — bench.py sweeps all persisted state between queries.
         .select("doc_id", tokens("text").alias("toks"))
         .select(
             "doc_id", F.array_distinct(shingles(F.col("toks"), 5)).alias("shs")

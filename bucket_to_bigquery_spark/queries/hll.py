@@ -39,8 +39,11 @@ _SHARDS = 8
 _TOLERANCE = 0.05  # |est − exact| ≤ max(1, 5% · exact)
 
 _Q61_ORACLE = (
+    # n_shards mirrors the engine: the count of OCCUPIED user_id % 8
+    # residues per type, not a hardcoded 8 — a corpus whose users don't
+    # cover every residue must not hash-mismatch a correct result
     "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
-    f"CAST({_SHARDS} AS BIGINT) AS n_shards, TRUE AS union_ok "
+    f"COUNT(DISTINCT user_id % {_SHARDS}) AS n_shards, TRUE AS union_ok "
     "FROM events GROUP BY event_type ORDER BY event_type"
 )
 

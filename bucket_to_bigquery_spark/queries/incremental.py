@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingle_hash, shingles, tokens
-from ..scratch import materialize_once, scratch_path
+from ..scratch import _DONE, materialize_once, scratch_path
 from .registry import query, tables
 
 _NEAR_TAIL = " zz9 qq8 vv7"  # the q47 planted-near literal (llm_queries)
@@ -137,7 +137,7 @@ def _hist_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame,
     import os
     import sys
 
-    reused = int(os.path.exists(os.path.join(base, ".b2bqs_done")))
+    reused = int(os.path.exists(os.path.join(base, _DONE)))
     materialize_once(base, _build)
     print(f"METRIC b2bqs.q55_hist_index_reused {reused}", file=sys.stderr)
     idx = spark.read.schema("shingle long, doc_id long").parquet(f"{base}/idx")

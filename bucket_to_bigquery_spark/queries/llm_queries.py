@@ -906,7 +906,7 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_build_index,
         ivf_probe_prebuilt,
     )
-    from ..scratch import materialize_once, scratch_path
+    from ..scratch import _DONE, materialize_once, scratch_path
 
     t = tables(spark, sf_dir)
     emb = t["embeddings"]
@@ -920,7 +920,7 @@ def q48d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relational.py in the gate dep map (GATE_r07.md).
     scratch = scratch_path(f"q48d_ivf_index_{IVF_INDEX_VERSION}", sf_dir)
 
-    reused = int(os.path.exists(f"{scratch}/.b2bqs_done"))
+    reused = int(os.path.exists(os.path.join(scratch, _DONE)))
     path = materialize_once(
         scratch, lambda p: ivf_build_index(emb, f"{p}/index")
     ) + "/index"

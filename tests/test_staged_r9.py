@@ -15,8 +15,6 @@ Checked here:
 
 from __future__ import annotations
 
-import pytest
-
 from bucket_to_bigquery_spark.queries import all_queries
 from bucket_to_bigquery_spark.queries import (  # noqa: F401 (import = staging test)
     incremental,

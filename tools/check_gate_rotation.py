@@ -116,6 +116,10 @@ MODULE_DEPS: dict[str, list[str]] = {
     # their registration inherits correct dependency pull-in.
     PKG + "queries/bloom.py": [
         PKG + "operators/dedup.py",
+        # q57's oracle is built from llm_queries' _TOKS_SQL/_SH5_SQL
+        # (one tokenizer definition, per the r9 review) — a change there
+        # must pull the bloom entries once registered
+        PKG + "queries/llm_queries.py",
     ],
     PKG + "queries/snapshot.py": [],
     PKG + "queries/sampling_ext.py": [],
