@@ -315,3 +315,80 @@ def test_q02c_xml_scan_is_parallel_file_scan(spark, sf_dir):
     assert "FileScan xml" in plan, plan[:1500]
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and any("o_orderkey" in ln for ln in read)
+
+
+# --- round-9 registered surface -------------------------------------------
+
+
+def test_q11b_full_outer_smj_with_pushed_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q11b_full_outer_join")
+    # neither side can broadcast a full-outer join: shuffled SMJ is the
+    # correct shape, with both pre-join filters at the scans
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("BUILDING" in ln for ln in pushed)
+    assert "CartesianProduct" not in plan
+
+
+def test_q55_probe_reads_prebuilt_index_broadcasts_hotlist(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q55_incremental_dedup")
+    # the historical side is index-probe-only: the plan must SCAN the
+    # scratch-materialized index parquet, never re-shingle history
+    assert "q55_hist_index" in plan
+    # hot-shingle exclusion is a broadcast anti-join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q56_mixture_is_shuffle_free_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q56_mixture_sampling")
+    # row-local sampling predicate: no exchange before the output sort
+    body = plan.split("TakeOrdered", 1)[0] if "TakeOrdered" in plan else plan
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_q49n_cms_grid_aggregates_map_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q49n_heavy_hitters_cms")
+    # the dxw grid must partial-aggregate before any exchange (<= d*w
+    # partial rows per task), and the merged grid comes back broadcast
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- staged r10 surface (builders invoked directly; unregistered) ----------
+
+
+def _staged_plan(spark, sf_dir, mod, name: str) -> str:
+    fn = mod.STAGED[name][0]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q57_bloom_corpus_never_shuffles_before_doc_agg(spark, sf_dir):
+    from bucket_to_bigquery_spark.queries import bloom
+
+    plan = _staged_plan(spark, sf_dir, bloom, "q57_bloom_decontamination")
+    # every join is against a broadcast side (bit-set positions, bench
+    # shingles) — the only SMJ-class shuffle allowed is none at all
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q59_sample_shuffle_carries_no_text(spark, sf_dir):
+    from bucket_to_bigquery_spark.queries import sampling_ext
+
+    plan = _staged_plan(spark, sf_dir, sampling_ext, "q59_weighted_sample")
+    # column pruning: the two-phase top-k windows rank (lang, key,
+    # doc_id, weight) — document text must never enter the plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("text" not in ln for ln in read)
+    assert plan.count("Window") >= 2  # salted phase + final phase
+
+
+def test_q60_zorder_map_is_partial_aggregated(spark, sf_dir):
+    from bucket_to_bigquery_spark.queries import layout
+
+    plan = _staged_plan(spark, sf_dir, layout, "q60_zorder_layout")
+    # map-side combine into <= 64 buckets before the exchange
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
