@@ -48,8 +48,10 @@ from .registry import query, tables
 # count small but nonzero — visible in the output, which is the point.
 _BLOOM_M = 65536
 _BLOOM_K = 4
-# benchmark split: disjoint from q47d's doc_id % 20 == 0 so the two
-# gates stay independently evolvable
+# benchmark split: decorrelated from q47d's doc_id % 20 == 0 (by CRT the
+# residues overlap at doc_id ≡ 140 mod 380 — NOT disjoint, and need not
+# be: the queries are independent; a different residue pair just keeps
+# the two gates independently evolvable)
 _BENCH_MOD, _BENCH_REM = 19, 7
 
 # _TOKS_SQL/_SH5_SQL come from llm_queries: q57's oracle MUST tokenize

@@ -24,6 +24,7 @@ from bucket_to_bigquery_spark.queries import (  # noqa: F401 (import = staging t
     bloom,
     hll,
     layout,
+    projections,
     sampling_ext,
     snapshot,
 )
@@ -35,7 +36,7 @@ from bucket_to_bigquery_spark.queries.registry import (
 
 from .oracle import compare, duck_connection
 
-_STAGED_MODULES = (bloom, snapshot, sampling_ext, layout, hll)
+_STAGED_MODULES = (bloom, snapshot, sampling_ext, layout, hll, projections)
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
@@ -166,6 +167,32 @@ def test_q60_zorder_buckets_show_two_dim_locality(spark, sf_dir):
     for r in rows:
         assert r["d1_span"] <= full // 8, r
         assert r["d2_span"] <= full // 8, r
+
+
+def test_q62_projection_preserves_norms(spark, sf_dir):
+    """The JL guarantee the q62 docstring claims: E[(Σ sᵢxᵢ)²] = ‖x‖² per
+    output dim, so the per-vector mean of squared projected components
+    tracks the squared input norm. One fixed ±1 matrix has variance, so
+    pin per-vector ratios loosely and the corpus-mean ratio tightly."""
+    import numpy as np
+
+    from bucket_to_bigquery_spark.queries.registry import tables
+
+    rows = STAGED["q62_jl_sign_projection"].builder(spark, sf_dir).collect()
+    src = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in tables(spark, sf_dir)["embeddings"].collect()
+    }
+    assert len(rows) == len(src)
+    ratios = []
+    for r in rows:
+        proj = np.array([int(v) for v in r["proj"].split(",")], dtype="float64")
+        assert proj.shape == (16,)
+        norm2 = float(np.sum(np.rint(src[r["vec_id"]] * 1e6) ** 2))
+        ratios.append(float(np.mean(proj**2)) / norm2)
+    ratios = np.asarray(ratios)
+    assert np.all((ratios > 0.05) & (ratios < 20)), (ratios.min(), ratios.max())
+    assert 0.5 < float(ratios.mean()) < 2.0, ratios.mean()
 
 
 def test_q61_union_estimates_in_bounds(spark, sf_dir):

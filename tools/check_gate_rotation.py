@@ -125,6 +125,11 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/sampling_ext.py": [],
     PKG + "queries/layout.py": [],
     PKG + "queries/hll.py": [],
+    PKG + "queries/projections.py": [
+        # the Arrow projection shares the scaled-int rounding contract
+        # (_round_nearest_ties_away_e12) with the q48 scorer
+        PKG + "operators/similarity.py",
+    ],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
