@@ -58,13 +58,24 @@ def _ingested_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, obj
     The build runs entirely under the atomic-publish TEMP directory
     ``materialize_once`` hands it (source CSV batch, warehouse, audit),
     becoming visible in one rename — so a concurrent reader can never see
-    a half-ingested warehouse. The build-time manifest therefore references
-    temp-rooted paths; the audit's ``uri`` values embed them, which is why
-    q04b projects load-deterministic columns (bucket + seamed timestamp)
-    rather than raw URIs. Post-publish readers (read_table / read_audit /
-    register_catalog_table) address the FINAL base only.
+    a half-ingested warehouse. The build-time manifest references
+    temp-rooted paths, but the audit stores PUBLISH-rooted URIs via the
+    loader's ``audit_rebase`` seam (VERDICT r9 #1): a post-publish
+    ``loader.run`` over the published tree anti-joins to a no-op — the
+    reference's core idempotency guarantee (BucketToBigQuery.js:384-388),
+    now holding across the atomic publish, pinned by
+    tests/test_ingest_queries.py::test_post_publish_reload_is_noop.
+    q04b still projects load-deterministic columns (bucket + seamed
+    timestamp): the scratch base embeds a content fingerprint, so raw
+    URIs remain unknowable to a static oracle string. Post-publish
+    readers (read_table / read_audit / register_catalog_table) address
+    the FINAL base only.
+
+    Scratch key v2: the r10 audit-rebase changed the audit's content
+    (tmp-rooted → publish-rooted URIs), and the scratch NAME is the
+    layout version.
     """
-    base = scratch_path("q04_ingest", sf_dir)
+    base = scratch_path("q04_ingest_v2", sf_dir)
     task = parse_manifest(_ingest_manifest(base)).tasks[0]
 
     def _build(p: str) -> None:
@@ -87,7 +98,8 @@ def _ingested_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, obj
             .option("header", True)
             .csv(f"{p}/src")
         )
-        loader = BatchLoader(spark, f"{p}/warehouse", import_ts=_Q04_IMPORT_TS)
+        loader = BatchLoader(spark, f"{p}/warehouse", import_ts=_Q04_IMPORT_TS,
+                             audit_rebase=(p, base))
         r1, = loader.run(manifest)
         assert r1.rows_loaded > 0, "ingest loaded nothing"
         r2, = loader.run(manifest)  # idempotent reload: MUST be a no-op

@@ -81,7 +81,9 @@ def _compacted_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, ob
     records pre/post parquet file counts in ``compact_stats.json`` inside
     the published tree — asserting the reduction here AND letting pytest
     re-check it against the published artifact."""
-    base = scratch_path("q04e_compact", sf_dir)
+    # Scratch key v2: the r10 audit-rebase seam changed the audit's
+    # content (publish-rooted URIs); the scratch NAME is the layout version.
+    base = scratch_path("q04e_compact_v2", sf_dir)
     task = parse_manifest(_manifest(base)).tasks[0]
 
     def _build(p: str) -> None:
@@ -91,7 +93,8 @@ def _compacted_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, ob
             (F.col("o_orderdate") >= F.lit(_LO).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(_HI).cast("timestamp"))
         )
-        loader = BatchLoader(spark, f"{p}/warehouse", import_ts=_Q04E_IMPORT_TS)
+        loader = BatchLoader(spark, f"{p}/warehouse", import_ts=_Q04E_IMPORT_TS,
+                             audit_rebase=(p, base))
         for i, batch in enumerate(
             (scoped.where(F.col("o_orderkey") % 2 == 0),
              scoped.where(F.col("o_orderkey") % 2 == 1))
@@ -117,7 +120,7 @@ def _compacted_loader(spark: SparkSession, sf_dir: str) -> tuple[BatchLoader, ob
 def compact_stats(spark: SparkSession, sf_dir: str) -> dict:
     """The build's recorded pre/post file counts (pytest assertion seam)."""
     _compacted_loader(spark, sf_dir)
-    base = scratch_path("q04e_compact", sf_dir)
+    base = scratch_path("q04e_compact_v2", sf_dir)
     with open(os.path.join(base, "compact_stats.json")) as fh:
         return json.load(fh)
 

@@ -45,3 +45,46 @@ def test_q04d_catalog_table_visible_to_sql(spark, sf_dir):
     assert spark.sql("SHOW TABLES IN wh").where("tableName = 'orders_ing'").count() == 1
     n = spark.sql("SELECT COUNT(*) AS n FROM wh.orders_ing").first()["n"]
     assert n > 0
+
+
+def test_post_publish_reload_is_noop(spark, sf_dir):
+    """The reference's core idempotency guarantee (checkFilesImported,
+    BucketToBigQuery.js:384-388) must hold ON THE PUBLISHED TREE, not just
+    inside the atomic-publish temp dir: the audit stores publish-rooted
+    URIs (the loader's audit_rebase seam, VERDICT r9 #1), so a fresh
+    loader re-running the manifest against the published warehouse
+    anti-joins every file out and loads nothing."""
+    from bucket_to_bigquery_spark.ingest import BatchLoader, parse_manifest
+    from bucket_to_bigquery_spark.queries.ingest_queries import (
+        _ingest_manifest,
+        _ingested_loader,
+    )
+    from bucket_to_bigquery_spark.scratch import scratch_path
+
+    _ingested_loader(spark, sf_dir)  # materialize + publish
+    base = scratch_path("q04_ingest_v2", sf_dir)
+    fresh = BatchLoader(spark, f"{base}/warehouse")
+    report, = fresh.run(parse_manifest(_ingest_manifest(base)))
+    assert report.files_seen, "published tree lists no source files"
+    assert sorted(report.files_already_imported) == sorted(report.files_seen)
+    assert report.files_loaded == [] and report.rows_loaded == 0
+
+
+def test_q04e_post_publish_reload_is_noop(spark, sf_dir):
+    """Same guarantee for the compacted warehouse tree (q04e): compaction
+    rewrites data files but must not disturb the audit's publish-rooted
+    URIs — a reload after compact still loads nothing."""
+    from bucket_to_bigquery_spark.ingest import BatchLoader, parse_manifest
+    from bucket_to_bigquery_spark.queries.maintenance import (
+        _compacted_loader,
+        _manifest,
+    )
+    from bucket_to_bigquery_spark.scratch import scratch_path
+
+    _compacted_loader(spark, sf_dir)
+    base = scratch_path("q04e_compact_v2", sf_dir)
+    fresh = BatchLoader(spark, f"{base}/warehouse")
+    report, = fresh.run(parse_manifest(_manifest(base)))
+    assert report.files_seen, "published tree lists no source files"
+    assert sorted(report.files_already_imported) == sorted(report.files_seen)
+    assert report.files_loaded == [] and report.rows_loaded == 0
