@@ -46,46 +46,27 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # 50 the rotation check fails and the round must split its changes.
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # changed this round (r9): operators/similarity.py — the IVF
-    # operating-point fix (VERDICT r8 #2: n_lists/n_probe now scale with
-    # corpus size; driver-recorded recall@5 was 0.48 at sf0.1 on the
-    # fixed 16/4 point) — similarity.py is a dep of every llm_queries.py
-    # entry, so all 32 are in-window; the q48c/q48d decorator
-    # descriptions change in the same commit (llm_queries.py), which
-    # additionally pulls the 4 pipeline entries (MODULE_DEPS: pipeline ->
-    # llm_queries). Net effect: the whole r7-row LLM/pipeline surface
-    # refreshes this round, which is also the staleness rotation VERDICT
-    # r8 #3 asked for.
-    "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
-    "q46d_dedup_apply", "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
-    "q47c_embedding_neardup", "q47d_benchmark_decontamination",
-    "q47e_containment_pairs", "q47f_embedding_dedup_apply",
-    "q48_cosine_topk", "q48b_ann_lsh_topk", "q48c_ivf_topk",
-    "q48d_ivf_prebuilt", "q48e_signgrid_ann", "q48f_knn_label_audit",
-    "q49_text_stats", "q49b_length_histogram", "q49c_language_id",
-    "q49d_doc_fingerprint", "q49e_quality_filter", "q49f_repetition_ratio",
-    "q49g_stratified_sample", "q49h_shard_assignment",
-    "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
-    "q49l_vocab_coverage", "q49m_bigram_lm_score", "q50_multimodal_bytes",
-    "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
-    "q51_repeated_substrings", "q52_sequence_packing",
-    "q53_substring_scrub", "q54_full_pipeline",
-    # newly registered this round (r9): the r8-staged surface (GATE_r08
-    # plan #1) — first-ever driver rows, so all 7 take slots. The modules
-    # themselves are unchanged since r8 (registration happens in
-    # queries/__init__, INFRA), so they pull no family.
-    "q04e_compaction", "q11b_full_outer_join", "q49n_heavy_hitters_cms",
-    "q55_incremental_dedup", "q55b_incremental_dedup_apply",
-    "q56_mixture_sampling", "q56b_mixture_composition",
-    # stale rotation (r9), GATE_r08 plan + VERDICT r8 #3: q09b carries
-    # the oldest row in the repo (r5); q30-q35 are 6 of the 8 r6-row
-    # scalar entries. The remaining window could not take q31b/q31c
-    # (r6), q42/q43/q02c (r7), or q33b (r7) — deferred to r10 with their
-    # prior rows valid (skew_queries/scalar/udf_queries/formats all
-    # untouched this round); see GATE_r09.md "Round-10 rotation plan".
-    "q09b_salted_skew_join", "q30_string_funcs", "q31_datetime_funcs",
-    "q32_math_funcs", "q33_array_funcs", "q34_map_struct_funcs",
-    "q35_conditional_funcs",
+    # changed this round (r10): the audit-URI rebase (VERDICT r9 #4 /
+    # ADVICE r8 #2) touches ingest/loader.py + queries/ingest_queries.py
+    # + queries/maintenance.py — the whole q04 family is in-window.
+    "q04_ingest_partitioned_sink", "q04b_imported_audit",
+    "q04c_partition_pruned_scan", "q04d_catalog_sql", "q04e_compaction",
+    # newly registered this round (r10): the r9-staged surface (GATE_r09
+    # plan #0) — first-ever driver rows, so all 6 take slots. Only q59's
+    # rank-surrogate fix and bloom comments changed pre-registration;
+    # both modules' entries are in-window regardless (new entries).
+    "q57_bloom_decontamination", "q58_snapshot_diff",
+    "q59_weighted_sample", "q60_zorder_layout", "q61_hll_sketch_union",
+    "q62_jl_sign_projection",
+    # stale rotation (r10), GATE_r09 plan #1: the 6 oldest rows in the
+    # repo — q31b/q31c (r6), q33b/q42/q43/q02c (r7). Zero code change;
+    # after this round the oldest evidence anywhere is r8.
+    "q31b_local_time_ordered_view", "q31c_stacked_views",
+    "q33b_vector_norm", "q42_pandas_udf_normalize",
+    "q43_apply_in_pandas_zscore", "q02c_xml_scan_roundtrip",
+    # new surface registered this round (r10) in NEW modules — each entry
+    # costs its own slot and pulls only its own module (+ mapped deps).
+    # (entries appended as they land; see GATE_r10.md window accounting)
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -29,7 +29,22 @@ from . import maintenance  # noqa: E402
 from . import mixture  # noqa: E402
 from . import sketches  # noqa: E402
 
-for _staged in (incremental, joins_ext, maintenance, mixture, sketches):
+# The r9-staged surface (GATE_r09.md "Round-10 rotation plan" #0 /
+# tools/r10_surface_plan.md): round 10 wires in q57 Bloom
+# decontamination, q58 snapshot diff, q59 weighted sampling, q60 Z-order
+# layout, q61 HLL sketch union, q62 JL sign projection. Each entry costs
+# its own GATE_PRIORITY slot and pulls no family (the modules were staged
+# in r9; r10 touched only q59's rank surrogate and bloom comments before
+# registration — both modules' entries are in-window).
+from . import bloom  # noqa: E402
+from . import hll  # noqa: E402
+from . import layout  # noqa: E402
+from . import projections  # noqa: E402
+from . import sampling_ext  # noqa: E402
+from . import snapshot  # noqa: E402
+
+for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
+                bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()
 del _staged
 

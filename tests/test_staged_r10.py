@@ -1,26 +1,25 @@
-"""The staged r10 surface (GATE_r09.md "Round-10 rotation plan"): builders
-land in r9 fully oracle-verified, registration waits for a later round's
-gate window.
+"""The r9-staged / r10-registered surface (GATE_r09.md "Round-10 rotation
+plan" #0): builders landed in r9 fully oracle-verified; round 10
+registered them via ``queries/__init__`` (only q59's rank surrogate and
+bloom comments changed before registration — both budgeted in-window).
 
-Two obligations checked here (the r8→r9 staging pattern):
+Checked here:
 
-1. **Staging containment** — importing the staged modules must NOT touch
-   the global registry: a staged entry leaking into ``all_queries()``
-   would take a gate slot the r9 window did not budget.
-2. **Full oracle parity NOW** — every staged builder runs against its
-   DuckDB oracle with the exact driver-faithful comparison the registered
-   surface uses (tests/oracle.py), plus per-family semantic assertions
-   (Bloom has no false negatives, the CDC diff hits every planted branch,
-   the weighted sample actually upweights, the z-layout shows locality,
-   the HLL union lands in bounds).
+1. **Registration** — every formerly-staged entry is now in
+   ``all_queries()`` with its oracle intact, and ``register()`` stays
+   idempotent (queries/__init__ already called it once at import).
+2. **Per-family semantics** beyond the hash oracle (Bloom has no false
+   negatives, the CDC diff hits every planted branch, the weighted
+   sample actually upweights, the z-layout shows locality, the HLL union
+   lands in bounds, the JL projection preserves norms). Driver-faithful
+   oracle parity is covered by test_oracle_parity.py now that the
+   entries are registered.
 """
 
 from __future__ import annotations
 
-import pytest
-
 from bucket_to_bigquery_spark.queries import all_queries
-from bucket_to_bigquery_spark.queries import (  # noqa: F401 (import = staging test)
+from bucket_to_bigquery_spark.queries import (  # noqa: F401
     bloom,
     hll,
     layout,
@@ -34,8 +33,6 @@ from bucket_to_bigquery_spark.queries.registry import (
     _with_tuning,
 )
 
-from .oracle import compare, duck_connection
-
 _STAGED_MODULES = (bloom, snapshot, sampling_ext, layout, hll, projections)
 
 STAGED: dict[str, Query] = {
@@ -45,52 +42,30 @@ STAGED: dict[str, Query] = {
 }
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duck_connection(sf_dir)
-    yield con
-    con.close()
-
-
 # ---------------------------------------------------------------------------
-# 1. Staging containment
+# 1. Registration
 # ---------------------------------------------------------------------------
 
 
-def test_staged_modules_do_not_register():
-    """Importing a staged module must leave the global registry untouched
-    (no r9 window slot was budgeted for them)."""
-    leaked = set(STAGED) & set(all_queries())
-    assert not leaked, f"staged entries leaked into the registry: {sorted(leaked)}"
+def test_staged_entries_are_registered():
+    """Round 10 wiring: every formerly-staged entry is in the registry
+    with its oracle and description (queries/__init__ calls register())."""
+    reg = all_queries()
+    for name, q in STAGED.items():
+        assert name in reg, f"{name} not registered — queries/__init__ wiring lost"
+        assert reg[name].oracle == q.oracle
+        assert reg[name].description
 
 
-def test_register_seam_is_complete_and_reversible():
-    """`register()` (the r10 wiring seam) must install every staged entry
-    with its oracle — verified against a snapshot and rolled back, so the
-    registry other tests see stays exactly the r9 surface."""
+def test_register_is_idempotent():
+    """Re-calling register() (already run once at package import) must not
+    duplicate or mutate entries."""
     before = dict(REGISTRY)
-    try:
-        for mod in _STAGED_MODULES:
-            mod.register()
-        for name, q in STAGED.items():
-            assert name in REGISTRY, f"register() missed {name}"
-            assert REGISTRY[name].oracle == q.oracle
-            assert REGISTRY[name].description
-    finally:
-        REGISTRY.clear()
-        REGISTRY.update(before)
-    assert set(all_queries()) == set(before)
-
-
-# ---------------------------------------------------------------------------
-# 2. Oracle parity (driver-faithful, same machinery as test_oracle_parity)
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("qname", sorted(STAGED))
-def test_staged_query_matches_oracle(qname, spark, duck, sf_dir):
-    problems = compare(qname, spark, duck, sf_dir, STAGED)
-    assert not problems, f"{qname}: " + "; ".join(problems)
+    for mod in _STAGED_MODULES:
+        mod.register()
+    assert set(REGISTRY) == set(before)
+    for name in STAGED:
+        assert REGISTRY[name].oracle == before[name].oracle
 
 
 # ---------------------------------------------------------------------------
