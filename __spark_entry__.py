@@ -65,8 +65,11 @@ GATE_PRIORITY = frozenset({
     "q33b_vector_norm", "q42_pandas_udf_normalize",
     "q43_apply_in_pandas_zscore", "q02c_xml_scan_roundtrip",
     # new surface registered this round (r10) in NEW modules — each entry
-    # costs its own slot and pulls only its own module (+ mapped deps).
-    # (entries appended as they land; see GATE_r10.md window accounting)
+    # costs its own slot and pulls only its own module (+ mapped deps);
+    # see GATE_r10.md window accounting.
+    "q63_sessionization", "q63b_event_funnel", "q64_retention_cohorts",
+    "q65_quantile_bands", "q66_heavy_keys", "q66b_key_frequency_histogram",
+    "q67_bpe_pair_merge", "q68_windowed_topk",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -43,6 +43,20 @@ from . import projections  # noqa: E402
 from . import sampling_ext  # noqa: E402
 from . import snapshot  # noqa: E402
 
+# New r10 surface (GATE_r10.md): event analytics (sessionization, funnel,
+# cohorts, windowed top-k), distribution stats (quantile bands), skew
+# diagnostics (heavy keys, frequency histogram), tokenizer induction
+# (BPE pair merge). These register via the plain @query decorator at
+# import; each entry is budgeted in GATE_PRIORITY. None depend on
+# scratch.py or any r11-window module (the r11 scratch schedule relies
+# on this — see GATE_r10.md).
+from . import cohorts  # noqa: F401, E402
+from . import keystats  # noqa: F401, E402
+from . import quantiles  # noqa: F401, E402
+from . import sessions  # noqa: F401, E402
+from . import tokenstats  # noqa: F401, E402
+from . import windows_ext  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

@@ -392,3 +392,40 @@ def test_q60_zorder_map_is_partial_aggregated(spark, sf_dir):
     # map-side combine into <= 64 buckets before the exchange
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r10 new surface (sessions / keystats / tokenstats / windows_ext)
+# ---------------------------------------------------------------------------
+
+
+def test_q63_sessionization_single_hash_shuffle(spark, sf_dir):
+    """The lag/flag/cumsum windows and the (user, session_idx) rollup must
+    all reuse ONE user_id hash exchange — a second hash shuffle would mean
+    the group-by failed to satisfy its distribution from the window's
+    partitioning (the whole point of keying sessions by user)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q63_sessionization")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_q66_q67_topk_avoid_global_sort(spark, sf_dir):
+    """Heavy-key and BPE-merge top-k must be TakeOrdered over the
+    aggregated frame, never a full global sort materialization."""
+    for name in ("q66_heavy_keys", "q67_bpe_pair_merge"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q67_no_positional_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q67_bpe_pair_merge")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q68_rank_filter_pushed_into_window(spark, sf_dir):
+    """rank<=3 must run as WindowGroupLimit (per-partition top-k ahead of
+    the exchange), not as a post-window filter over the full frame."""
+    plan = _plan(spark, sf_dir, "q68_windowed_topk")
+    assert "WindowGroupLimit" in plan, plan

@@ -130,6 +130,21 @@ MODULE_DEPS: dict[str, list[str]] = {
         # (_round_nearest_ties_away_e12) with the q48 scorer
         PKG + "operators/similarity.py",
     ],
+    # New r10 surface (GATE_r10.md): self-contained event/relational
+    # analytics modules — deliberately free of scratch.py and of every
+    # r11-window module, so the committed r11 scratch rotation stays at
+    # exactly 50 slots.
+    PKG + "queries/sessions.py": [],
+    PKG + "queries/cohorts.py": [],
+    PKG + "queries/quantiles.py": [],
+    PKG + "queries/keystats.py": [],
+    PKG + "queries/windows_ext.py": [],
+    PKG + "queries/tokenstats.py": [
+        # tokenizer parity: Spark side uses operators.dedup.tokens, the
+        # oracle llm_queries' _TOKS_SQL — changes there must pull q67
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
