@@ -70,6 +70,7 @@ GATE_PRIORITY = frozenset({
     "q63_sessionization", "q63b_event_funnel", "q64_retention_cohorts",
     "q65_quantile_bands", "q66_heavy_keys", "q66b_key_frequency_histogram",
     "q67_bpe_pair_merge", "q68_windowed_topk",
+    "q69_group_centered_embeddings",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

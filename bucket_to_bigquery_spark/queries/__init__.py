@@ -55,6 +55,7 @@ from . import keystats  # noqa: F401, E402
 from . import quantiles  # noqa: F401, E402
 from . import sessions  # noqa: F401, E402
 from . import tokenstats  # noqa: F401, E402
+from . import vectors_ext  # noqa: F401, E402
 from . import windows_ext  # noqa: F401, E402
 
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,

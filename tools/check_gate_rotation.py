@@ -139,6 +139,7 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/quantiles.py": [],
     PKG + "queries/keystats.py": [],
     PKG + "queries/windows_ext.py": [],
+    PKG + "queries/vectors_ext.py": [],
     PKG + "queries/tokenstats.py": [
         # tokenizer parity: Spark side uses operators.dedup.tokens, the
         # oracle llm_queries' _TOKS_SQL — changes there must pull q67
