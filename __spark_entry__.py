@@ -71,6 +71,10 @@ GATE_PRIORITY = frozenset({
     "q65_quantile_bands", "q66_heavy_keys", "q66b_key_frequency_histogram",
     "q67_bpe_pair_merge", "q68_windowed_topk",
     "q69_group_centered_embeddings",
+    # second r10 batch (new modules scd/chunking/splits): SCD-2 build,
+    # overlapping chunking, leakage-safe split + audit.
+    "q70_scd2_dimension", "q71_document_chunking",
+    "q72_leakage_safe_split", "q72b_split_leakage_audit",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -58,6 +58,15 @@ from . import tokenstats  # noqa: F401, E402
 from . import vectors_ext  # noqa: F401, E402
 from . import windows_ext  # noqa: F401, E402
 
+# Second r10 batch, same contract: SCD-2 dimension build (the warehouse
+# CDC fold of the loaded event log), overlapping document chunking (the
+# RAG/context-window preprocessing primitive), and the leakage-safe
+# dedup-group split + its audit. New modules only — the r11 scratch
+# window is untouched.
+from . import chunking  # noqa: F401, E402
+from . import scd  # noqa: F401, E402
+from . import splits  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

@@ -429,3 +429,47 @@ def test_q68_rank_filter_pushed_into_window(spark, sf_dir):
     the exchange), not as a post-window filter over the full frame."""
     plan = _plan(spark, sf_dir, "q68_windowed_topk")
     assert "WindowGroupLimit" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r10 second batch (scd / chunking / splits)
+# ---------------------------------------------------------------------------
+
+
+def test_q70_scd2_single_hash_shuffle(spark, sf_dir):
+    """The change-flag lag, cumulative version sum, (user, version)
+    rollup, AND the interval-closing lead must all reuse ONE user_id
+    hash exchange — the q63 skeleton plus a second window, still one
+    shuffle."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q70_scd2_dimension")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_q71_chunking_zero_data_shuffles(spark, sf_dir):
+    """Chunking is embarrassingly parallel: offset explode + substring
+    are narrow; the ONLY exchange allowed is the presentation sort's
+    range partitioning."""
+    plan = _plan(spark, sf_dir, "q71_document_chunking")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate" in plan  # sequence/explode, not a UDF
+
+
+def test_q72_split_zero_data_shuffles(spark, sf_dir):
+    """The split verdict is a row-local expression over the scan (group
+    key + salted md5 uniform) — no join, no aggregation, no hash
+    exchange. This is what makes the split a free column at 100 TB."""
+    plan = _plan(spark, sf_dir, "q72_leakage_safe_split")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchScan" in plan or "FileScan" in plan or "Scan" in plan
+
+
+def test_q72b_audit_two_structural_exchanges(spark, sf_dir):
+    """The audit needs exactly its two structural shuffles (text_hash
+    group-by, then the per-split rollup); min/max straddle detection
+    must not plan a third Expand/distinct exchange."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q72b_split_leakage_audit")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan

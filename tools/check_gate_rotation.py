@@ -140,6 +140,15 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/keystats.py": [],
     PKG + "queries/windows_ext.py": [],
     PKG + "queries/vectors_ext.py": [],
+    # Second r10 batch — same self-containment constraint (no scratch.py,
+    # no r11-window module).
+    PKG + "queries/scd.py": [],
+    PKG + "queries/chunking.py": [],
+    PKG + "queries/splits.py": [
+        # the split keys on operators.dedup.normalize_text (q46's exact
+        # dedup-group key) — a normalization change must pull q72/q72b
+        PKG + "operators/dedup.py",
+    ],
     PKG + "queries/tokenstats.py": [
         # tokenizer parity: Spark side uses operators.dedup.tokens, the
         # oracle llm_queries' _TOKS_SQL — changes there must pull q67
