@@ -40,10 +40,11 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE: all 50 slots are used
-# this round — the window is AT CAPACITY, so each new registry entry
-# must evict a stale-rotation slot; when the changed+stale set exceeds
-# 50 the rotation check fails and the round must split its changes.
+# replacing the leading ``a`` with ``q``. NOTE (r10): 30 aliases + 20
+# natural-fill slots — see GATE_r10.md's window accounting. When a
+# round's changed+stale set exceeds 50 the rotation check fails and
+# the round must split its changes (the r11 scratch plan does exactly
+# this).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
     # changed this round (r10): the audit-URI rebase (VERDICT r9 #4 /

@@ -71,7 +71,11 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "o_custkey",
             "n_orders",
-            (F.col("n_orders") * 10000 / F.col("n_total"))
+            # integral DIV, not `/`+cast: double division rounds within
+            # half an ulp of an integer once n_total ~ 1e12 (and loses
+            # integer precision past 2^53), flipping the floor vs the
+            # oracle's exact BIGINT `//` at precisely the design scale
+            F.expr("n_orders * 10000L DIV n_total")
             .cast("long")
             .alias("share_permyriad"),
         )

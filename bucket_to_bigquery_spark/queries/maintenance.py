@@ -17,10 +17,11 @@ rows before/after). The file-count reduction itself is asserted at build
 time and re-checked by pytest via the stats the build records.
 
 Scratch isolation (r9_surface_plan caution): this materialization uses
-its OWN scratch key (``q04e_compact``), never the shared ``q04_ingest``
-tree — compact rewrites the data directory in place, and q04/q04b/q04c/
-q04d rely on that tree staying bit-stable. The scratch NAME is the
-layout version.
+its OWN scratch key (``q04e_compact_v2``, bumped alongside the q04
+family's audit-rebase layout change), never the shared
+``q04_ingest_v2`` tree — compact rewrites the data directory in place,
+and q04/q04b/q04c/q04d rely on that tree staying bit-stable. The
+scratch NAME is the layout version.
 """
 
 from __future__ import annotations

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import normalize_text
+from .llm_queries import _NORM_SQL
 from .registry import query, tables
 
 _TRAIN_PERMYRIAD = 9000  # 90% train / 10% heldout
@@ -59,7 +60,9 @@ _CORPUS_SQL = (
     "WHERE doc_id % 7 = 3"
 )
 
-_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# _NORM_SQL is imported from llm_queries (one normalizer definition,
+# the tokenstats.py discipline): q72's leakage guarantee is that its
+# group key IS q46's dedup key, so the two must not be able to drift.
 _BUCKET_SQL = (
     f"CAST(('0x' || substr(md5('{_SALT}' || text_hash), 1, 8)) AS BIGINT) "
     "% 10000"

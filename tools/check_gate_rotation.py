@@ -146,8 +146,11 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/chunking.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
-        # dedup-group key) — a normalization change must pull q72/q72b
+        # dedup-group key) and imports llm_queries._NORM_SQL for the
+        # oracle — a normalization change on either side must pull
+        # q72/q72b
         PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
     ],
     PKG + "queries/tokenstats.py": [
         # tokenizer parity: Spark side uses operators.dedup.tokens, the
