@@ -40,7 +40,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE (r10): 30 aliases + 20
+# replacing the leading ``a`` with ``q``. NOTE (r10): 32 aliases + 18
 # natural-fill slots — see GATE_r10.md's window accounting. When a
 # round's changed+stale set exceeds 50 the rotation check fails and
 # the round must split its changes (the r11 scratch plan does exactly
@@ -76,6 +76,9 @@ GATE_PRIORITY = frozenset({
     # overlapping chunking, leakage-safe split + audit.
     "q70_scd2_dimension", "q71_document_chunking",
     "q72_leakage_safe_split", "q72b_split_leakage_audit",
+    # third r10 batch (new modules quality/upsert): constraint suite,
+    # changelog upsert.
+    "q73_quality_constraints", "q74_changelog_upsert",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

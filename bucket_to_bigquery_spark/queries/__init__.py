@@ -67,6 +67,13 @@ from . import chunking  # noqa: F401, E402
 from . import scd  # noqa: F401, E402
 from . import splits  # noqa: F401, E402
 
+# Third r10 batch, same contract: the declarative data-quality
+# constraint suite (the pre-publish gate between loader.run and
+# queryability) and the changelog upsert (latest-state compaction, the
+# merge-on-read twin of scd's full-history fold).
+from . import quality  # noqa: F401, E402
+from . import upsert  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

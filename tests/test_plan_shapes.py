@@ -473,3 +473,34 @@ def test_q72b_audit_two_structural_exchanges(spark, sf_dir):
 
     plan = _plan(spark, sf_dir, "q72b_split_leakage_audit")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+# ---------------------------------------------------------------------------
+# r10 third batch (quality / upsert)
+# ---------------------------------------------------------------------------
+
+
+def test_q73_one_scan_no_cartesian(spark, sf_dir):
+    """The four single-table constraints must compile to ONE aggregation
+    pass (struct-inline over a single 1x1 join, never a 5-way union of
+    aggregate subtrees); the FK anti-join is the only second input. The
+    singleton joins must not plan a CartesianProduct over data."""
+    plan = _plan(spark, sf_dir, "q73_quality_constraints")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the inline(array(struct...)) row expansion
+    # one orders aggregation + one anti-join side + singleton-join plumbing;
+    # a unioned formulation plans 5 scans of orders
+    assert plan.count("orders.parquet") <= 2, plan
+
+
+def test_q74_aggregate_not_window(spark, sf_dir):
+    """Latest-row selection must be the algebraic struct-max aggregate
+    (map-side combine -> the shuffle carries ~|keys| rows), never the
+    row_number window formulation whose churn count drags every row
+    through the exchange."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q74_changelog_upsert")
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan

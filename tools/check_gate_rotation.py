@@ -144,6 +144,9 @@ MODULE_DEPS: dict[str, list[str]] = {
     # no r11-window module).
     PKG + "queries/scd.py": [],
     PKG + "queries/chunking.py": [],
+    # Third r10 batch — same constraint.
+    PKG + "queries/quality.py": [],
+    PKG + "queries/upsert.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
