@@ -74,6 +74,16 @@ from . import splits  # noqa: F401, E402
 from . import quality  # noqa: F401, E402
 from . import upsert  # noqa: F401, E402
 
+# Fourth r10 batch, same contract: BM25 ranked retrieval (the IR /
+# contamination-triage primitive over the document corpus), frequent
+# co-occurring item pairs (market-basket mining with the a-priori
+# support prune), and last-touch attribution (the per-key as-of lookup
+# as a running window). New modules only; no scratch.py, no r11-window
+# module — the committed r11 scratch rotation stays at exactly 50.
+from . import attribution  # noqa: F401, E402
+from . import basket  # noqa: F401, E402
+from . import retrieval  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

@@ -147,6 +147,15 @@ MODULE_DEPS: dict[str, list[str]] = {
     # Third r10 batch — same constraint.
     PKG + "queries/quality.py": [],
     PKG + "queries/upsert.py": [],
+    # Fourth r10 batch — same constraint. retrieval.py shares the
+    # tokenizer contract (Spark: operators.dedup.tokens; oracle:
+    # llm_queries._TOKS_SQL) — a change on either side must pull q75.
+    PKG + "queries/retrieval.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/basket.py": [],
+    PKG + "queries/attribution.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
