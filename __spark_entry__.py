@@ -40,7 +40,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE (r10): 35 aliases + 15
+# replacing the leading ``a`` with ``q``. NOTE (r10): 38 aliases + 12
 # natural-fill slots — see GATE_r10.md's window accounting. When a
 # round's changed+stale set exceeds 50 the rotation check fails and
 # the round must split its changes (the r11 scratch plan does exactly
@@ -82,6 +82,10 @@ GATE_PRIORITY = frozenset({
     # fourth r10 batch (new modules retrieval/basket/attribution): BM25
     # top-k, frequent pairs, last-touch attribution.
     "q75_bm25_topk", "q76_frequent_pairs", "q77_last_touch_attribution",
+    # fifth r10 batch (new modules graphs/linkage): integer-contract
+    # PageRank, degree-oriented triangles, sorted-neighborhood linkage.
+    "q78_pagerank", "q78b_triangle_count",
+    "q79_sorted_neighborhood_linkage",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

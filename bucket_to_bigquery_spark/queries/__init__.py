@@ -84,6 +84,15 @@ from . import attribution  # noqa: F401, E402
 from . import basket  # noqa: F401, E402
 from . import retrieval  # noqa: F401, E402
 
+# Fifth r10 batch, same contract: graph analytics over the part
+# co-occurrence graph (exact-integer PageRank, degree-oriented triangle
+# count — complementing q46c's connected components) and
+# sorted-neighborhood entity linkage (the record-linkage primitive).
+# graphs.py is deliberately free of operators/graph.py (llm-family
+# fan-in); the r11 scratch window stays exactly 50.
+from . import graphs  # noqa: F401, E402
+from . import linkage  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

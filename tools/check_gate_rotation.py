@@ -156,6 +156,11 @@ MODULE_DEPS: dict[str, list[str]] = {
     ],
     PKG + "queries/basket.py": [],
     PKG + "queries/attribution.py": [],
+    # Fifth r10 batch — same constraint; graphs.py implements PageRank /
+    # triangles inline precisely so it does NOT pull operators/graph.py
+    # (whose fan-in is the llm family).
+    PKG + "queries/graphs.py": [],
+    PKG + "queries/linkage.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
