@@ -40,7 +40,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE (r10): 38 aliases + 12
+# replacing the leading ``a`` with ``q``. NOTE (r10): 41 aliases + 9
 # natural-fill slots — see GATE_r10.md's window accounting. When a
 # round's changed+stale set exceeds 50 the rotation check fails and
 # the round must split its changes (the r11 scratch plan does exactly
@@ -86,6 +86,9 @@ GATE_PRIORITY = frozenset({
     # PageRank, degree-oriented triangles, sorted-neighborhood linkage.
     "q78_pagerank", "q78b_triangle_count",
     "q79_sorted_neighborhood_linkage",
+    # sixth r10 batch (new modules stats_ext/decay/skyline): chi-square
+    # independence, time-decay scoring, Pareto frontier.
+    "q80_chi2_independence", "q81_time_decay_score", "q82_skyline_orders",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -93,6 +93,14 @@ from . import retrieval  # noqa: F401, E402
 from . import graphs  # noqa: F401, E402
 from . import linkage  # noqa: F401, E402
 
+# Sixth r10 batch, same contract: categorical-association profiling
+# (chi-square / Cramér's V), exponential time-decay scoring (the
+# recency feature), and the skyline / Pareto-frontier operator. New
+# modules only; the r11 scratch window stays exactly 50.
+from . import decay  # noqa: F401, E402
+from . import skyline  # noqa: F401, E402
+from . import stats_ext  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

@@ -161,6 +161,10 @@ MODULE_DEPS: dict[str, list[str]] = {
     # (whose fan-in is the llm family).
     PKG + "queries/graphs.py": [],
     PKG + "queries/linkage.py": [],
+    # Sixth r10 batch — same constraint.
+    PKG + "queries/stats_ext.py": [],
+    PKG + "queries/decay.py": [],
+    PKG + "queries/skyline.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
