@@ -101,6 +101,13 @@ from . import decay  # noqa: F401, E402
 from . import skyline  # noqa: F401, E402
 from . import stats_ext  # noqa: F401, E402
 
+# Seventh r10 batch, same contract: distribution-shift detection
+# (per-source Jensen-Shannon divergence over a bounded vocabulary) and
+# daily volume anomaly flags (the ingest monitoring primitive). New
+# modules only; the r11 scratch window stays exactly 50.
+from . import anomaly  # noqa: F401, E402
+from . import shift  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

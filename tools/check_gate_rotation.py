@@ -165,6 +165,13 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/stats_ext.py": [],
     PKG + "queries/decay.py": [],
     PKG + "queries/skyline.py": [],
+    # Seventh r10 batch — same constraint; shift.py shares the tokenizer
+    # contract (operators.dedup.tokens / llm_queries._TOKS_SQL).
+    PKG + "queries/shift.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/anomaly.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
