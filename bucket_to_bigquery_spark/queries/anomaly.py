@@ -36,12 +36,20 @@ _DAY_US = 86_400_000_000
 _Z_FLAG_E6 = 2_000_000  # |z| >= 2.0
 
 # one identical-operand-order double expression; {c}/{s}/{s2}/{n} are
-# the day count and the exact integer moment sums
+# the day count and the exact integer moment sums. Zero variance (one
+# day, or all days identical — exactly the inputs a volume monitor must
+# survive) is guarded to z=0: unguarded, Spark's ANSI mode throws
+# DIVIDE_BY_ZERO where DuckDB returns NULL. The guard tests the SAME
+# double variance expression both engines compute, so it is
+# deterministic (<= 0. also absorbs a negative cancellation epsilon).
+_VAR_FMT = (
+    "((CAST({s2} AS DOUBLE) - (CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)) "
+    "/ CAST({n} AS DOUBLE)) / CAST({n} AS DOUBLE))"
+)
 _Z_FMT = (
+    "CASE WHEN " + _VAR_FMT + " <= 0.0 THEN CAST(0 AS BIGINT) ELSE "
     "CAST(round(((CAST({c} AS DOUBLE) - (CAST({s} AS DOUBLE) / "
-    "CAST({n} AS DOUBLE))) / sqrt((CAST({s2} AS DOUBLE) - "
-    "(CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)) / CAST({n} AS DOUBLE)) "
-    "/ CAST({n} AS DOUBLE))) * 1e6) AS BIGINT)"
+    "CAST({n} AS DOUBLE))) / sqrt(" + _VAR_FMT + ")) * 1e6) AS BIGINT) END"
 )
 
 _Q84_ORACLE = (

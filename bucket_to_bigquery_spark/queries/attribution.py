@@ -38,13 +38,17 @@ from .registry import query, tables
 _TOUCH = ("click", "view")
 _CONVERT = "purchase"
 
+# one definition: the oracle interpolates the SAME constants the Spark
+# builder uses, so editing _TOUCH/_CONVERT can never desynchronize them
+_TOUCH_SQL = ", ".join(f"'{t}'" for t in _TOUCH)
+
 _Q77_ORACLE = (
     "WITH attributed AS (SELECT user_id, event_id, ts, event_type, "
-    "last_value(CASE WHEN event_type IN ('click','view') THEN event_id END "
+    f"last_value(CASE WHEN event_type IN ({_TOUCH_SQL}) THEN event_id END "
     "IGNORE NULLS) OVER w AS touch_event_id, "
-    "last_value(CASE WHEN event_type IN ('click','view') THEN event_type END "
+    f"last_value(CASE WHEN event_type IN ({_TOUCH_SQL}) THEN event_type END "
     "IGNORE NULLS) OVER w AS touch_type, "
-    "last_value(CASE WHEN event_type IN ('click','view') THEN ts END "
+    f"last_value(CASE WHEN event_type IN ({_TOUCH_SQL}) THEN ts END "
     "IGNORE NULLS) OVER w AS touch_ts "
     "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
@@ -52,7 +56,7 @@ _Q77_ORACLE = (
     "touch_event_id, touch_type, touch_ts, "
     "epoch_us(ts) - epoch_us(touch_ts) AS us_to_convert, "
     "touch_event_id IS NOT NULL AS attributed "
-    "FROM attributed WHERE event_type = 'purchase' ORDER BY purchase_id"
+    f"FROM attributed WHERE event_type = '{_CONVERT}' ORDER BY purchase_id"
 )
 
 _Q77_DESCRIPTION = (

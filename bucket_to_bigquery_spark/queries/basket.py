@@ -84,7 +84,9 @@ _Q76_DESCRIPTION = (
        description=_Q76_DESCRIPTION, tags=("relational", "mining"))
 def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct is a shuffle and items feeds FOUR consumers (stats,
+    # freq, both self-join sides) — cache the narrow 2-int-column frame
+    items = li.select("l_orderkey", "l_partkey").distinct().cache()
     stats = items.agg(
         F.count_distinct("l_orderkey").cast("long").alias("n_baskets")
     )

@@ -27,8 +27,10 @@ pinned in pytest.
 
 Scale design (100 TB): the edge list is built once (the q76 a-priori
 shape: distinct → per-basket self-join → support filter) and CACHED —
-the one legitimate cache in the registry besides q31c's views: an
-iterative algorithm re-reads its invariant edge set 5×, and
+the registry's deliberate-cache policy (q31c's stacked views, the
+bounded cell/day frames of q80/q83/q84, and this): a multi-consumer
+derived frame whose re-derivation would replay an expensive pipeline —
+here an iterative algorithm re-reads its invariant edge set 5×, and
 re-deriving it would re-run the self-join per iteration. Per iteration
 the rank vector (one row per NODE, vocabulary-bounded: parts dimension)
 broadcasts to the edge partitions and the contribution sum shuffles on
@@ -104,20 +106,28 @@ _Q78_DESCRIPTION = (
 )
 
 
-@query("q78_pagerank", oracle=_pagerank_oracle(),
-       description=_Q78_DESCRIPTION, tags=("graph", "analytics"))
-def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q78-family graph: canonical (pa < pb) part pairs co-ordered
+    in >= _MIN_COOC distinct orders. ONE Spark-side definition shared by
+    q78 and q78b (the oracle side already shares _EDGES_SQL) so the two
+    builders cannot drift apart."""
     li = tables(spark, sf_dir)["lineitem"]
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
     b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
-    pairs = (
+    return (
         a.join(b, on=[a.l_orderkey == b.l_orderkey, a.pa < b.pb])
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("cooc"))
         .where(F.col("cooc") >= _MIN_COOC)
         .select("pa", "pb")
     )
+
+
+@query("q78_pagerank", oracle=_pagerank_oracle(),
+       description=_Q78_DESCRIPTION, tags=("graph", "analytics"))
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _cooccurrence_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(pairs.select(F.col("pb").alias("src"),
@@ -176,8 +186,9 @@ _Q78B_ORACLE = (
     "CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), "
     "m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und) "
     "SELECT s.n_nodes, m.n_edges, s.n_wedges, t.n_triangles, "
-    "CAST((3 * t.n_triangles * 1000000) // s.n_wedges AS BIGINT) AS gcc_e6 "
-    "FROM stats s CROSS JOIN m CROSS JOIN tri t"
+    "CASE WHEN s.n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST((3 * t.n_triangles * 1000000) // s.n_wedges AS BIGINT) END "
+    "AS gcc_e6 FROM stats s CROSS JOIN m CROSS JOIN tri t"
 )
 
 _Q78B_DESCRIPTION = (
@@ -194,16 +205,13 @@ _Q78B_DESCRIPTION = (
 @query("q78b_triangle_count", oracle=_Q78B_ORACLE,
        description=_Q78B_DESCRIPTION, tags=("graph", "analytics"))
 def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = tables(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
     und = (
-        a.join(b, on=[a.l_orderkey == b.l_orderkey, a.pa < b.pb])
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cooc"))
-        .where(F.col("cooc") >= _MIN_COOC)
+        _cooccurrence_pairs(spark, sf_dir)
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        # the mining pipeline (distinct + per-basket self-join + count)
+        # feeds deg, the edge total AND the orientation — cache it, the
+        # same reason q78 caches its edge set
+        .cache()
     )
     edges = und.unionAll(und.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
@@ -219,6 +227,7 @@ def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
+        .cache()  # three wedge-join consumers (e1/e2/e3)
     )
     e1 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = ordered.select(F.col("lo").alias("y2"), F.col("hi").alias("z"))
@@ -238,8 +247,11 @@ def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(tri))
         .selectExpr(
             "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            # wedge-free graph (perfect matching) ⇒ gcc 0, not a
+            # division error (Spark ANSI throws, DuckDB raises too)
+            "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE "
             "CAST((3 * n_triangles * 1000000) div n_wedges AS BIGINT) "
-            "AS gcc_e6",
+            "END AS gcc_e6",
         )
     )
 

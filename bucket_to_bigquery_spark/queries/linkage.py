@@ -80,7 +80,11 @@ _Q79_DESCRIPTION = (
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = tables(spark, sf_dir)["part"].select(
         "p_partkey", "p_name",
-        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
+        # coalesce to '' for single-token names: DuckDB split_part
+        # returns '' where Spark getItem(1) returns NULL — the block
+        # key must agree on both engines for any part dimension
+        F.coalesce(F.split(F.col("p_name"), " ").getItem(1), F.lit(""))
+        .alias("block"),
     )
     w = Window.partitionBy("block").orderBy("p_name", "p_partkey")
     neigh = parts.select(

@@ -29,7 +29,12 @@ vocabulary BEFORE the tf aggregation — the pushed ``isin`` means the
 rows, not the corpus. Document length is a row-local ``size(tokens)``
 projection (no shuffle); N/total_dl is a scalar aggregate crossed in as
 a 1-row broadcast; df and the query-term map are vocabulary-bounded
-broadcasts. Per-query ranking is a row_number window whose rank<=5
+broadcasts. The corpus IS tokenized twice (once for the corpus-stats
+scalar, once for the filtered postings) — a deliberate trade-off:
+caching the tokenized corpus materializes the token stream (spill +
+write at warehouse scale), while the second pass re-reads one string
+column and re-runs cheap JVM splits; a production deployment would
+instead persist dl as a precomputed column. Per-query ranking is a row_number window whose rank<=5
 filter pushes down as WindowGroupLimit (partial top-k per partition
 ahead of the exchange — plan-pinned, the q48 pattern). Net: ONE data
 shuffle on (doc_id, term) plus the top-k exchange.

@@ -42,9 +42,14 @@ _CELL_FMT = (
     "* 1e6) AS BIGINT)"
 )
 
+# guard: a single-category dimension makes min(R-1, C-1) = 0 — V is 0
+# by convention (chi2 is 0 too: every cell equals its expectation);
+# unguarded, Spark's ANSI mode would throw where DuckDB returns NULL.
+# Exact integer test, identical on both engines.
 _V_FMT = (
+    "CASE WHEN {minrc} = 0 THEN CAST(0 AS BIGINT) ELSE "
     "CAST(round(sqrt((CAST({chi2e6} AS DOUBLE) / 1e6) / "
-    "(CAST({n} AS DOUBLE) * CAST({minrc} AS DOUBLE))) * 1e6) AS BIGINT)"
+    "(CAST({n} AS DOUBLE) * CAST({minrc} AS DOUBLE))) * 1e6) AS BIGINT) END"
 )
 
 _Q80_ORACLE = (

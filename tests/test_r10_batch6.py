@@ -113,7 +113,9 @@ def test_q81_decay_bounds(spark, sf_dir):
         .collect()
     }
     for r in _run("q81_time_decay_score", spark, sf_dir).collect():
-        assert r.decayed_value_e6 <= plain[r.user_id] * 1e6 + len(plain)
+        # each per-event term rounds up by at most 0.5 e6-units, so the
+        # slack scales with THIS user's event count, not the user count
+        assert r.decayed_value_e6 <= plain[r.user_id] * 1e6 + 0.5 * r.n_events + 1
 
 
 def test_q81_single_hash_exchange(spark, sf_dir):
