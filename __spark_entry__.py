@@ -40,7 +40,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE (r10): 43 aliases + 7
+# replacing the leading ``a`` with ``q``. NOTE (r10): 46 aliases + 4
 # natural-fill slots — see GATE_r10.md's window accounting. When a
 # round's changed+stale set exceeds 50 the rotation check fails and
 # the round must split its changes (the r11 scratch plan does exactly
@@ -92,6 +92,10 @@ GATE_PRIORITY = frozenset({
     # seventh r10 batch (new modules shift/anomaly): JS-divergence
     # distribution shift, daily volume anomaly flags.
     "q83_js_divergence", "q84_daily_anomalies",
+    # eighth r10 batch (new modules markov/rfm/trend): transition
+    # matrix, RFM quintile scoring, weekly revenue deltas.
+    "q85_markov_transitions", "q86_rfm_scores",
+    "q87_weekly_revenue_delta",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -108,6 +108,14 @@ from . import stats_ext  # noqa: F401, E402
 from . import anomaly  # noqa: F401, E402
 from . import shift  # noqa: F401, E402
 
+# Eighth r10 batch, same contract: Markov transition estimation (the
+# sequence-modeling primitive), RFM customer scoring (rank-bucketed
+# feature engineering), week-over-week revenue deltas (time-series
+# reporting). New modules only; the r11 scratch window stays exactly 50.
+from . import markov  # noqa: F401, E402
+from . import rfm  # noqa: F401, E402
+from . import trend  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot):
     _staged.register()

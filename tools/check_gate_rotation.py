@@ -172,6 +172,10 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "queries/llm_queries.py",
     ],
     PKG + "queries/anomaly.py": [],
+    # Eighth r10 batch — same constraint.
+    PKG + "queries/markov.py": [],
+    PKG + "queries/rfm.py": [],
+    PKG + "queries/trend.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
