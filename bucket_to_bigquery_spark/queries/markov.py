@@ -72,6 +72,10 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("next_state").isNotNull())
         .groupBy("state", "next_state")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # |types|²-bounded; two consumers (row totals + the join left
+        # side) — cached so the event stream provably reads once
+        # rather than relying on exchange reuse (the q80 lesson)
+        .cache()
     )
     tot = trans.groupBy("state").agg(
         F.sum("n").cast("long").alias("row_total")

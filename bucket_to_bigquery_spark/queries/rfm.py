@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import query, tables
+from .registry import dsum, dsum_sql, query, tables
 
 _DAY_US = 86_400_000_000
 
@@ -41,8 +41,8 @@ _Q86_ORACLE = (
     "WITH cust AS (SELECT o_custkey AS custkey, "
     f"CAST(max(epoch_us(o_orderdate)) // {_DAY_US} AS BIGINT) AS last_day, "
     "CAST(count(*) AS BIGINT) AS frequency, "
-    "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) "
-    "AS DOUBLE) AS monetary FROM orders GROUP BY o_custkey), "
+    + dsum_sql("o_totalprice", "monetary")
+    + " FROM orders GROUP BY o_custkey), "
     "anchor AS (SELECT CAST(max(last_day) AS BIGINT) AS corpus_day FROM cust), "
     "scored AS (SELECT custkey, corpus_day - last_day AS recency_days, "
     "frequency, monetary, "
@@ -76,8 +76,7 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(max(unix_micros(o_orderdate)) div {_DAY_US} "
                "AS BIGINT)").alias("last_day"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
-        .cast("double").alias("monetary"),
+        dsum("o_totalprice", "monetary"),
     ).cache()  # dimension-bounded; the anchor is its second consumer —
     # uncached, the fact aggregation would replay (the q80 lesson)
     anchor = cust.agg(F.max("last_day").cast("long").alias("corpus_day"))

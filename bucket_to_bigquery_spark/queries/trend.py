@@ -14,7 +14,12 @@ DECIMAL(30,6) (the dsum contract — order-independent), the delta is a
 DECIMAL subtraction (exact), and the percent change is ONE double
 division scaled to round(x·1e6) from the two already-exact aggregates.
 ``lag`` over the week sequence: the first week's delta is NULL (no
-baseline), not 0 — left semantics.
+baseline), not 0 — left semantics. The comparison baseline is the
+previous OBSERVED week, not the previous calendar week — a gapped
+calendar (empty weeks) compares across the gap, and the ``weeks_gap``
+column exposes exactly how far back the baseline sits (1 = truly
+adjacent) so a consumer can filter or reweight gapped rows instead of
+mistaking them for adjacent-week changes.
 
 Scale design (100 TB): one map-side-combined aggregation from the
 order stream to the per-week frame — bounded by the calendar, not the
@@ -42,10 +47,12 @@ _Q87_ORACLE = (
     "sum(CAST(o_totalprice AS DECIMAL(30,6))) AS revenue "
     "FROM orders GROUP BY 1), "
     "seq AS (SELECT week_idx, n_orders, revenue, "
-    "lag(revenue) OVER (ORDER BY week_idx) AS prev_revenue "
+    "lag(revenue) OVER (ORDER BY week_idx) AS prev_revenue, "
+    "week_idx - lag(week_idx) OVER (ORDER BY week_idx) AS weeks_gap "
     "FROM weekly) "
     "SELECT week_idx, n_orders, CAST(revenue AS DOUBLE) AS revenue, "
     "CAST(prev_revenue AS DOUBLE) AS prev_revenue, "
+    "CAST(weeks_gap AS BIGINT) AS weeks_gap, "
     "CAST(revenue - prev_revenue AS DOUBLE) AS delta, "
     + _PCT_FMT.format(cur="revenue", prev="prev_revenue")
     + " AS pct_change_e6 FROM seq ORDER BY week_idx"
@@ -83,11 +90,14 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = weekly.select(
         "week_idx", "n_orders", "revenue",
         F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("week_idx") - F.lag("week_idx").over(w)).cast("long")
+        .alias("weeks_gap"),
     )
     return seq.select(
         "week_idx", "n_orders",
         F.col("revenue").cast("double").alias("revenue"),
         F.col("prev_revenue").cast("double").alias("prev_revenue"),
+        "weeks_gap",
         (F.col("revenue") - F.col("prev_revenue")).cast("double")
         .alias("delta"),
         F.expr(_PCT_FMT.format(cur="revenue", prev="prev_revenue"))
