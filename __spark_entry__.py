@@ -40,7 +40,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE (r10): 46 aliases + 4
+# replacing the leading ``a`` with ``q``. NOTE (r10): 48 aliases + 2
 # natural-fill slots — see GATE_r10.md's window accounting. When a
 # round's changed+stale set exceeds 50 the rotation check fails and
 # the round must split its changes (the r11 scratch plan does exactly
@@ -96,6 +96,9 @@ GATE_PRIORITY = frozenset({
     # matrix, RFM quintile scoring, weekly revenue deltas.
     "q85_markov_transitions", "q86_rfm_scores",
     "q87_weekly_revenue_delta",
+    # ninth (final) r10 batch (new modules concentration/overlap): Gini
+    # concentration, pairwise source duplicate overlap.
+    "q88_gini_concentration", "q89_source_overlap",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

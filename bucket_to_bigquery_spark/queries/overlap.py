@@ -1,0 +1,113 @@
+"""New r10 surface (ninth batch) — q89: pairwise source content
+overlap — for every source pair, the Jaccard overlap of their distinct
+5-gram shingle sets (the ingest-governance number behind "these two
+crawls are 30 % the same content": run before paying to deduplicate,
+after adding a feed, and when pruning redundant sources; shingle-level
+overlap catches shared content that exact-hash overlap misses — this
+synthetic corpus, like most real pairs of feeds, has nearly zero
+cross-source EXACT duplicates while sharing plenty of phrasing).
+
+Reference parity: n/a — no analytics surface in the reference; declared
+engine surface (SURVEY §2.C extension, registered r10). Shingling is
+the q47-family contract — ``operators.dedup.shingles(tokens, 5)`` on
+the Spark side and ``llm_queries._SH5_SQL`` in the oracle, the same
+shared definition q47d's decontamination gate keys on; MODULE_DEPS
+pulls this entry when either side changes.
+
+    J(a,b) = |Sₐ ∩ S_b| / (|Sₐ| + |S_b| − |Sₐ ∩ S_b|)
+
+over each source's DISTINCT shingle set. Only pairs with a non-empty
+intersection appear (the equi-join produces exactly those — absent
+pair = 0 overlap, documented). Counts exact; J is one double division
+scaled to round(x·1e6).
+
+Scale design (100 TB): one shuffle to the distinct (source, shingle)
+frame (map-side combined; cached — three consumers); the pair
+enumeration is an equi-join ON THE SHINGLE — each shingle fans out only
+across the sources actually containing it (worst case |sources|² per
+shingle, never a cross of corpora), and the per-source set sizes
+broadcast back over the |sources|²-bounded pair frame. Documents never
+shuffle — only distinct shingles move, and at warehouse scale the
+shingle string column would be md5-folded to an 8-byte key before the
+distinct (the q47b trick; plain strings keep this corpus readable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingles, tokens
+from .llm_queries import _SH5_SQL, _TOKS_SQL
+from .registry import query, tables
+
+_J_FMT = (
+    "CAST(round((CAST({i} AS DOUBLE) / (CAST({na} AS DOUBLE) "
+    "+ CAST({nb} AS DOUBLE) - CAST({i} AS DOUBLE))) * 1e6) AS BIGINT)"
+)
+
+_Q89_ORACLE = (
+    f"WITH tok AS (SELECT source, {_TOKS_SQL} AS t FROM documents), "
+    f"h AS (SELECT DISTINCT source, unnest({_SH5_SQL}) AS sh FROM tok), "
+    "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h "
+    "GROUP BY source), "
+    "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared FROM h a JOIN h b "
+    "ON a.sh = b.sh AND a.source < b.source "
+    "GROUP BY a.source, b.source) "
+    "SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_shared, "
+    + _J_FMT.format(i="i.n_shared", na="sa.n", nb="sb.n")
+    + " AS jaccard_e6 FROM inter i "
+    "JOIN sizes sa ON sa.source = i.source_a "
+    "JOIN sizes sb ON sb.source = i.source_b "
+    "ORDER BY source_a, source_b"
+)
+
+_Q89_DESCRIPTION = (
+    "Q89: pairwise source content overlap — Jaccard of each source "
+    "pair's DISTINCT 5-gram shingle sets (the q47d contract: shared "
+    "shingles(tokens, 5) / _SH5_SQL definition). One shuffle to the "
+    "distinct (source, shingle) frame (cached, three consumers); the "
+    "pair join fans out per shingle only across sources containing it; "
+    "set sizes broadcast over the |sources|^2-bounded pair frame; "
+    "documents never shuffle. Absent pair = zero overlap. Counts "
+    "exact; Jaccard one double division scaled to e6."
+)
+
+
+@query("q89_source_overlap", oracle=_Q89_ORACLE,
+       description=_Q89_DESCRIPTION, tags=("llm", "governance"))
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    h = (
+        docs.select(
+            "source",
+            F.explode(shingles(tokens(F.col("text")), 5)).alias("sh"),
+        )
+        .distinct()
+        # distinct is a shuffle; three consumers (sizes + both join
+        # sides) — cache the narrow frame (the q80 lesson)
+        .cache()
+    )
+    sizes = h.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = h.select(F.col("source").alias("source_a"), "sh")
+    b = h.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, on=[a.sh == b.sh, a.source_a < b.source_b])
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_shared",
+            F.expr(_J_FMT.format(i="n_shared", na="n_a", nb="n_b"))
+            .alias("jaccard_e6"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -176,6 +176,13 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/markov.py": [],
     PKG + "queries/rfm.py": [],
     PKG + "queries/trend.py": [],
+    # Ninth r10 batch — same constraint; overlap.py keys on the q46
+    # dedup-group contract (normalize_text / _NORM_SQL), like splits.py.
+    PKG + "queries/concentration.py": [],
+    PKG + "queries/overlap.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
