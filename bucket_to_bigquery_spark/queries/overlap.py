@@ -30,6 +30,13 @@ broadcast back over the |sources|²-bounded pair frame. Documents never
 shuffle — only distinct shingles move, and at warehouse scale the
 shingle string column would be md5-folded to an 8-byte key before the
 distinct (the q47b trick; plain strings keep this corpus readable).
+Cost note: on a corpus where most shingles are common to most sources
+(this synthetic vocabulary; or real feeds syndicating one wire), the
+per-shingle fan-out approaches |sources|² on every shingle and EXACT
+overlap gets hot — the escalation path is per-source MinHash
+signatures (the q47b machinery) whose pairwise estimate replaces this
+join at |sources|²·k cost, independent of corpus size, with this exact
+form kept for the flagged pairs.
 """
 
 from __future__ import annotations
