@@ -117,8 +117,8 @@ from . import rfm  # noqa: F401, E402
 from . import trend  # noqa: F401, E402
 
 # Ninth (final) r10 batch, same contract: Gini concentration (the
-# dataset-governance inequality metric) and pairwise source duplicate
-# overlap (ingest governance over the q46 dedup-key contract). New
+# dataset-governance inequality metric) and pairwise source content
+# overlap (ingest governance over the q47 shingle contract). New
 # modules only; the r11 scratch window stays exactly 50.
 from . import concentration  # noqa: F401, E402
 from . import overlap  # noqa: F401, E402

@@ -14,11 +14,13 @@ tie-break — a total order, so ranks agree across engines):
 
 Determinism: revenue is held as integer CENTS end-to-end —
 ``round(o_totalprice·100)`` is exact per row (same double, same
-rounding on both engines), so Σx, Σi·x and n are all exact BIGINTs
-(i·x ≤ rank·total_cents ≪ 2⁶³ at any plausible dimension size) and G
-is ONE double expression over three exact integers, scaled to
-round(x·1e6). No decimal-precision-overflow rounding (Spark truncates
-decimal products past 38 digits — cents avoid the trap entirely).
+rounding on both engines). Σx and n are exact BIGINTs; Σi·x is summed
+as DECIMAL(38,0) (products of two DECIMAL(19,0) casts — integers at
+every step, no scale rounding) because its bound is n·Σx, which
+outruns 2⁶³ around the terabyte mark: a BIGINT sum would wrap silently
+in Spark while DuckDB widens to HUGEINT — exactly the divergence the
+decimal path removes. G is ONE double expression over three exact
+integers, scaled to round(x·1e6).
 
 Scale design (100 TB): one map-side-combined aggregation from the
 order stream to the (segment, customer) revenue frame; the rank window
@@ -53,7 +55,8 @@ _Q88_ORACLE = (
     "FROM rev), "
     "agg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_customers, "
     "CAST(sum(rev_c) AS BIGINT) AS total_cents, "
-    "CAST(sum(i * rev_c) AS BIGINT) AS ixsum FROM ranked GROUP BY segment) "
+    "sum(CAST(i AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))) "
+    "AS ixsum FROM ranked GROUP BY segment) "
     "SELECT segment, n_customers, total_cents, "
     + _G_FMT.format(ixsum="ixsum", n="n_customers", xsum="total_cents")
     + " AS gini_e6 FROM agg ORDER BY segment"
@@ -95,7 +98,9 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("rev_c").cast("long").alias("total_cents"),
-        F.sum(F.expr("i * rev_c")).cast("long").alias("ixsum"),
+        F.sum(F.expr(
+            "CAST(i AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"
+        )).alias("ixsum"),
     )
     return agg.select(
         "segment", "n_customers", "total_cents",

@@ -96,7 +96,12 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sides) — cache the narrow frame (the q80 lesson)
         .cache()
     )
-    sizes = h.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = (
+        h.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # |sources| rows, TWO consumers (sa and sb) — uncached, each
+        # branch would re-aggregate the big shingle frame
+        .cache()
+    )
     a = h.select(F.col("source").alias("source_a"), "sh")
     b = h.select(F.col("source").alias("source_b"), "sh")
     inter = (

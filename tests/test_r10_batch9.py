@@ -102,10 +102,11 @@ def test_q89_matches_bruteforce(spark, sf_dir):
         assert 0 < r.jaccard_e6 <= 1_000_000
 
 
-def test_q89_text_never_shuffles_hash_frame_cached(spark, sf_dir):
-    """Only 32-byte hashes move: the distinct (source, hash) frame is
-    cached for its three consumers, the pair join carries no text
-    column, and the size joins broadcast."""
+def test_q89_text_never_shuffles_shingle_frame_cached(spark, sf_dir):
+    """Documents never move: the distinct (source, shingle) frame is
+    cached for its consumers (shingle STRINGS on this readable corpus;
+    the documented scale path md5-folds them first), the pair join
+    carries no text column, and the size joins broadcast."""
     plan = _plan(spark, sf_dir, "q89_source_overlap")
     assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan

@@ -176,8 +176,8 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/markov.py": [],
     PKG + "queries/rfm.py": [],
     PKG + "queries/trend.py": [],
-    # Ninth r10 batch — same constraint; overlap.py keys on the q46
-    # dedup-group contract (normalize_text / _NORM_SQL), like splits.py.
+    # Ninth r10 batch — same constraint; overlap.py keys on the q47
+    # SHINGLE contract (shingles(tokens, 5) / _SH5_SQL, like q47d).
     PKG + "queries/concentration.py": [],
     PKG + "queries/overlap.py": [
         PKG + "operators/dedup.py",
