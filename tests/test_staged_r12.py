@@ -1,0 +1,193 @@
+"""The r10-staged surface for ROUND-12 registration (GATE_r10.md
+"Round-11/12 plan": r11's window is booked solid by the scratch.py
+rotation, so this surface waits for r12's ~12 free slots): q90
+point-in-time enrichment (pit.py), q91 A/B conversion lift (ab.py),
+q92 top event paths (paths.py).
+
+Checked here, pre-registration:
+
+1. **Staging containment** — the modules are NOT imported by
+   ``queries/__init__`` and register() has NOT run, so the driver
+   registry stays at its r10 size (the gate-window arithmetic depends
+   on this).
+2. **Oracle parity NOW** — each staged builder matches its DuckDB
+   oracle through the same compare harness the driver mirrors, so r12
+   registration is a wiring change, not a correctness event.
+3. **Per-entry semantics** beyond the hash: PIT version lookup replays
+   brute-force (inclusive at-boundary rule), the A/B readout replays
+   from an independent md5 assignment + attribution walk, the path
+   top-10 replays from raw sequences.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from bucket_to_bigquery_spark.queries import ab, paths, pit
+from bucket_to_bigquery_spark.queries import all_queries
+from bucket_to_bigquery_spark.queries.registry import (
+    Query,
+    _with_tuning,
+    tables,
+)
+
+from .oracle import compare, duck_connection
+
+_STAGED_MODULES = (pit, ab, paths)
+
+STAGED: dict[str, Query] = {
+    name: Query(name, _with_tuning(fn), oracle, desc, tags)
+    for mod in _STAGED_MODULES
+    for name, (fn, oracle, desc, tags) in mod.STAGED.items()
+}
+
+
+def _run(name, spark, sf_dir):
+    return STAGED[name].builder(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 1. Staging containment
+# ---------------------------------------------------------------------------
+
+
+def test_staged_entries_are_not_registered():
+    """The r11 window arithmetic (exactly 50, scratch rotation) relies
+    on these entries NOT appearing in the driver registry this round."""
+    reg = all_queries()
+    assert STAGED
+    for name in STAGED:
+        assert name not in reg, (
+            f"{name} is registered — the r10 gate window accounting "
+            "(48 aliases + 2 fill) no longer matches GATE_r10.md"
+        )
+
+
+# ---------------------------------------------------------------------------
+# 2. Oracle parity, pre-registration
+# ---------------------------------------------------------------------------
+
+
+def test_staged_oracle_parity(spark, sf_dir):
+    duck = duck_connection(sf_dir)
+    try:
+        for name in sorted(STAGED):
+            problems = compare(name, spark, duck, sf_dir, STAGED)
+            assert not problems, f"{name}: " + "; ".join(problems)
+    finally:
+        duck.close()
+
+
+# ---------------------------------------------------------------------------
+# 3. q90 — PIT enrichment semantics
+# ---------------------------------------------------------------------------
+
+
+def test_q90_matches_bruteforce(spark, sf_dir):
+    """Replay per user under (ts, is_dim DESC, event_id): each purchase
+    sees the newest signup at-or-before it (inclusive boundary), NULLs
+    before the first signup, version_idx counts prior signups."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "event_type", "value").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("signup", "purchase"):
+            is_dim = 1 if r.event_type == "signup" else 0
+            by_user[r.user_id].append((r.ts, -is_dim, r.event_id, r))
+    expect = {}
+    for rows in by_user.values():
+        rows.sort(key=lambda t: (t[0], t[1], t[2]))
+        version = None
+        idx = 0
+        for _, neg_dim, _, r in rows:
+            if neg_dim == -1:
+                version, idx = r, idx + 1
+            else:
+                expect[r.event_id] = (
+                    idx,
+                    None if version is None else version.event_id,
+                    None if version is None else version.value,
+                )
+    got = _run("q90_pit_enrichment", spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        idx, vid, vval = expect[r.purchase_id]
+        assert (r.version_idx, r.version_event_id) == (idx, vid), r
+        assert r.version_value == vval
+        assert r.enriched == (vid is not None)
+
+
+# ---------------------------------------------------------------------------
+# 3. q91 — A/B lift semantics
+# ---------------------------------------------------------------------------
+
+
+def test_q91_matches_bruteforce(spark, sf_dir):
+    """Independent replay: md5 arm assignment, attribution-window
+    conversion walk, exact counts, statistics within a rounding unit;
+    both arms non-degenerate on this corpus (the reason for the
+    attributed-conversion definition)."""
+    from bucket_to_bigquery_spark.queries.ab import (
+        _B_PERMYRIAD, _SALT, _WINDOW_US,
+    )
+
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    arms = {"A": [0, 0], "B": [0, 0]}  # [n, c]
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        last_click, converted = None, 0
+        for r in rows:
+            if r.event_type == "click":
+                last_click = r.ts
+            elif r.event_type == "purchase" and last_click is not None:
+                gap_us = (r.ts - last_click).total_seconds() * 1e6
+                if gap_us <= _WINDOW_US:
+                    converted = 1
+        h = hashlib.md5(f"{_SALT}{user}".encode()).hexdigest()
+        arm = "B" if int(h[:8], 16) % 10000 < _B_PERMYRIAD else "A"
+        arms[arm][0] += 1
+        arms[arm][1] += converted
+    (n_a, c_a), (n_b, c_b) = arms["A"], arms["B"]
+    row = _run("q91_ab_lift", spark, sf_dir).collect()
+    assert len(row) == 1
+    g = row[0]
+    assert (g.n_a, g.c_a, g.n_b, g.c_b) == (n_a, c_a, n_b, c_b)
+    # non-degenerate on this corpus: both arms populated, pooled rate
+    # strictly inside (0, 1) — the z statistic is defined
+    assert n_a > 0 and n_b > 0 and 0 < c_a + c_b < n_a + n_b
+    p_a, p_b = c_a / n_a, c_b / n_b
+    p = (c_a + c_b) / (n_a + n_b)
+    z = (p_b - p_a) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert abs(g.lift_abs_e6 - round((p_b - p_a) * 1e6)) <= 1
+    assert abs(g.lift_rel_e6 - round((p_b - p_a) / p_a * 1e6)) <= 1
+    assert abs(g.z_e6 - round(z * 1e6)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# 3. q92 — top paths semantics
+# ---------------------------------------------------------------------------
+
+
+def test_q92_matches_bruteforce(spark, sf_dir):
+    from bucket_to_bigquery_spark.queries.paths import _TOPN
+
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    counts: dict = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        types = [r.event_type for r in rows]
+        for i in range(len(types) - 2):
+            counts[tuple(types[i:i + 3])] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPN]
+    got = _run("q92_top_event_paths", spark, sf_dir).collect()
+    assert [((r.step1, r.step2, r.step3), r.n) for r in got] == expect

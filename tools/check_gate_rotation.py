@@ -183,6 +183,13 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/dedup.py",
         PKG + "queries/llm_queries.py",
     ],
+    # Staged r12 surface (GATE_r10.md round-11/12 plan): NOT imported by
+    # queries/__init__ — zero registered entries until r12; mapped so
+    # the unmapped-changed-file guard knows them and registration
+    # inherits correct dependency pull-in.
+    PKG + "queries/pit.py": [],
+    PKG + "queries/ab.py": [],
+    PKG + "queries/paths.py": [],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
