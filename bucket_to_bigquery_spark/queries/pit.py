@@ -55,18 +55,22 @@ _Q90_ORACLE = (
     "UNION ALL "
     f"SELECT user_id, event_id, ts, CAST(0 AS INTEGER) AS is_dim, "
     f"NULL AS dim_value FROM events WHERE event_type = '{_FACT}'), "
+    # key and payload carry as ONE struct: independent IGNORE NULLS
+    # carries would pair a new version's key with the PRIOR version's
+    # payload whenever a version row holds a NULL payload (the struct
+    # is non-null for every dimension row, so the pair stays intact)
     "carried AS (SELECT user_id, event_id, ts, is_dim, "
-    "last_value(CASE WHEN is_dim = 1 THEN event_id END IGNORE NULLS) "
-    "OVER w AS version_event_id, "
-    "last_value(CASE WHEN is_dim = 1 THEN dim_value END IGNORE NULLS) "
-    "OVER w AS version_value, "
+    "last_value(CASE WHEN is_dim = 1 THEN "
+    "{'eid': event_id, 'val': dim_value} END IGNORE NULLS) "
+    "OVER w AS v, "
     "sum(is_dim) OVER w AS version_idx "
     "FROM tagged WINDOW w AS (PARTITION BY user_id "
     "ORDER BY ts, is_dim DESC, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
     "SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, "
-    "CAST(version_idx AS BIGINT) AS version_idx, version_event_id, "
-    "version_value, version_event_id IS NOT NULL AS enriched "
+    "CAST(version_idx AS BIGINT) AS version_idx, "
+    "(v).eid AS version_event_id, (v).val AS version_value, "
+    "v IS NOT NULL AS enriched "
     "FROM carried WHERE is_dim = 0 ORDER BY purchase_id"
 )
 
@@ -99,12 +103,15 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_dim = F.col("is_dim") == 1
+    # key + payload as ONE struct (see the oracle comment: independent
+    # IGNORE NULLS carries desynchronize on NULL payloads)
     carried = tagged.select(
         "user_id", "event_id", "ts", "is_dim",
-        F.last(F.when(is_dim, F.col("event_id")), ignorenulls=True)
-        .over(w).alias("version_event_id"),
-        F.last(F.when(is_dim, F.col("dim_value")), ignorenulls=True)
-        .over(w).alias("version_value"),
+        F.last(
+            F.when(is_dim, F.struct(F.col("event_id").alias("eid"),
+                                    F.col("dim_value").alias("val"))),
+            ignorenulls=True,
+        ).over(w).alias("v"),
         F.sum("is_dim").over(w).cast("long").alias("version_idx"),
     )
     return (
@@ -113,8 +120,10 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("purchase_ts"),
-            "version_idx", "version_event_id", "version_value",
-            F.col("version_event_id").isNotNull().alias("enriched"),
+            "version_idx",
+            F.col("v.eid").alias("version_event_id"),
+            F.col("v.val").alias("version_value"),
+            F.col("v").isNotNull().alias("enriched"),
         )
         .orderBy("purchase_id")
     )

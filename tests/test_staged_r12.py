@@ -149,8 +149,13 @@ def test_q91_matches_bruteforce(spark, sf_dir):
                 gap_us = (r.ts - last_click).total_seconds() * 1e6
                 if gap_us <= _WINDOW_US:
                     converted = 1
-        h = hashlib.md5(f"{_SALT}{user}".encode()).hexdigest()
-        arm = "B" if int(h[:8], 16) % 10000 < _B_PERMYRIAD else "A"
+        if user is None:
+            # both engines NULL-propagate through md5/concat and land in
+            # the CASE fallback arm 'A'; md5('ab:None') would diverge
+            arm = "A"
+        else:
+            h = hashlib.md5(f"{_SALT}{user}".encode()).hexdigest()
+            arm = "B" if int(h[:8], 16) % 10000 < _B_PERMYRIAD else "A"
         arms[arm][0] += 1
         arms[arm][1] += converted
     (n_a, c_a), (n_b, c_b) = arms["A"], arms["B"]
