@@ -25,7 +25,7 @@ import hashlib
 import math
 from collections import defaultdict
 
-from bucket_to_bigquery_spark.queries import ab, paths, pit
+from bucket_to_bigquery_spark.queries import ab, paths, pit, sketch_overlap
 from bucket_to_bigquery_spark.queries import all_queries
 from bucket_to_bigquery_spark.queries.registry import (
     Query,
@@ -35,7 +35,7 @@ from bucket_to_bigquery_spark.queries.registry import (
 
 from .oracle import compare, duck_connection
 
-_STAGED_MODULES = (pit, ab, paths)
+_STAGED_MODULES = (pit, ab, paths, sketch_overlap)
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
@@ -177,6 +177,33 @@ def test_q91_matches_bruteforce(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # 3. q92 — top paths semantics
 # ---------------------------------------------------------------------------
+
+
+def test_q89b_estimates_track_exact_jaccard(spark, sf_dir):
+    """The MinHash estimate is deterministic (fixed salts) — parity is
+    the hash oracle's job; THIS pins the statistical contract: every
+    pair's estimate sits within 0.1 of the exact shingle Jaccard
+    (k=64 ⇒ 3σ ≈ 0.19 worst-case, ≈ 0.05 at the small J of this
+    corpus), every pair appears exactly once, n_match ∈ [0, k]."""
+    from bucket_to_bigquery_spark.queries.sketch_overlap import _K
+
+    docs = tables(spark, sf_dir)["documents"].select("source", "text").collect()
+    sets: dict = defaultdict(set)
+    for r in docs:
+        toks = " ".join(r.text.lower().split()).split(" ")
+        for i in range(len(toks) - 4):
+            sets[r.source].add(" ".join(toks[i:i + 5]))
+    got = {(r.source_a, r.source_b): r
+           for r in _run("q89b_source_overlap_minhash", spark, sf_dir).collect()}
+    srcs = sorted(sets)
+    expect_pairs = {(a, b) for ai, a in enumerate(srcs)
+                    for b in srcs[ai + 1:]}
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        assert 0 <= r.n_match <= _K and r.k == _K
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        assert abs(r.est_jaccard_e6 / 1e6 - j) <= 0.1, (a, b, j, r)
 
 
 def test_q92_matches_bruteforce(spark, sf_dir):

@@ -190,6 +190,11 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/pit.py": [],
     PKG + "queries/ab.py": [],
     PKG + "queries/paths.py": [],
+    # q89b shares the q47 shingle contract like overlap.py
+    PKG + "queries/sketch_overlap.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
