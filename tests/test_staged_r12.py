@@ -190,12 +190,14 @@ def test_q89b_estimates_track_exact_jaccard(spark, sf_dir):
     docs = tables(spark, sf_dir)["documents"].select("source", "text").collect()
     sets: dict = defaultdict(set)
     for r in docs:
-        toks = " ".join(r.text.lower().split()).split(" ")
+        toks = " ".join(r.text.lower().split()).split(" ") if r.text else []
         for i in range(len(toks) - 4):
             sets[r.source].add(" ".join(toks[i:i + 5]))
+    # a source with zero shingled docs drops from the signature frame
+    # on BOTH engines (NULL-min filter / unnest([])) — mirror that here
+    srcs = sorted(s for s, sh in sets.items() if sh)
     got = {(r.source_a, r.source_b): r
            for r in _run("q89b_source_overlap_minhash", spark, sf_dir).collect()}
-    srcs = sorted(sets)
     expect_pairs = {(a, b) for ai, a in enumerate(srcs)
                     for b in srcs[ai + 1:]}
     assert set(got) == expect_pairs
@@ -203,7 +205,10 @@ def test_q89b_estimates_track_exact_jaccard(spark, sf_dir):
         assert 0 <= r.n_match <= _K and r.k == _K
         inter = len(sets[a] & sets[b])
         j = inter / (len(sets[a]) + len(sets[b]) - inter)
-        assert abs(r.est_jaccard_e6 / 1e6 - j) <= 0.1, (a, b, j, r)
+        # 0.2 covers 3σ at any J for k=64 (worst 0.19 at J=0.5); this
+        # corpus's max J ≈ 0.04 with observed error ≤ 0.05 — the band
+        # must survive a corpus regenerated into a higher-J regime
+        assert abs(r.est_jaccard_e6 / 1e6 - j) <= 0.2, (a, b, j, r)
 
 
 def test_q92_matches_bruteforce(spark, sf_dir):
