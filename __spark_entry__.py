@@ -47,58 +47,40 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # this).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # changed this round (r10): the audit-URI rebase (VERDICT r9 #4 /
-    # ADVICE r8 #2) touches ingest/loader.py + queries/ingest_queries.py
-    # + queries/maintenance.py — the whole q04 family is in-window.
+    # Round 11: the scratch.py crashed-writer fix (ADVICE r8 #3) under
+    # the committed 2-round split (GATE_r10.md "Round-11/12 plan").
+    # scratch.py is an implementing file of 88 entries; this window
+    # rotates the relational 35 + ingest 4 + maintenance 1 + streaming 9
+    # + formats 1 = exactly 50, which simultaneously refreshes every
+    # remaining r8-evidence row. The other 38 scratch-dependent entries
+    # (llm_queries 32 + pipeline_queries 4 + incremental 2) defer to the
+    # r12 window, mechanized by tools/deferred_rotation.json — the
+    # rotation check fails r12 unless that file is deleted AND all 38
+    # are in-window. The loader.py ADVICE r10 fixes ride the same
+    # window (loader.py pulls only the in-window q04 family).
+    #
+    # relational.py (35)
+    "q01_parquet_scan", "q02_csv_scan_roundtrip", "q02b_orc_scan_roundtrip",
+    "q03_json_extract", "q05_glob_scan", "q06_project_filter",
+    "q07_select_except", "q08_compound_predicates", "q09_inner_join",
+    "q10_broadcast_join_agg", "q11_left_outer_join", "q12_semi_join",
+    "q13_anti_join", "q14_range_join", "q15_asof_join",
+    "q15b_asof_join_tolerance", "q16_tpch_q3_shape", "q17_tpch_q1_shape",
+    "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
+    "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
+    "q22_having", "q23_ranking_windows", "q24_lag_lead",
+    "q25_window_frames", "q26_topk_per_group", "q27_global_sort_limit",
+    "q28_union_all", "q28b_union_distinct", "q29_intersect", "q29b_except",
+    # ingest_queries.py (4) + maintenance.py (1)
     "q04_ingest_partitioned_sink", "q04b_imported_audit",
     "q04c_partition_pruned_scan", "q04d_catalog_sql", "q04e_compaction",
-    # newly registered this round (r10): the r9-staged surface (GATE_r09
-    # plan #0) — first-ever driver rows, so all 6 take slots. Only q59's
-    # rank-surrogate fix and bloom comments changed pre-registration;
-    # both modules' entries are in-window regardless (new entries).
-    "q57_bloom_decontamination", "q58_snapshot_diff",
-    "q59_weighted_sample", "q60_zorder_layout", "q61_hll_sketch_union",
-    "q62_jl_sign_projection",
-    # stale rotation (r10), GATE_r09 plan #1: the 6 oldest rows in the
-    # repo — q31b/q31c (r6), q33b/q42/q43/q02c (r7). Zero code change;
-    # after this round the oldest evidence anywhere is r8.
-    "q31b_local_time_ordered_view", "q31c_stacked_views",
-    "q33b_vector_norm", "q42_pandas_udf_normalize",
-    "q43_apply_in_pandas_zscore", "q02c_xml_scan_roundtrip",
-    # new surface registered this round (r10) in NEW modules — each entry
-    # costs its own slot and pulls only its own module (+ mapped deps);
-    # see GATE_r10.md window accounting.
-    "q63_sessionization", "q63b_event_funnel", "q64_retention_cohorts",
-    "q65_quantile_bands", "q66_heavy_keys", "q66b_key_frequency_histogram",
-    "q67_bpe_pair_merge", "q68_windowed_topk",
-    "q69_group_centered_embeddings",
-    # second r10 batch (new modules scd/chunking/splits): SCD-2 build,
-    # overlapping chunking, leakage-safe split + audit.
-    "q70_scd2_dimension", "q71_document_chunking",
-    "q72_leakage_safe_split", "q72b_split_leakage_audit",
-    # third r10 batch (new modules quality/upsert): constraint suite,
-    # changelog upsert.
-    "q73_quality_constraints", "q74_changelog_upsert",
-    # fourth r10 batch (new modules retrieval/basket/attribution): BM25
-    # top-k, frequent pairs, last-touch attribution.
-    "q75_bm25_topk", "q76_frequent_pairs", "q77_last_touch_attribution",
-    # fifth r10 batch (new modules graphs/linkage): integer-contract
-    # PageRank, degree-oriented triangles, sorted-neighborhood linkage.
-    "q78_pagerank", "q78b_triangle_count",
-    "q79_sorted_neighborhood_linkage",
-    # sixth r10 batch (new modules stats_ext/decay/skyline): chi-square
-    # independence, time-decay scoring, Pareto frontier.
-    "q80_chi2_independence", "q81_time_decay_score", "q82_skyline_orders",
-    # seventh r10 batch (new modules shift/anomaly): JS-divergence
-    # distribution shift, daily volume anomaly flags.
-    "q83_js_divergence", "q84_daily_anomalies",
-    # eighth r10 batch (new modules markov/rfm/trend): transition
-    # matrix, RFM quintile scoring, weekly revenue deltas.
-    "q85_markov_transitions", "q86_rfm_scores",
-    "q87_weekly_revenue_delta",
-    # ninth (final) r10 batch (new modules concentration/overlap): Gini
-    # concentration, pairwise source duplicate overlap.
-    "q88_gini_concentration", "q89_source_overlap",
+    # streaming_queries.py (9)
+    "q36_tumbling_window", "q37_sliding_window", "q38_session_window",
+    "q38b_custom_stateful_sessions", "q39_watermark_append",
+    "q40_stream_dedup", "q41_exactly_once_file_ingest",
+    "q41b_stream_static_enrich", "q41c_stream_stream_join",
+    # formats.py (1)
+    "q02c_xml_scan_roundtrip",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -68,6 +68,23 @@ def scratch_path(name: str, sf_dir: str) -> str:
     return f"{_ROOT}/{name}/{tag}-{_source_fingerprint(sf_dir)}"
 
 
+def _owner_alive(pid_suffix: str) -> bool:
+    """True when the ``.tmp.<pid>`` owner still runs (or the suffix is
+    unparseable — never delete what might be a live racer's build). A
+    pid we cannot signal but that exists (EPERM) counts as alive."""
+    try:
+        pid = int(pid_suffix)
+    except ValueError:
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # EPERM etc.: exists, just not ours to signal
+    return True
+
+
 def _prune_stale_siblings(path: str) -> None:
     """Remove same-tag siblings of ``path`` carrying a DIFFERENT
     fingerprint (plus their crashed ``.tmp.*`` leftovers).
@@ -78,8 +95,9 @@ def _prune_stale_siblings(path: str) -> None:
     under ``/tmp/b2bqs`` forever. Anything with a different fingerprint
     describes a source state that no longer exists, so removal is safe
     by construction; a LIVE racer materializing the same (current) key
-    writes under ``{path}.tmp.<pid>``, which is explicitly spared.
-    Only prunes under the scratch root: callers may hand
+    writes under ``{path}.tmp.<pid>``, which is spared while its owner
+    process is alive (a dead owner's leftover is reclaimed — see
+    ``_owner_alive``). Only prunes under the scratch root: callers may hand
     ``materialize_once`` foreign paths whose siblings are not ours to
     manage.
     """
@@ -94,7 +112,18 @@ def _prune_stale_siblings(path: str) -> None:
     except OSError:
         return
     for entry in entries:
-        if entry == base or entry.startswith(f"{base}.tmp."):
+        if entry == base:
+            continue
+        if entry.startswith(f"{base}.tmp."):
+            # Same-key temp: a LIVE racer's work-in-progress must be
+            # spared, but a dead owner's leftover (a writer killed
+            # before its cleanup handler ran — the SIGKILL edge of
+            # ADVICE r8 #3) is reclaimed here, on the next materialize
+            # of the same key. Unparseable suffixes are spared
+            # (conservative: never delete what might be live).
+            if not _owner_alive(entry.rsplit(".", 1)[-1]):
+                shutil.rmtree(os.path.join(parent, entry),
+                              ignore_errors=True)
             continue
         if entry.startswith(f"{tag}-"):
             shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
@@ -109,15 +138,33 @@ def materialize_once(path: str, write: Callable[[str], None]) -> str:
     directory exists) discard their temp copy. A leftover UN-marked
     ``path`` from a crashed pre-atomic writer is removed before the
     rename attempt.
+
+    Crash hygiene (ADVICE r8 #3): a ``write`` callback that raises has
+    its temp dir removed before the exception propagates, and a writer
+    killed too hard for that handler (SIGKILL) leaves a temp whose
+    owner pid is dead — the sibling sweep reclaims it on the next
+    materialize of the same key. Either way nothing is published and
+    nothing is stranded.
     """
     marker = os.path.join(path, _DONE)
     if path not in _PUBLISHED:
         if not os.path.exists(marker):
             tmp = f"{path}.tmp.{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
-            write(tmp)
-            with open(os.path.join(tmp, _DONE), "w") as fh:
-                fh.write("ok")
+            try:
+                write(tmp)
+                with open(os.path.join(tmp, _DONE), "w") as fh:
+                    fh.write("ok")
+            except BaseException:
+                # ADVICE r8 #3: a writer that dies mid-build must not
+                # strand its temp dir — at bench scale each is a
+                # multi-hundred-MB half-built corpus. Remove and
+                # re-raise; the caller sees the original failure and the
+                # next materialize starts clean. (A SIGKILL that skips
+                # this handler is reclaimed by the dead-owner sweep in
+                # _prune_stale_siblings on the next materialize.)
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             if os.path.exists(path) and not os.path.exists(marker):
                 # crashed non-atomic writer left debris; safe to clear
                 shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,104 @@
+"""Rules of the multi-round rotation deferral (tools/deferred_rotation.json).
+
+The r11 scratch.py crashed-writer fix ships under the 2-round split
+committed in GATE_r10.md: scratch.py implements 88 registry entries —
+more than one 50-slot gate window — so 38 of them defer to the r12
+window. ``evaluate_deferral`` mechanizes the split so the second half
+cannot silently slip; these tests pin each rule with synthetic inputs
+(the live repo state is exercised by tests/test_gate_rotation.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from check_gate_rotation import DEFERRAL_FILE, evaluate_deferral  # noqa: E402
+
+REG = {"q1_a", "q2_b", "q3_c", "q4_d"}
+
+
+def _deferral(entries, files=("pkg/wide.py",)):
+    return {"changed_files": list(files), "entries": list(entries)}
+
+
+def test_no_deferral_is_a_noop():
+    problems, exempt = evaluate_deferral(
+        None, None, REG, {"pkg/wide.py"}, lambda n: False, {})
+    assert problems == [] and exempt == set()
+
+
+def test_created_this_round_exempts_covered_entries():
+    impl_changed = {"q1_a": {"pkg/wide.py"}, "q2_b": {"pkg/wide.py"}}
+    problems, exempt = evaluate_deferral(
+        None, _deferral(["q1_a", "q2_b"]), REG, {"pkg/wide.py"},
+        lambda n: False, impl_changed)
+    assert problems == []
+    assert exempt == {"q1_a", "q2_b"}
+
+
+def test_no_piggybacking_other_changes_under_the_exemption():
+    # q2_b is ALSO touched by a non-deferred file: it must still rotate
+    # in-window, so it earns no exemption.
+    impl_changed = {
+        "q1_a": {"pkg/wide.py"},
+        "q2_b": {"pkg/wide.py", "pkg/other.py"},
+    }
+    problems, exempt = evaluate_deferral(
+        None, _deferral(["q1_a", "q2_b"]), REG,
+        {"pkg/wide.py", "pkg/other.py"}, lambda n: False, impl_changed)
+    assert problems == []
+    assert exempt == {"q1_a"}
+
+
+def test_unknown_entries_and_unchanged_covered_files_fail():
+    problems, exempt = evaluate_deferral(
+        None, _deferral(["q9_zz"]), REG, set(), lambda n: False, {})
+    assert exempt == set()
+    assert any("unknown entries" in p for p in problems)
+    assert any("did not behaviorally change" in p for p in problems)
+
+
+def test_carried_a_second_round_fails():
+    d = _deferral(["q1_a"])
+    problems, exempt = evaluate_deferral(
+        d, d, REG, set(), lambda n: True, {})
+    assert exempt == set()
+    assert any("very next round" in p for p in problems)
+
+
+def test_resolution_round_requires_listed_entries_in_window():
+    d = _deferral(["q1_a", "q2_b"])
+    # resolved correctly: file deleted, everything in-window
+    problems, _ = evaluate_deferral(d, None, REG, set(), lambda n: True, {})
+    assert problems == []
+    # resolved wrongly: q2_b left out of the window
+    problems, _ = evaluate_deferral(
+        d, None, REG, set(), lambda n: n == "q1_a", {})
+    assert len(problems) == 1 and "q2_b" in problems[0]
+
+
+def test_live_deferral_file_matches_registry_and_window_plan():
+    # The committed r11 file must list exactly the scratch-dependent
+    # entries OUTSIDE the r11 window: llm_queries 32 + pipeline 4 +
+    # incremental 2 = 38, none of them aliased into the gate.
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    path = os.path.join(repo, DEFERRAL_FILE)
+    if not os.path.exists(path):
+        return  # resolution round: rules above still apply via check()
+    with open(path) as fh:
+        deferral = json.load(fh)
+    sys.path.insert(0, repo)
+    from __spark_entry__ import GATE_PRIORITY
+    from bucket_to_bigquery_spark.queries import all_queries
+
+    entries = set(deferral["entries"])
+    assert len(entries) == 38
+    assert entries <= set(all_queries())
+    assert entries.isdisjoint(GATE_PRIORITY), (
+        "a deferred entry is aliased in-window — it should not be listed"
+    )
+    assert deferral["changed_files"] == ["bucket_to_bigquery_spark/scratch.py"]

@@ -79,11 +79,21 @@ def test_publish_prunes_stale_fingerprint_siblings(tmp_path):
     assert not os.path.exists(stale_tmp), "stale temp leftover not pruned"
     assert os.path.exists(other_tag), "different-tag sibling wrongly pruned"
     assert os.path.exists(p2)
-    # a live racer's temp for the CURRENT key is spared
-    live_tmp = p2 + ".tmp.12345"
-    os.makedirs(live_tmp, exist_ok=True)
-    scratch._prune_stale_siblings(p2)
-    assert os.path.exists(live_tmp), "live same-key racer temp wrongly pruned"
+    # a live racer's temp for the CURRENT key is spared (use a real
+    # live process as the owner — the sweep checks pid liveness)
+    import subprocess
+
+    racer = subprocess.Popen(["sleep", "60"])
+    try:
+        live_tmp = f"{p2}.tmp.{racer.pid}"
+        os.makedirs(live_tmp, exist_ok=True)
+        scratch._prune_stale_siblings(p2)
+        assert os.path.exists(live_tmp), (
+            "live same-key racer temp wrongly pruned"
+        )
+    finally:
+        racer.kill()
+        racer.wait()
     shutil.rmtree(parent, ignore_errors=True)
 
 
@@ -109,6 +119,11 @@ def test_crashed_write_publishes_nothing_and_rebuilds(tmp_path):
     with pytest.raises(RuntimeError):
         materialize_once(path, dying_write)
     assert not os.path.exists(path), "crashed build must publish nothing"
+    # ADVICE r8 #3: the crash must not strand the temp dir either — the
+    # exception handler removes it before propagating.
+    parent = os.path.dirname(path)
+    leftovers = [e for e in os.listdir(parent) if ".tmp." in e]
+    assert leftovers == [], f"crashed write stranded its temp: {leftovers}"
 
     def good_write(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
@@ -184,6 +199,51 @@ def test_losing_racer_keeps_winner_and_discards_own_temp(tmp_path):
                  if ".tmp." in e]
     assert leftovers == [], f"loser's temp not discarded: {leftovers}"
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_dead_owner_temp_reclaimed_on_next_materialize(tmp_path):
+    # The SIGKILL edge of ADVICE r8 #3: a writer killed before its
+    # cleanup handler leaves `<path>.tmp.<dead-pid>`. The next
+    # materialize of the same key must reclaim it (the sibling sweep
+    # checks owner-pid liveness), so nothing is stranded forever.
+    import shutil
+    import subprocess
+
+    src = tmp_path / "sf9"
+    src.mkdir()
+    (src / "documents.parquet").write_bytes(b"v1")
+    path = scratch_path("killed", str(src))
+
+    # a genuinely dead pid: a child that has exited and been reaped
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_tmp = f"{path}.tmp.{proc.pid}"
+    os.makedirs(dead_tmp, exist_ok=True)
+    open(os.path.join(dead_tmp, "half-built"), "w").close()
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+
+    out = materialize_once(path, write)
+    assert out == path and os.path.exists(path)
+    assert not os.path.exists(dead_tmp), (
+        "dead writer's temp not reclaimed on next materialize"
+    )
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_owner_alive_semantics():
+    import subprocess
+
+    from bucket_to_bigquery_spark.scratch import _owner_alive
+
+    assert _owner_alive(str(os.getpid())) is True
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    assert _owner_alive(str(proc.pid)) is False
+    # unparseable suffixes are conservatively treated as live
+    assert _owner_alive("not-a-pid") is True
+    assert _owner_alive("") is True
 
 
 def test_prune_never_touches_paths_outside_scratch_root(tmp_path):

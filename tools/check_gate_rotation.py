@@ -240,6 +240,25 @@ INFRA_FILES = {
     PKG + "streaming/__init__.py",  # also a dep of streaming_queries
 }
 
+# Multi-round rotation deferral (r11, the scratch.py 2-round split).
+#
+# A wide-fan-in file (scratch.py: 88 dependent entries) cannot fit one
+# 50-slot window, so its behavioral change ships under an explicit
+# 2-round plan (GATE_r{N}.md). The plan is mechanized by a deferral file
+# so the second half cannot silently slip:
+#
+# - The round that makes the change CREATES ``tools/deferred_rotation.json``
+#   listing (a) the changed files the deferral covers and (b) the affected
+#   entries whose rotation is postponed. Those entries are exempt from the
+#   in-window requirement THIS round only — and only when every changed
+#   implementing file of the entry is covered by the deferral (no
+#   piggybacking other behavioral changes under the exemption).
+# - The NEXT round must DELETE the file and rotate every listed entry
+#   in-window (its window plan is written around them). If the file
+#   survives into a second round, the check fails; if it is deleted
+#   without the listed entries in-window, the check fails.
+DEFERRAL_FILE = "tools/deferred_rotation.json"
+
 # Result-AFFECTING infra: session config (AQE/ANSI/timezone) can change
 # query RESULTS, not just break them, so it may not be silently exempted
 # (ADVICE r5 #1). A change here affects all entries at once — more than the
@@ -296,6 +315,85 @@ def _behavior_changed(path: str, base: str) -> bool:
     if fp_old is None or fp_new is None:
         return True
     return fp_old != fp_new
+
+
+def evaluate_deferral(
+    base_deferral: dict | None,
+    head_deferral: dict | None,
+    registry: set[str],
+    changed: set[str],
+    in_window,
+    impl_changed: dict[str, set[str]],
+) -> tuple[list[str], set[str]]:
+    """Apply the DEFERRAL_FILE rules. Returns (problems, exempt entries).
+
+    - file at base AND at HEAD: carried a second round → problem;
+    - file at base, deleted at HEAD: this round resolves it — every
+      listed entry must be in-window, else problem;
+    - file created at HEAD: listed entries are exempt from the in-window
+      requirement, but ONLY those whose changed implementing files are
+      all covered by the deferral's ``changed_files`` (no piggybacking
+      unrelated behavioral changes under the exemption). Unknown entry
+      names and covered-but-unchanged files are problems.
+    """
+    problems: list[str] = []
+    exempt: set[str] = set()
+    if base_deferral is not None and head_deferral is not None:
+        problems.append(
+            f"{DEFERRAL_FILE} existed at the base round AND still exists "
+            "at HEAD — a deferred rotation must be resolved (file deleted, "
+            "entries in-window) in the very next round, not carried"
+        )
+    elif base_deferral is not None:
+        overdue = [
+            n for n in base_deferral.get("entries", []) if not in_window(n)
+        ]
+        if overdue:
+            problems.append(
+                f"{DEFERRAL_FILE} was deleted but these deferred entries "
+                f"are not in the gate window this round: {sorted(overdue)}"
+            )
+    elif head_deferral is not None:
+        dfiles = set(head_deferral.get("changed_files", []))
+        dentries = set(head_deferral.get("entries", []))
+        bogus = dentries - registry
+        if bogus:
+            problems.append(
+                f"{DEFERRAL_FILE} lists unknown entries: {sorted(bogus)}"
+            )
+        stray = dfiles - changed
+        if stray:
+            problems.append(
+                f"{DEFERRAL_FILE} covers files that did not behaviorally "
+                f"change this round (stale deferral?): {sorted(stray)}"
+            )
+        for name, files in impl_changed.items():
+            if name in dentries and files <= dfiles:
+                exempt.add(name)
+    return problems, exempt
+
+
+def _load_deferral_head() -> dict | None:
+    """The working-tree deferral file, or None when absent/unreadable."""
+    import json
+
+    path = os.path.join(REPO, DEFERRAL_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _load_deferral_rev(base: str) -> dict | None:
+    """The deferral file as of ``base``, or None when absent there."""
+    import json
+
+    try:
+        return json.loads(subprocess.check_output(
+            ["git", "show", f"{base}:{DEFERRAL_FILE}"], cwd=REPO,
+            text=True, stderr=subprocess.DEVNULL))
+    except subprocess.CalledProcessError:
+        return None
 
 
 def default_base_ref() -> str | None:
@@ -366,14 +464,31 @@ def check(base_ref: str | None = None) -> list[str]:
 
     # entry -> implementing files
     affected: list[str] = []
+    impl_changed: dict[str, set[str]] = {}
     for name, q in reg.items():
         fn = getattr(q.builder, "__wrapped__", q.builder)
         mod = os.path.relpath(fn.__code__.co_filename, REPO)
         impl = {mod, *MODULE_DEPS.get(mod, [])}
         if impl & changed:
             affected.append(name)
+            impl_changed[name] = impl & changed
 
-    out_of_window = [n for n in affected if _gate_name(n) not in window]
+    # Multi-round deferral (see DEFERRAL_FILE note above).
+    head_deferral = _load_deferral_head()
+    base_deferral = _load_deferral_rev(base) if base else None
+    dproblems, exempt = evaluate_deferral(
+        base_deferral, head_deferral, set(reg), changed,
+        lambda n: _gate_name(n) in window, impl_changed,
+    )
+    problems.extend(dproblems)
+    if exempt:
+        print(f"deferred to next round per {DEFERRAL_FILE} "
+              f"({len(exempt)} entries): {sorted(exempt)}")
+
+    out_of_window = [
+        n for n in affected
+        if _gate_name(n) not in window and n not in exempt
+    ]
     if out_of_window:
         problems.append(
             "entries with changed implementing files OUTSIDE the gate "
