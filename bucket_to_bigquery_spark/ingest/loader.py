@@ -281,11 +281,16 @@ class BatchLoader:
 
     def _canon_uri(self, uri: str) -> str:
         """The audit-canonical form of ``uri``: rebased onto the publish
-        root when the ``audit_rebase`` seam is active, unchanged otherwise."""
+        root when the ``audit_rebase`` seam is active, unchanged otherwise.
+        The match is path-segment-aware (root itself or ``root/``-prefixed)
+        — a bare string prefix would silently mis-rebase a sibling that
+        merely shares the prefix (ADVICE r10 #1: build root ``…/x.tmp.1``
+        vs uri ``…/x.tmp.12/f``)."""
         if self._audit_rebase is not None:
             build_root, publish_root = self._audit_rebase
-            if uri.startswith(build_root):
-                return publish_root + uri[len(build_root):]
+            root = build_root.rstrip("/")
+            if uri == root or uri.startswith(root + "/"):
+                return publish_root.rstrip("/") + uri[len(root):]
         return uri
 
     def files_already_imported(self, task: Task, files: list[str]) -> list[str]:
@@ -293,17 +298,22 @@ class BatchLoader:
         uri within the candidate batch. The filter is pushed into the audit
         scan; only the (bounded) batch's matches reach the driver. Matching
         runs over audit-canonical URIs; returned values are the caller's
-        own (possibly build-rooted) spellings."""
+        own (possibly build-rooted) spellings — ALL of them, when a batch
+        contains both the temp-rooted and publish-rooted spelling of the
+        same file (ADVICE r10 #2: a dict keyed by canonical URI silently
+        dropped one spelling)."""
         path = self._audit_path(task)
         if not self._fs_of(path).is_dir(path):
             return []
-        canon = {self._canon_uri(f): f for f in files}
+        canon: dict[str, list[str]] = {}
+        for f in files:
+            canon.setdefault(self._canon_uri(f), []).append(f)
         hit = (
             self.spark.read.schema(AUDIT_SCHEMA).parquet(path)
             .where(F.col("uri").isin(list(canon)))
             .select("uri").distinct().collect()
         )
-        return sorted(canon[r["uri"]] for r in hit)
+        return sorted(s for r in hit for s in canon[r["uri"]])
 
     def store_as_imported(self, task: Task, files: list[str]) -> None:
         """``storeAsImported`` (BucketToBigQuery.js:390-397). Timestamps are
