@@ -1,0 +1,124 @@
+"""STAGED r13 surface (built r11, NOT registered — GATE_r11.md books
+the r12 window solid) — q95: document novelty scoring — per document,
+the fraction of its distinct 5-gram shingles that appear in NO earlier
+document (ingest order = doc_id; any monotone timestamp works the same
+way). The curriculum / crawl-frontier primitive: a feed whose novelty
+collapses is re-crawling what the corpus already has, and
+high-novelty-first ordering is the classic data-curriculum heuristic.
+
+Reference parity: n/a — no analytics surface in the reference; declared
+engine surface (SURVEY §2.C extension when registered). Shingling is
+the shared q47 contract (``operators.dedup.shingles(tokens, 5)`` /
+``llm_queries._SH5_SQL``) — MODULE_DEPS pulls this entry when either
+side changes.
+
+A shingle is novel FOR its first document only: novelty(d) =
+|{s ∈ shingles(d) : min_corpus_doc(s) = d}| / |shingles(d)| — so the
+per-document novel counts come straight off the first-seen frame with
+NO join back to the (doc, shingle) pairs (group the min-doc frame by
+its min). Zero-shingle documents surface with novelty 0 (left join
+from the corpus), matching the q47d empty-doc convention.
+
+Determinism: counts exact BIGINTs; novelty is round(x·1e6) BIGINT.
+
+Scale design (100 TB): three linear map-side-combined aggregations —
+distinct (doc_id, shingle) pairs (the q47 inverted-index shape, CACHED
+for its two consumers), min(doc_id) per shingle, and two doc_id-grained
+counts — joined at DOCUMENT grain. No pairwise anything: the plan never
+forms doc×doc candidates, so it is strictly cheaper than the q47 dedup
+pass it complements, and every shuffle key (shingle / doc_id) is the
+natural high-cardinality key with no skew hot-spot (the DF cap that
+q47 needs for pair-joins is unnecessary — min() is an algebraic
+aggregate, fan-out-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingles, tokens
+from .llm_queries import _SH5_SQL, _TOKS_SQL
+from .registry import query, tables
+
+_Q95_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), "
+    f"sh AS (SELECT doc_id, {_SH5_SQL} AS shs FROM tok), "
+    "x AS (SELECT DISTINCT doc_id, u.shingle FROM sh, "
+    "LATERAL unnest(shs) AS u(shingle)), "
+    "ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM x "
+    "GROUP BY doc_id), "
+    "fs AS (SELECT shingle, min(doc_id) AS first_doc FROM x "
+    "GROUP BY shingle), "
+    "nv AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n "
+    "FROM fs GROUP BY first_doc) "
+    "SELECT d.doc_id, CAST(COALESCE(ns.n, 0) AS BIGINT) AS n_shingles, "
+    "CAST(COALESCE(nv.n, 0) AS BIGINT) AS n_novel, "
+    "CASE WHEN COALESCE(ns.n, 0) = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST(round(CAST(COALESCE(nv.n, 0) AS DOUBLE) / "
+    "CAST(ns.n AS DOUBLE) * 1e6) AS BIGINT) END AS novelty_e6 "
+    "FROM documents d LEFT JOIN ns ON ns.doc_id = d.doc_id "
+    "LEFT JOIN nv ON nv.doc_id = d.doc_id ORDER BY d.doc_id"
+)
+
+_Q95_DESCRIPTION = (
+    "Q95: per-document shingle novelty — fraction of a document's "
+    "distinct 5-gram shingles first seen in IT (min doc_id over the "
+    "corpus), the crawl-frontier / curriculum signal. Novel counts "
+    "come off the first-seen frame by grouping on its min (no join "
+    "back to the pair frame); zero-shingle docs kept at novelty 0. "
+    "Exact BIGINT counts, e6 novelty. Three linear map-side-combined "
+    "aggregations over the cached q47-shape inverted index; no "
+    "pairwise candidates anywhere."
+)
+
+
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    x = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col("text")), 5)).alias("shingle"),
+        )
+        .distinct()
+        .cache()  # two consumers: per-doc counts + first-seen frame
+    )
+    ns = x.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    fs = x.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    nv = (
+        fs.groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nov"))
+    )
+    n_sh = F.coalesce(F.col("n_sh"), F.lit(0)).cast("long")
+    n_nov = F.coalesce(F.col("n_nov"), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(ns, "doc_id", "left")
+        .join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_nov.alias("n_novel"),
+            F.when(n_sh == 0, F.lit(0).cast("long")).otherwise(
+                F.round(
+                    n_nov.cast("double") / n_sh.cast("double") * F.lit(1e6)
+                ).cast("long")
+            ).alias("novelty_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+STAGED = {
+    "q95_shingle_novelty": (q95, _Q95_ORACLE, _Q95_DESCRIPTION,
+                            ("llm", "profiling")),
+}
+
+
+def register() -> None:
+    """r13 registration seam — see joins_ext.register for the pattern."""
+    for name, (fn, oracle, desc, tags) in STAGED.items():
+        query(name, oracle=oracle, description=desc, tags=tags)(fn)
+
+
+__all__ = ["q95", "STAGED", "register"]

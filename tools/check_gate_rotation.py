@@ -209,6 +209,23 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/dedup.py",
         PKG + "queries/llm_queries.py",
     ],
+    # Staged r13 surface (GATE_r11.md round-12 slot math: r12 is booked
+    # solid, so this batch registers in r13): NOT imported by
+    # queries/__init__ — zero registered entries until then; mapped so
+    # the unmapped-changed-file guard knows them and registration
+    # inherits correct dependency pull-in. collocations/novelty share
+    # the tokenizer/shingle contract (operators.dedup.tokens/shingles,
+    # llm_queries._TOKS_SQL/_SH5_SQL).
+    PKG + "queries/collocations.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/novelty.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/fd.py": [],
+    PKG + "queries/psi.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
