@@ -226,6 +226,16 @@ MODULE_DEPS: dict[str, list[str]] = {
     ],
     PKG + "queries/fd.py": [],
     PKG + "queries/psi.py": [],
+    # Second staged-r13 batch — same containment. zipf shares the
+    # tokenizer contract; rules/arrivals/separation are self-contained
+    # (separation implements the q69 scaled-int shape inline).
+    PKG + "queries/rules.py": [],
+    PKG + "queries/zipf.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/arrivals.py": [],
+    PKG + "queries/separation.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
