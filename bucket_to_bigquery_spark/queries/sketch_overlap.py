@@ -13,30 +13,36 @@ Reference parity: n/a — no analytics surface in the reference; declared
 engine surface (SURVEY §2.C extension when registered). Shingling is
 the q47-family contract (``shingles(tokens, 5)`` / ``_SH5_SQL``).
 
-    sig_i(source) = min over shingles sh of h_i(sh),   i = 1..k (k=64)
+    h_i(sh) = ((2i+1)·(base(sh) mod p) + (i+1)·1000003) mod p,
+              base = md5 first-8-hex as BIGINT, p = 2³¹−1, i = 0..k−1
+    sig_i(source) = min over shingles sh of h_i(sh),   k = 64
     Ĵ(a,b)        = |{i : sig_i(a) = sig_i(b)}| / k
 
-h_i is the house md5-integer idiom salted per component
-(``md5('mh<i>:' || sh)`` first-8-hex as BIGINT — deterministic, no RNG
-state; Spark spells the same integer with ``conv()``, the splits.py
-precedent). MinHash theory: P[sig_i(a) = sig_i(b)] = J(a,b) exactly,
-so the match fraction is an unbiased estimate with stderr
-√(J(1−J)/k) ≤ 0.0625 at k = 64. The estimate is DETERMINISTIC (fixed
-salts), so the full output — including n_match — value-oracles
+ONE md5 per shingle anchors the family; the k components are universal-
+hash mixes of that base — the r11 rework of the original k-md5s-per-
+shingle form, which burned ~64 interpreted md5 evaluations per shingle
+inside nested higher-order lambdas (21 s at sf0.1; this form measures
+~4 s — the md5 count drops 64×, and every remaining expression is a
+plain column op that whole-stage codegen fuses). MinHash theory is
+family-agnostic: P[sig_i(a) = sig_i(b)] = J(a,b) per component, so the
+match fraction stays an unbiased estimate with stderr √(J(1−J)/k) ≤
+0.0625 at k = 64. The estimate is DETERMINISTIC (fixed mixing
+constants), so the full output — including n_match — value-oracles
 exactly; only its RELATION to the true J is statistical, and that is
 what the pytest band pins (the q19/q65 tolerance-made-hashable
-pattern, here pinned against the exact q89-side recomputation).
+pattern, pinned against the exact q89-side recomputation).
 
 Scale design (100 TB): min is idempotent, so signatures need NO
-distinct — the corpus is read once, each document computes its k
-component-mins ROW-LOCALLY (nested higher-order transform over its own
-shingle array; nothing materializes the shingle stream), and ONE
-map-side-combined aggregation reduces to the (source, component) frame
-— |sources|·k rows, the only shuffle. The pair comparison is a join of
-two |sources|·k frames on the component index: |sources|²·k work, zero
-dependence on corpus size. This beats q89's exact join the moment the
-shared-shingle mass grows — exactly the regime q89 flags. Estimated-
-hot pairs then re-run the exact form on demand.
+distinct — shingles explode straight into a 64-expression MIN aggregate
+(all codegen, map-side-combined: each task emits |sources| 64-column
+partial rows, the only shuffle). Documents with no shingles (< 5
+tokens, NULL text) vanish at the explode, so a source with ONLY such
+docs drops from the signature frame — matching the oracle's unnest([]).
+The pair comparison joins two |sources|·k frames on the component
+index: |sources|²·k work, zero dependence on corpus size. This beats
+q89's exact join the moment the shared-shingle mass grows — exactly
+the regime q89 flags. Estimated-hot pairs then re-run the exact form
+on demand.
 """
 
 from __future__ import annotations
@@ -48,7 +54,9 @@ from ..operators.dedup import shingles, tokens
 from .llm_queries import _SH5_SQL, _TOKS_SQL
 from .registry import query, tables
 
-_K = 64  # signature components; stderr <= 1/(2*sqrt(k)) = 0.0625
+_K = 64              # signature components; stderr <= 1/(2*sqrt(k)) = 0.0625
+_P = 2147483647      # 2^31 - 1 (Mersenne); keeps every mix inside int64
+_B = 1000003         # odd offset prime for the additive constant
 
 _EST_FMT = (
     "CAST(round((CAST({m} AS DOUBLE) / CAST({k} AS DOUBLE)) * 1e6) "
@@ -58,9 +66,11 @@ _EST_FMT = (
 _Q89B_ORACLE = (
     f"WITH tok AS (SELECT source, {_TOKS_SQL} AS t FROM documents), "
     f"sh AS (SELECT source, unnest({_SH5_SQL}) AS sh FROM tok), "
-    f"comp AS (SELECT source, i, min(CAST(('0x' || substr(md5('mh' || "
-    "CAST(i AS VARCHAR) || ':' || sh), 1, 8)) AS BIGINT)) AS sig "
-    f"FROM sh CROSS JOIN range({_K}) r(i) GROUP BY source, i), "
+    "base AS (SELECT source, CAST(('0x' || substr(md5(sh), 1, 8)) "
+    f"AS BIGINT) % {_P} AS h FROM sh), "
+    "comp AS (SELECT source, i, "
+    f"min(((2 * i + 1) * h + (i + 1) * {_B}) % {_P}) AS sig "
+    f"FROM base CROSS JOIN range({_K}) r(i) GROUP BY source, i), "
     "pairs AS (SELECT a.source AS source_a, b.source AS source_b, "
     "CAST(count(CASE WHEN a.sig = b.sig THEN 1 END) AS BIGINT) AS n_match "
     "FROM comp a JOIN comp b ON a.i = b.i AND a.source < b.source "
@@ -71,48 +81,40 @@ _Q89B_ORACLE = (
 )
 
 _Q89B_DESCRIPTION = (
-    "Q89b: MinHash-estimated source overlap (k=64, deterministic salted "
-    "md5 components — the q89 escalation path): signatures computed "
-    "row-locally per document (min is idempotent - no distinct, no "
-    "shingle-stream materialization), ONE map-side-combined shuffle to "
-    "the |sources|*k component frame, pair comparison |sources|^2*k - "
-    "independent of corpus size. Deterministic, so fully value-oracled; "
-    "the estimate-vs-exact band is pinned in pytest (q19/q65 pattern)."
+    "Q89b: MinHash-estimated source overlap (k=64, one md5 base per "
+    "shingle + universal-hash component mixes — the q89 escalation "
+    "path): shingles explode into a 64-expression codegen MIN "
+    "aggregate (no distinct, no higher-order lambdas, map-side-"
+    "combined |sources|-row partials as the only shuffle), pair "
+    "comparison |sources|^2*k — independent of corpus size. "
+    "Deterministic, so fully value-oracled; the estimate-vs-exact band "
+    "is pinned in pytest (q19/q65 pattern)."
 )
 
 
 def q89b(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
-    # pre-project the shingle array ONCE per row: Spark performs no
-    # common-subexpression elimination inside higher-order-function
-    # lambdas, so inlining it under the k-component transform would
-    # re-tokenize every document 64 times (~5× wall, measured)
-    shingled = docs.select(
-        "source", shingles(tokens(F.col("text")), 5).alias("shs")
+    # shingles explode straight into the aggregate: min is idempotent,
+    # so duplicates need no distinct, and every expression below is a
+    # plain column op (the r11 rework — the original per-document
+    # nested-lambda form evaluated 64 md5s per shingle, interpreted)
+    base = docs.select(
+        "source",
+        F.explode(shingles(tokens(F.col("text")), 5)).alias("sh"),
+    ).select(
+        "source",
+        (F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long") % _P)
+        .alias("h"),
     )
-    # per-document component mins, row-local: for each salt i, the min
-    # of the salted md5 integer over this document's shingles
-    mins = F.transform(
-        F.sequence(F.lit(0), F.lit(_K - 1)),
-        lambda i: F.array_min(F.transform(
-            F.col("shs"),
-            lambda sh: F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("mh"), i.cast("string"),
-                                   F.lit(":"), sh)), 1, 8
-                ), 16, 10,
-            ).cast("long"),
-        )),
-    )
-    comp = (
-        shingled.select("source", F.posexplode(mins).alias("i", "doc_min"))
-        # shingle-less documents (< 5 tokens, NULL text) yield NULL
-        # mins; drop them so a source with ONLY such docs vanishes from
-        # the signature frame — matching the oracle, whose unnest([])
-        # emits no rows for them at all
-        .where(F.col("doc_min").isNotNull())
-        .groupBy("source", "i")
-        .agg(F.min("doc_min").alias("sig"))
+    comp_wide = base.groupBy("source").agg(*[
+        F.min(((2 * i + 1) * F.col("h") + (i + 1) * _B) % _P)
+        .alias(f"m{i}")
+        for i in range(_K)
+    ])
+    comp = comp_wide.select(
+        "source",
+        F.posexplode(F.array(*[f"m{i}" for i in range(_K)]))
+        .alias("i", "sig"),
     )
     a = comp.select(F.col("source").alias("source_a"),
                     F.col("i").alias("ia"), F.col("sig").alias("sig_a"))
