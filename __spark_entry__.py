@@ -25,7 +25,7 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Correctness-gate rotation.
 #
 # The driver records at most the FIRST 50 entries in name-sorted order; the
-# registry has 99. Entries named here are aliased (leading ``q`` -> ``a``)
+# registry has 143. Entries named here are aliased (leading ``q`` -> ``a``)
 # so they sort into the window. The set is chosen per round under the
 # invariant CHANGED CODE MUST BE IN-WINDOW (mechanized by
 # tools/check_gate_rotation.py, run as tests/test_gate_rotation.py):
@@ -40,11 +40,12 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Out-of-window entries keep prior-round evidence: their implementing files
 # are untouched, so CORRECTNESS_r{3,4,5} rows still describe current code.
 # The original SURVEY §2.C name of an aliased row is recoverable by
-# replacing the leading ``a`` with ``q``. NOTE (r10): 48 aliases + 2
-# natural-fill slots — see GATE_r10.md's window accounting. When a
+# replacing the leading ``a`` with ``q``. NOTE (r11): 50 aliases + 0
+# natural-fill slots — see GATE_r11.md's window accounting. When a
 # round's changed+stale set exceeds 50 the rotation check fails and
-# the round must split its changes (the r11 scratch plan does exactly
-# this).
+# the round must split its changes across rounds via
+# tools/deferred_rotation.json (the r11 scratch split is the
+# precedent: 50 in-window + 38 deferred to r12).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
     # Round 11: the scratch.py crashed-writer fix (ADVICE r8 #3) under

@@ -307,7 +307,9 @@ class BatchLoader:
             return []
         canon: dict[str, list[str]] = {}
         for f in files:
-            canon.setdefault(self._canon_uri(f), []).append(f)
+            spellings = canon.setdefault(self._canon_uri(f), [])
+            if f not in spellings:  # DISTINCT per spelling (reference
+                spellings.append(f)  # semantics: one report per uri)
         hit = (
             self.spark.read.schema(AUDIT_SCHEMA).parquet(path)
             .where(F.col("uri").isin(list(canon)))

@@ -109,7 +109,8 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(min(x) AS DOUBLE)").alias("mn"),
         F.expr(_W).alias("w"),
         F.count(F.lit(1)).cast("long").alias("r_tot"),
-    )
+    ).cache()  # 1 row, three consumers — without it each broadcast
+    #            replays the reference scan (review finding)
     ct = cur.agg(F.count(F.lit(1)).cast("long").alias("c_tot"))
     bin_expr = F.expr(_BIN.format(x="x", mn="mn", w="w")).alias("bin")
 

@@ -11,19 +11,23 @@ Reference parity: n/a — no analytics surface in the reference; declared
 engine surface (SURVEY §2.C extension when registered). Components use
 the q69/q62 scaled-int contract (``round(x·1e6)`` BIGINTs).
 
-Exactness: every scatter reduces to EXACT integer sums — per-label
-per-dim component sums S, per-label squared norms Q = Σ|c|², and the
-per-dim between-numerators (S·N − G·n) — squared/summed in
-DECIMAL(38,0) (int64 overflows at warehouse row counts):
+Exactness: the within-scatter reduces to EXACT integer sums — per-label
+per-dim component sums S, per-label squared norms Q = Σ|c|², their
+squares in DECIMAL(38,0) (int64 overflows at warehouse row counts) —
+with the variance-identity subtraction Q·n − Σ_d S_d² ALSO in exact
+decimal (a double-side subtraction cancels catastrophically on
+near-constant labels), so within ≥ 0 by construction:
 
-    within  = (Q·n − Σ_d S_d²) / n²          (variance identity)
-    between = Σ_d (S_d·N − G_d·n)² / (n·N)²  (centroid-difference)
+    within  = (Q·n − Σ_d S_d²) / n²            (variance identity)
+    between = Σ_d (S_d/n·1e6 − G_d/N·1e6)²      (centroid difference)
 
-each emitted as ONE identical-operand-order double over the exact sums,
-descaled to e6; the Fisher ratio derives from the two ROUNDED BIGINTs
-(integer inputs ⇒ deterministic by construction), NULL at zero within.
-Nothing float-accumulates: the only doubles are the two final
-expressions.
+The between-scatter uses the q98 per-term contract instead: raw
+integer numerators (S·N − G·n)² overflow even DECIMAL(38,0) at
+warehouse row counts, so each DIM's centroid-difference square is ONE
+identical-operand-order double rounded to an e12 BIGINT and the 64
+contributions sum as integers (order-free). The Fisher ratio derives
+from the two ROUNDED BIGINTs (integer inputs ⇒ deterministic by
+construction), NULL at zero within. No double ever accumulates.
 
 Scale design (100 TB): the q69 shape — vectors NEVER shuffle. One pass
 explodes to (label, dim) partials that map-side-combine to |labels|·64
@@ -42,14 +46,23 @@ from .registry import query, tables
 _SCALE = 1_000_000
 _DIM = 64
 
-# {q}=Σ|c|² (DEC38), {ss}=Σ_d S_d² (DEC38), {n}=label count,
-# {bss}=Σ_d (S_d·N − G_d·n)² (DEC38), {nn}=total count
-_WITHIN = ("CAST(round((CAST({q} AS DOUBLE) * CAST({n} AS DOUBLE) - "
-           "CAST({ss} AS DOUBLE)) / (CAST({n} AS DOUBLE) * "
-           "CAST({n} AS DOUBLE)) / 1e6) AS BIGINT)")
-_BETWEEN = ("CAST(round(CAST({bss} AS DOUBLE) / (CAST({n} AS DOUBLE) * "
-            "CAST({n} AS DOUBLE) * CAST({nn} AS DOUBLE) * "
-            "CAST({nn} AS DOUBLE)) / 1e6) AS BIGINT)")
+# {q}=Σ|c|² (DEC38), {ss}=Σ_d S_d² (DEC38), {n}=label count. The
+# subtraction Q·n − SS happens in EXACT decimal (review finding: doing
+# it in doubles cancels catastrophically on near-constant labels and
+# could go negative); only the final single positive value is a double.
+_WITHIN = ("CAST(round(CAST({q} * {n} - {ss} AS DOUBLE) / "
+           "(CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)) / 1e6) AS BIGINT)")
+# per-dim between contribution: ONE double d = S/(n·1e6) − G/(N·1e6)
+# (centroid difference in ORIGINAL units) squared and e12-rounded —
+# the q98 pattern (per-term rounding, integer sum) instead of summing
+# raw (S·N − G·n)² integers, whose squares overflow even DECIMAL(38,0)
+# at warehouse row counts (review finding). d is written twice so both
+# engines evaluate the identical expression text.
+_D = ("(CAST({s} AS DOUBLE) / (CAST({n} AS DOUBLE) * 1e6) - "
+      "CAST({g} AS DOUBLE) / (CAST({nn} AS DOUBLE) * 1e6))")
+_BDIM = ("CAST(round(" + _D + " * " + _D + " * 1e12) AS BIGINT)")
+# {bsum}=Σ_d contributions (BIGINT, e12) → e6
+_BETWEEN = "CAST(round(CAST({bsum} AS DOUBLE) / 1e6) AS BIGINT)"
 _FISHER = ("CASE WHEN {w} = 0 THEN NULL ELSE CAST(round("
            "CAST({b} AS DOUBLE) / CAST({w} AS DOUBLE) * 1e6) AS BIGINT) "
            "END")
@@ -69,15 +82,15 @@ _Q100_ORACLE = (
     "ss AS (SELECT label, CAST(sum(CAST(s AS DECIMAL(19,0)) * "
     "CAST(s AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss FROM dims "
     "GROUP BY label), "
-    "bss AS (SELECT d.label, CAST(sum(CAST(d.s * nn.nn - gl.g * qn.n "
-    "AS DECIMAL(19,0)) * CAST(d.s * nn.nn - gl.g * qn.n AS DECIMAL(19,0))) "
-    "AS DECIMAL(38,0)) AS bss FROM dims d JOIN gdim gl ON gl.dim = d.dim "
+    "bss AS (SELECT d.label, CAST(sum("
+    + _BDIM.format(s="d.s", n="qn.n", g="gl.g", nn="nn.nn")
+    + ") AS BIGINT) AS bsum FROM dims d JOIN gdim gl ON gl.dim = d.dim "
     "JOIN qn ON qn.label = d.label CROSS JOIN nn GROUP BY d.label), "
     "scat AS (SELECT qn.label, qn.n AS n_vecs, "
     + _WITHIN.format(q="qn.q", ss="ss.ss", n="qn.n") + " AS within_e6, "
-    + _BETWEEN.format(bss="bss.bss", n="qn.n", nn="nn.nn")
+    + _BETWEEN.format(bsum="bss.bsum")
     + " AS between_e6 FROM qn JOIN ss ON ss.label = qn.label "
-    "JOIN bss ON bss.label = qn.label CROSS JOIN nn) "
+    "JOIN bss ON bss.label = qn.label) "
     "SELECT label, n_vecs, within_e6, between_e6, "
     + _FISHER.format(b="between_e6", w="within_e6")
     + " AS fisher_e6 FROM scat ORDER BY label"
@@ -85,12 +98,13 @@ _Q100_ORACLE = (
 
 _Q100_DESCRIPTION = (
     "Q100: embedding class-separation audit — per label, within-class "
-    "scatter (variance identity over exact e6-scaled integer sums), "
-    "between-class scatter (centroid-difference numerators squared in "
-    "DECIMAL(38,0)), Fisher ratio from the two rounded BIGINTs (NULL "
-    "at zero within). Vectors never shuffle: one (label,dim) partial "
-    "combine + one per-label norm combine; everything downstream is "
-    "|labels|*64 rows (q69 shape)."
+    "scatter (variance identity, subtraction in exact DECIMAL(38,0)), "
+    "between-class scatter (per-dim centroid-difference squares as "
+    "e12-rounded BIGINT contributions, integer-summed — the q98 "
+    "per-term contract), Fisher ratio from the two rounded BIGINTs "
+    "(NULL at zero within). Vectors never shuffle: one (label,dim) "
+    "partial combine + one per-label norm combine; everything "
+    "downstream is |labels|*64 rows (q69 shape)."
 )
 
 
@@ -129,23 +143,20 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nn))
         .select(
             "label",
-            (F.col("s") * F.col("nn") - F.col("g") * F.col("n"))
-            .cast("decimal(19,0)").alias("t"),
+            F.expr(_BDIM.format(s="s", n="n", g="g", nn="nn")).alias("t"),
         )
     )
     bss = bterm.groupBy("label").agg(
-        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("bss"))
+        F.sum("t").cast("long").alias("bsum"))
     scat = (
         qn.join(ss, "label")
         .join(bss, "label")
-        .crossJoin(F.broadcast(nn))
         .select(
             "label",
             F.col("n").alias("n_vecs"),
             F.expr(_WITHIN.format(q="q", ss="ss", n="n"))
             .alias("within_e6"),
-            F.expr(_BETWEEN.format(bss="bss", n="n", nn="nn"))
-            .alias("between_e6"),
+            F.expr(_BETWEEN.format(bsum="bsum")).alias("between_e6"),
         )
     )
     return scat.select(

@@ -13,24 +13,29 @@ Reference parity: n/a — no analytics surface in the reference; declared
 engine surface (SURVEY §2.C extension when registered). Shingling is
 the q47-family contract (``shingles(tokens, 5)`` / ``_SH5_SQL``).
 
-    h_i(sh) = ((2i+1)·(base(sh) mod p) + (i+1)·1000003) mod p,
-              base = md5 first-8-hex as BIGINT, p = 2³¹−1, i = 0..k−1
+    h_i(sh) = ((2i+1)·b₁ + (i+3)·b₂ + (i+1)·1000003) mod p,
+              b₁/b₂ = md5 hex halves (chars 1-8 / 9-16) as BIGINT mod p,
+              p = 2³¹−1, i = 0..k−1
     sig_i(source) = min over shingles sh of h_i(sh),   k = 64
     Ĵ(a,b)        = |{i : sig_i(a) = sig_i(b)}| / k
 
-ONE md5 per shingle anchors the family; the k components are universal-
-hash mixes of that base — the r11 rework of the original k-md5s-per-
-shingle form, which burned ~64 interpreted md5 evaluations per shingle
-inside nested higher-order lambdas (21 s at sf0.1; this form measures
-~4 s — the md5 count drops 64×, and every remaining expression is a
-plain column op that whole-stage codegen fuses). MinHash theory is
-family-agnostic: P[sig_i(a) = sig_i(b)] = J(a,b) per component, so the
-match fraction stays an unbiased estimate with stderr √(J(1−J)/k) ≤
-0.0625 at k = 64. The estimate is DETERMINISTIC (fixed mixing
-constants), so the full output — including n_match — value-oracles
-exactly; only its RELATION to the true J is statistical, and that is
-what the pytest band pins (the q19/q65 tolerance-made-hashable
-pattern, pinned against the exact q89-side recomputation).
+ONE md5 per shingle anchors the family; the k components are two-
+independent mixes of its two 32-bit halves — the r11 rework of the
+original k-md5s-per-shingle form, which burned ~64 interpreted md5
+evaluations per shingle inside nested higher-order lambdas (21 s at
+sf0.1; this form measures ~5 s — the md5 count drops 64×, and every
+remaining expression is a plain column op that whole-stage codegen
+fuses). Two halves, not one: components share the base, so a BASE
+collision aliases two shingles in every component at once — with both
+halves the collision space is ~2⁶² (a single 31-bit base would start
+aliasing at warehouse shingle counts and bias Ĵ upward). MinHash
+theory is family-agnostic: P[sig_i(a) = sig_i(b)] = J(a,b) per
+component, so the match fraction stays an unbiased estimate with
+stderr √(J(1−J)/k) ≤ 0.0625 at k = 64. The estimate is DETERMINISTIC
+(fixed mixing constants), so the full output — including n_match —
+value-oracles exactly; only its RELATION to the true J is statistical,
+and that is what the pytest band pins (the q19/q65 tolerance-made-
+hashable pattern, pinned against the exact q89-side recomputation).
 
 Scale design (100 TB): min is idempotent, so signatures need NO
 distinct — shingles explode straight into a 64-expression MIN aggregate
@@ -67,9 +72,11 @@ _Q89B_ORACLE = (
     f"WITH tok AS (SELECT source, {_TOKS_SQL} AS t FROM documents), "
     f"sh AS (SELECT source, unnest({_SH5_SQL}) AS sh FROM tok), "
     "base AS (SELECT source, CAST(('0x' || substr(md5(sh), 1, 8)) "
-    f"AS BIGINT) % {_P} AS h FROM sh), "
+    f"AS BIGINT) % {_P} AS h1, CAST(('0x' || substr(md5(sh), 9, 8)) "
+    f"AS BIGINT) % {_P} AS h2 FROM sh), "
     "comp AS (SELECT source, i, "
-    f"min(((2 * i + 1) * h + (i + 1) * {_B}) % {_P}) AS sig "
+    f"min(((2 * i + 1) * h1 + (i + 3) * h2 + (i + 1) * {_B}) % {_P}) "
+    "AS sig "
     f"FROM base CROSS JOIN range({_K}) r(i) GROUP BY source, i), "
     "pairs AS (SELECT a.source AS source_a, b.source AS source_b, "
     "CAST(count(CASE WHEN a.sig = b.sig THEN 1 END) AS BIGINT) AS n_match "
@@ -81,9 +88,10 @@ _Q89B_ORACLE = (
 )
 
 _Q89B_DESCRIPTION = (
-    "Q89b: MinHash-estimated source overlap (k=64, one md5 base per "
-    "shingle + universal-hash component mixes — the q89 escalation "
-    "path): shingles explode into a 64-expression codegen MIN "
+    "Q89b: MinHash-estimated source overlap (k=64, one md5 per shingle "
+    "split into two 31-bit halves + two-independent component mixes — "
+    "the q89 escalation path): shingles explode into a 64-expression "
+    "codegen MIN "
     "aggregate (no distinct, no higher-order lambdas, map-side-"
     "combined |sources|-row partials as the only shuffle), pair "
     "comparison |sources|^2*k — independent of corpus size. "
@@ -102,12 +110,19 @@ def q89b(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(shingles(tokens(F.col("text")), 5)).alias("sh"),
     ).select(
+        # md5 materializes ONCE (multi-use non-trivial alias survives
+        # CollapseProject); the two halves feed every component mix
+        "source", F.md5("sh").alias("m"),
+    ).select(
         "source",
-        (F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long") % _P)
-        .alias("h"),
+        (F.conv(F.substring("m", 1, 8), 16, 10).cast("long") % _P)
+        .alias("h1"),
+        (F.conv(F.substring("m", 9, 8), 16, 10).cast("long") % _P)
+        .alias("h2"),
     )
     comp_wide = base.groupBy("source").agg(*[
-        F.min(((2 * i + 1) * F.col("h") + (i + 1) * _B) % _P)
+        F.min(((2 * i + 1) * F.col("h1") + (i + 3) * F.col("h2")
+               + (i + 1) * _B) % _P)
         .alias(f"m{i}")
         for i in range(_K)
     ])

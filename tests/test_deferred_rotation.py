@@ -81,6 +81,15 @@ def test_resolution_round_requires_listed_entries_in_window():
     assert len(problems) == 1 and "q2_b" in problems[0]
 
 
+def test_resolution_ignores_deregistered_entries():
+    # an entry renamed/removed since the deferral was written must not
+    # brick the resolution round — nothing is left to rotate for it
+    d = _deferral(["q1_a", "q9_gone"])
+    problems, _ = evaluate_deferral(
+        d, None, REG, set(), lambda n: n == "q1_a", {})
+    assert problems == []
+
+
 def test_live_deferral_file_matches_registry_and_window_plan():
     # The committed r11 file must list exactly the scratch-dependent
     # entries OUTSIDE the r11 window: llm_queries 32 + pipeline 4 +

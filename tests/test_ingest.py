@@ -475,6 +475,11 @@ def test_files_already_imported_reports_every_spelling(spark, workdir):
     got = loader.files_already_imported(
         task, [f"{build}/a.csv", f"{pub}/a.csv", f"{pub}/other.csv"])
     assert got == sorted([f"{build}/a.csv", f"{pub}/a.csv"])
+    # a DUPLICATED candidate spelling reports once (DISTINCT per
+    # spelling — the reference's per-uri semantics)
+    got = loader.files_already_imported(
+        task, [f"{build}/a.csv", f"{build}/a.csv", f"{pub}/a.csv"])
+    assert got == sorted([f"{build}/a.csv", f"{pub}/a.csv"])
 
 
 def test_event_envelope_decode_semantics(spark):

@@ -192,10 +192,16 @@ def test_q99_matches_bruteforce(spark, sf_dir):
     total order; exact moments; statistics within a unit; B ∈ (−1, 1)."""
     ev = tables(spark, sf_dir)["events"].select(
         "event_id", "ts", "event_type").collect()
+    import calendar
+
     per_type: dict = defaultdict(list)
     for r in ev:
-        per_type[r.event_type].append(
-            (int(r.ts.timestamp() * 1_000_000), r.event_id))
+        # exact integer microseconds: float .timestamp() loses sub-µs
+        # precision at ~1e15 magnitudes (review finding); a constant
+        # UTC-vs-local offset cancels in the gaps
+        us = (calendar.timegm(r.ts.timetuple()) * 1_000_000
+              + r.ts.microsecond)
+        per_type[r.event_type].append((us, r.event_id))
     got = {r.event_type: r
            for r in _run("q99_interarrival_burstiness", spark, sf_dir).collect()}
     expect_types = {t for t, rows in per_type.items() if len(rows) >= 3}
@@ -254,11 +260,18 @@ def test_q100_matches_bruteforce(spark, sf_dir):
         n = len(vs)
         q = sum(sum(x * x for x in v) for v in vs)
         ss = sum(s * s for s in S[lb])
-        bss = sum((S[lb][d] * N - G[d] * n) ** 2 for d in range(dims))
-        within = _round_half_away((float(q) * float(n) - float(ss))
-                                  / (float(n) * float(n)) / 1e6)
-        between = _round_half_away(
-            float(bss) / (float(n) * float(n) * float(N) * float(N)) / 1e6)
+        # within: the Q*n - SS subtraction is EXACT (decimal/bigint on
+        # the engines, Python bigint here); only the final value is a double
+        within = _round_half_away(
+            float(q * n - ss) / (float(n) * float(n)) / 1e6)
+        # between: per-dim centroid-difference square, e12-rounded,
+        # integer-summed (the q98 per-term contract)
+        bsum = 0
+        for d in range(dims):
+            diff = (S[lb][d] / (float(n) * 1e6)
+                    - G[d] / (float(N) * 1e6))
+            bsum += _round_half_away(diff * diff * 1e12)
+        between = _round_half_away(float(bsum) / 1e6)
         r = got[lb]
         assert r.n_vecs == n
         assert abs(r.within_e6 - within) <= 1, lb

@@ -328,7 +328,7 @@ def _behavior_changed(path: str, base: str) -> bool:
 
     The rotation invariant exists to surface BEHAVIOR changes in the gate
     window; a file-level diff would also flag pure documentation fixes,
-    which matters because wide-fan-in files (scratch.py: 85 dependent
+    which matters because wide-fan-in files (scratch.py: 88 dependent
     entries) can never fit one 50-slot window — without this, a stale
     docstring there would be permanently unfixable. Conservative on every
     edge: added files, unreadable revisions, or unparseable content count
@@ -372,8 +372,12 @@ def evaluate_deferral(
             "entries in-window) in the very next round, not carried"
         )
     elif base_deferral is not None:
+        # an entry deregistered/renamed since the deferral was written
+        # is satisfied trivially (its code is gone — there is nothing
+        # left to rotate); requiring it would brick the round
         overdue = [
-            n for n in base_deferral.get("entries", []) if not in_window(n)
+            n for n in base_deferral.get("entries", [])
+            if n in registry and not in_window(n)
         ]
         if overdue:
             problems.append(
@@ -500,14 +504,19 @@ def check(base_ref: str | None = None) -> list[str]:
             affected.append(name)
             impl_changed[name] = impl & changed
 
-    # Multi-round deferral (see DEFERRAL_FILE note above).
-    head_deferral = _load_deferral_head()
-    base_deferral = _load_deferral_rev(base) if base else None
-    dproblems, exempt = evaluate_deferral(
-        base_deferral, head_deferral, set(reg), changed,
-        lambda n: _gate_name(n) in window, impl_changed,
-    )
-    problems.extend(dproblems)
+    # Multi-round deferral (see DEFERRAL_FILE note above). With no base
+    # commit there is no diff to defer against — skip, like the diff
+    # check itself (a shallow/squashed clone must not fail on the
+    # committed deferral file's stray-files guard).
+    exempt: set[str] = set()
+    if base is not None:
+        head_deferral = _load_deferral_head()
+        base_deferral = _load_deferral_rev(base)
+        dproblems, exempt = evaluate_deferral(
+            base_deferral, head_deferral, set(reg), changed,
+            lambda n: _gate_name(n) in window, impl_changed,
+        )
+        problems.extend(dproblems)
     if exempt:
         print(f"deferred to next round per {DEFERRAL_FILE} "
               f"({len(exempt)} entries): {sorted(exempt)}")
