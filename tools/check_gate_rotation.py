@@ -236,6 +236,14 @@ MODULE_DEPS: dict[str, list[str]] = {
     ],
     PKG + "queries/arrivals.py": [],
     PKG + "queries/separation.py": [],
+    # Third staged-r13 batch — same containment. scorecard shares the
+    # q46 normalize contract; anonymity/growth are self-contained.
+    PKG + "queries/anonymity.py": [],
+    PKG + "queries/scorecard.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/growth.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
