@@ -244,6 +244,13 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "queries/llm_queries.py",
     ],
     PKG + "queries/growth.py": [],
+    # Fourth staged batch — same containment. entropy shares the
+    # tokenizer contract; benford is self-contained.
+    PKG + "queries/benford.py": [],
+    PKG + "queries/entropy.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
