@@ -251,6 +251,9 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/dedup.py",
         PKG + "queries/llm_queries.py",
     ],
+    # Fifth staged batch — self-contained numeric-profiling modules.
+    PKG + "queries/dispersion.py": [],
+    PKG + "queries/correlation.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
