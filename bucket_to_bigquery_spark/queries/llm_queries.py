@@ -852,8 +852,12 @@ def q48b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48c_ivf_topk",
-    oracle=None,  # the quantizer partitioning is not SQL-expressible; rows-only +
-    # recall-vs-exact assertion in tests/test_llm_ops.py
+    oracle=None,  # the SEEDED K-MEANS FIT is not SQL-expressible; rows-only +
+    # recall-vs-exact assertion in tests/test_llm_ops.py. Since r12 the
+    # declaration is narrowed: everything downstream of the fit
+    # (assignment, probe selection/order, size aggregation, scan_frac)
+    # is full-value-oracled by q48g_ivf_scan_stats (queries/scan_stats.py)
+    # under injected deterministic centroids.
     description=(
         "Q48c: IVF-style ANN — sample-fit k-means quantization into "
         "√N corpus-scaled inverted lists; the probe width is calibrated "
@@ -882,8 +886,9 @@ def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48d_ivf_prebuilt",
-    oracle=None,  # the quantizer partitioning is not SQL-expressible; rows-only +
-    # an exact prebuilt==inline equality assertion in tests/test_llm_ops.py
+    oracle=None,  # the SEEDED K-MEANS FIT is not SQL-expressible; rows-only +
+    # an exact prebuilt==inline equality assertion in tests/test_llm_ops.py;
+    # the post-fit machinery is full-value-oracled by q48g (see q48c note)
     description=(
         "Q48d: ANN against a PREBUILT IVF index — the 100 TB serving "
         "shape: the quantizer fit + full-corpus assignment pass runs once "

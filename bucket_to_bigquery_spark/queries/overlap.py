@@ -1,11 +1,14 @@
-"""New r10 surface (ninth batch) — q89: pairwise source content
-overlap — for every source pair, the Jaccard overlap of their distinct
-5-gram shingle sets (the ingest-governance number behind "these two
-crawls are 30 % the same content": run before paying to deduplicate,
-after adding a feed, and when pruning redundant sources; shingle-level
-overlap catches shared content that exact-hash overlap misses — this
-synthetic corpus, like most real pairs of feeds, has nearly zero
-cross-source EXACT duplicates while sharing plenty of phrasing).
+"""q89: EXACT pairwise source content overlap — since r12 the
+FLAGGED-PAIR VERIFIER of the q89b MinHash estimate (sketch_overlap.py):
+q89b's |sources|²·k sketch comparison is the standing full-corpus scan;
+this exact form re-runs on the pairs it flags. For every source pair,
+the Jaccard overlap of their distinct 5-gram shingle sets (the
+ingest-governance number behind "these two crawls are 30 % the same
+content": run before paying to deduplicate, after adding a feed, and
+when pruning redundant sources; shingle-level overlap catches shared
+content that exact-hash overlap misses — this synthetic corpus, like
+most real pairs of feeds, has nearly zero cross-source EXACT duplicates
+while sharing plenty of phrasing).
 
 Reference parity: n/a — no analytics surface in the reference; declared
 engine surface (SURVEY §2.C extension, registered r10). Shingling is
@@ -21,22 +24,22 @@ intersection appear (the equi-join produces exactly those — absent
 pair = 0 overlap, documented). Counts exact; J is one double division
 scaled to round(x·1e6).
 
-Scale design (100 TB): one shuffle to the distinct (source, shingle)
+Scale design (100 TB): one shuffle to the distinct (source, key)
 frame (map-side combined; cached — three consumers); the pair
-enumeration is an equi-join ON THE SHINGLE — each shingle fans out only
-across the sources actually containing it (worst case |sources|² per
-shingle, never a cross of corpora), and the per-source set sizes
+enumeration is an equi-join ON THE SHINGLE KEY — each shingle fans out
+only across the sources actually containing it (worst case |sources|²
+per shingle, never a cross of corpora), and the per-source set sizes
 broadcast back over the |sources|²-bounded pair frame. Documents never
-shuffle — only distinct shingles move, and at warehouse scale the
-shingle string column would be md5-folded to an 8-byte key before the
-distinct (the q47b trick; plain strings keep this corpus readable).
+shuffle — and since r12 only 8-byte md5-folded shingle KEYS move
+(VERDICT r10 #5: the q47b shingle_hash fold, identical in both
+engines, shrinking every exchange vs the ~25-byte shingle strings).
 Cost note: on a corpus where most shingles are common to most sources
 (this synthetic vocabulary; or real feeds syndicating one wire), the
 per-shingle fan-out approaches |sources|² on every shingle and EXACT
-overlap gets hot — the escalation path is per-source MinHash
-signatures (the q47b machinery) whose pairwise estimate replaces this
-join at |sources|²·k cost, independent of corpus size, with this exact
-form kept for the flagged pairs.
+overlap gets hot (the one super-linear row of the r10 scale probe,
+3.43× at 10×) — which is why the STANDING scan is q89b's MinHash
+estimate (|sources|²·k, corpus-size-independent) and this exact form
+is the verifier re-run on the pairs q89b flags.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import shingles, tokens
+from ..operators.dedup import shingle_hash, shingles, tokens
 from .llm_queries import _SH5_SQL, _TOKS_SQL
 from .registry import query, tables
 
@@ -53,9 +56,17 @@ _J_FMT = (
     "+ CAST({nb} AS DOUBLE) - CAST({i} AS DOUBLE))) * 1e6) AS BIGINT)"
 )
 
+# The md5-fold (VERDICT r10 #5, landed r12): the distinct/join key is the
+# q47b 60-bit shingle_hash (15 md5 hex chars) instead of the ~25-byte
+# shingle string — every exchange in the pair pipeline shrinks to 8-byte
+# keys. Both engines compute the identical fold, so a (negligible,
+# p ≈ n²/2⁶¹) collision is mirrored and cross-engine parity holds.
+_SHKEY_SQL = "CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)"
+
 _Q89_ORACLE = (
     f"WITH tok AS (SELECT source, {_TOKS_SQL} AS t FROM documents), "
-    f"h AS (SELECT DISTINCT source, unnest({_SH5_SQL}) AS sh FROM tok), "
+    f"raw AS (SELECT source, unnest({_SH5_SQL}) AS sh FROM tok), "
+    f"h AS (SELECT DISTINCT source, {_SHKEY_SQL} AS sh FROM raw), "
     "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h "
     "GROUP BY source), "
     "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
@@ -71,14 +82,19 @@ _Q89_ORACLE = (
 )
 
 _Q89_DESCRIPTION = (
-    "Q89: pairwise source content overlap — Jaccard of each source "
-    "pair's DISTINCT 5-gram shingle sets (the q47d contract: shared "
-    "shingles(tokens, 5) / _SH5_SQL definition). One shuffle to the "
-    "distinct (source, shingle) frame (cached, three consumers); the "
-    "pair join fans out per shingle only across sources containing it; "
-    "set sizes broadcast over the |sources|^2-bounded pair frame; "
-    "documents never shuffle. Absent pair = zero overlap. Counts "
-    "exact; Jaccard one double division scaled to e6."
+    "Q89: EXACT pairwise source content overlap — the flagged-pair "
+    "VERIFIER of the q89b MinHash estimate (run it on the pairs q89b "
+    "flags, not as the standing full-corpus scan: the per-shingle pair "
+    "fan-out grows with shared-shingle mass, the one super-linear row "
+    "of the r10 probe — q89b at |sources|^2*k is the scale "
+    "instrument). Jaccard of each source pair's DISTINCT 5-gram "
+    "shingle sets (the q47d contract), keyed on the 60-bit md5 "
+    "shingle_hash fold (VERDICT r10 #5: 8-byte join/distinct keys, "
+    "identical fold both engines). One shuffle to the distinct "
+    "(source, key) frame (cached, three consumers); the pair join "
+    "fans out per shingle only across sources containing it; set "
+    "sizes broadcast; documents never shuffle. Absent pair = zero "
+    "overlap. Counts exact; Jaccard one double division scaled to e6."
 )
 
 
@@ -89,8 +105,11 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         docs.select(
             "source",
-            F.explode(shingles(tokens(F.col("text")), 5)).alias("sh"),
+            F.explode(shingles(tokens(F.col("text")), 5)).alias("raw_sh"),
         )
+        # fold BEFORE the distinct: the shuffle dedups (source, int64)
+        # pairs, not (source, string) — see _SHKEY_SQL note above
+        .select("source", shingle_hash(F.col("raw_sh")).alias("sh"))
         .distinct()
         # distinct is a shuffle; three consumers (sizes + both join
         # sides) — cache the narrow frame (the q80 lesson)

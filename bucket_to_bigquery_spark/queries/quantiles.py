@@ -4,9 +4,12 @@ Reference parity: n/a (no analytics surface in the reference); the
 declared engine's distribution-statistics capability (registered r10).
 
 The q19 pattern (tolerance-made-hashable) applied to quantiles: the
-entry emits the EXACT interpolated percentiles (Spark ``percentile`` and
-DuckDB ``quantile_cont`` implement the same lower + d·(upper−lower)
-interpolation — verified bit-identical on this corpus) next to an
+entry emits the EXACT interpolated percentiles as round(x·1e6) BIGINTs
+(Spark ``percentile`` and DuckDB ``quantile_cont`` implement the same
+lower + d·(upper−lower) interpolation; the raw doubles measured
+bit-identical on this corpus, but the e6 integer contract stops the
+hash from depending on the last ulp of that arithmetic — ADVICE r10
+#3, landed r12) next to an
 ``approx_ok`` boolean gating Spark's mergeable quantile sketch
 (``approx_percentile``, GK summary). The gate is RANK-based, not
 value-based: the sketch value must lie between the exact quantiles at
@@ -44,16 +47,19 @@ _PROBES = tuple(
 
 _Q65_ORACLE = (
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-    f"quantile_cont(value, {_PS[0]}) AS p50, "
-    f"quantile_cont(value, {_PS[1]}) AS p95, "
-    f"quantile_cont(value, {_PS[2]}) AS p99, "
+    f"CAST(round(quantile_cont(value, {_PS[0]}) * 1e6) AS BIGINT) AS p50_e6, "
+    f"CAST(round(quantile_cont(value, {_PS[1]}) * 1e6) AS BIGINT) AS p95_e6, "
+    f"CAST(round(quantile_cont(value, {_PS[2]}) * 1e6) AS BIGINT) AS p99_e6, "
     "TRUE AS approx_ok "
     "FROM events GROUP BY event_type ORDER BY event_type"
 )
 
 _Q65_DESCRIPTION = (
     "Q65: per-event-type value quantiles — exact interpolated p50/p95/"
-    "p99 (identical interpolation formula both engines, bit-exact) "
+    "p99 emitted as round(x*1e6) BIGINTs (ADVICE r10 #3: both engines "
+    "implement the same lower + d*(upper-lower) interpolation, but raw "
+    "doubles relied on the last ulp of that arithmetic agreeing; the "
+    "e6 contract makes the hash robust to it, the q19/q33b pattern) "
     "beside an approx_ok boolean holding Spark's mergeable "
     "approx_percentile sketch inside the exact quantiles at p ± 0.02 "
     "(a rank band, scale-free where a value band breaks on sparse "
@@ -84,9 +90,9 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         "n",
-        F.col("exact")[1].alias("p50"),
-        F.col("exact")[4].alias("p95"),
-        F.col("exact")[7].alias("p99"),
+        F.round(F.col("exact")[1] * 1e6).cast("long").alias("p50_e6"),
+        F.round(F.col("exact")[4] * 1e6).cast("long").alias("p95_e6"),
+        F.round(F.col("exact")[7] * 1e6).cast("long").alias("p99_e6"),
         band_ok.alias("approx_ok"),
     ).orderBy("event_type")
 

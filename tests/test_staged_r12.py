@@ -1,18 +1,15 @@
-"""The r10-staged surface for ROUND-12 registration (GATE_r10.md
-"Round-11/12 plan": r11's window is booked solid by the scratch.py
-rotation, so this surface waits for r12's ~12 free slots): q90
-point-in-time enrichment (pit.py), q91 A/B conversion lift (ab.py),
-q92 top event paths (paths.py).
+"""The r10-staged / r12-REGISTERED surface (GATE_r10.md "Round-11/12
+plan" → GATE_r12.md): q90 point-in-time enrichment (pit.py), q91 A/B
+conversion lift (ab.py), q92 top event paths (paths.py), q89b MinHash
+source overlap (sketch_overlap.py — closing the q89 ``weak`` mark).
 
-Checked here, pre-registration:
+Checked here, post-registration:
 
-1. **Staging containment** — the modules are NOT imported by
-   ``queries/__init__`` and register() has NOT run, so the driver
-   registry stays at its r10 size (the gate-window arithmetic depends
-   on this).
-2. **Oracle parity NOW** — each staged builder matches its DuckDB
-   oracle through the same compare harness the driver mirrors, so r12
-   registration is a wiring change, not a correctness event.
+1. **Registration wiring** — every formerly-staged entry is in the
+   driver registry with its oracle/description, and register() is
+   idempotent.
+2. **Oracle parity** — each builder matches its DuckDB oracle through
+   the same compare harness the driver mirrors.
 3. **Per-entry semantics** beyond the hash: PIT version lookup replays
    brute-force (inclusive at-boundary rule), the A/B readout replays
    from an independent md5 assignment + attribution walk, the path
@@ -53,16 +50,29 @@ def _run(name, spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def test_staged_entries_are_not_registered():
-    """The r11 window arithmetic (exactly 50, scratch rotation) relies
-    on these entries NOT appearing in the driver registry this round."""
+def test_staged_entries_are_registered():
+    """Round 12 wiring: every formerly-staged entry is in the registry
+    with its oracle and description (queries/__init__ calls register());
+    the r12 window budgets one GATE_PRIORITY slot per entry."""
     reg = all_queries()
     assert STAGED
+    for name, q in STAGED.items():
+        assert name in reg, f"{name} not registered — queries/__init__ wiring lost"
+        assert reg[name].oracle == q.oracle
+        assert reg[name].description
+
+
+def test_register_is_idempotent():
+    """Re-calling register() (already run once at package import) must
+    not duplicate or mutate entries."""
+    from bucket_to_bigquery_spark.queries.registry import REGISTRY
+
+    before = dict(REGISTRY)
+    for mod in _STAGED_MODULES:
+        mod.register()
+    assert set(REGISTRY) == set(before)
     for name in STAGED:
-        assert name not in reg, (
-            f"{name} is registered — the r10 gate window accounting "
-            "(48 aliases + 2 fill) no longer matches GATE_r10.md"
-        )
+        assert REGISTRY[name].oracle == before[name].oracle
 
 
 # ---------------------------------------------------------------------------

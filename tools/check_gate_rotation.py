@@ -195,6 +195,12 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/dedup.py",
         PKG + "queries/llm_queries.py",
     ],
+    # New r12 surface: q48g exercises the IVF scan-stats machinery in
+    # operators/similarity.py — a change there must pull it in-window
+    # (like projections.py's q62).
+    PKG + "queries/scan_stats.py": [
+        PKG + "operators/similarity.py",
+    ],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
