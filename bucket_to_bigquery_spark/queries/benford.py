@@ -11,9 +11,12 @@ engine surface (SURVEY §2.C extension when registered).
 
 Per leading digit d ∈ 1..9 of |o_totalprice|: observed count, observed
 share, Benford expectation log10(1 + 1/d), and the per-digit
-chi-square contribution (o − e)²/e over counts. Zero/NULL amounts
-carry no leading digit and are excluded (declared; they are a
-different audit's business — q73 checks completeness).
+chi-square contribution (o − e)²/e over counts. Amounts with no leading
+digit at 6-place resolution — NULL, zero, and |x| < 5e-7 whose
+DECIMAL(30,6) rendering rounds to zero (ADVICE r11 #4: the predicate
+round-trips through the SAME cast as the digit extraction, so both
+engines exclude identically on ANY numeric column) — are excluded
+(declared; completeness is q73's business).
 
 Determinism: counts exact BIGINTs (the leading digit of a DOUBLE is
 taken lexically — first nonzero digit of the DECIMAL(30,6) rendering
@@ -52,9 +55,18 @@ _CHI = ("CAST(round(((CAST({o} AS DOUBLE) - CAST({n} AS DOUBLE) * "
         "(CAST({n} AS DOUBLE) * (ln(1.0 + 1.0 / CAST({d} AS DOUBLE)) / "
         "ln(10.0))) * 1e3) AS BIGINT)")
 
+# Exclusion predicate round-trips through the SAME DECIMAL(30,6) cast
+# the digit extraction uses (ADVICE r11 #4): a nonzero amount whose
+# 6-place rendering rounds to zero (|x| < 5e-7) has NO leading digit —
+# `x <> 0` alone kept it, where _DIGIT went NULL on Spark but raised a
+# cast error on DuckDB. Identical cast ⇒ identical exclusion on both
+# engines for any numeric column this audit is pointed at.
+_NONZERO = "CAST(abs({x}) AS DECIMAL(30,6)) <> 0"
+
 _Q104_ORACLE = (
     "WITH amounts AS (SELECT o_totalprice AS x FROM orders "
-    "WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0), "
+    "WHERE o_totalprice IS NOT NULL AND "
+    + _NONZERO.format(x="o_totalprice") + "), "
     "digits AS (SELECT " + _DIGIT.format(x="x") + " AS digit FROM amounts), "
     "obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed "
     "FROM digits GROUP BY digit), "
@@ -87,7 +99,8 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tables(spark, sf_dir)["orders"]
     digits = (
         orders.where(
-            F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") != 0))
+            F.col("o_totalprice").isNotNull()
+            & F.expr(_NONZERO.format(x="o_totalprice")))
         .select(F.expr(_DIGIT.format(x="o_totalprice")).alias("digit"))
     )
     obs = digits.groupBy("digit").agg(

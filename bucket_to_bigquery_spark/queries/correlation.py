@@ -10,8 +10,10 @@ engine surface (SURVEY §2.C extension when registered).
 
 Every measure scales per-row to an e6 BIGINT (ONE double each, the
 q99/q106 moment contract), then ONE aggregation pass collects every
-sum, square-sum and cross-sum exactly (products in DECIMAL(38,0) —
-e6-scaled cross products overflow int64 immediately). Pearson r per
+sum, square-sum and cross-sum exactly — ALL moments accumulate in
+DECIMAL(38,0): the cross products overflow int64 immediately, and the
+marginal sums would too around ~sf40 (an e6-scaled extendedprice row
+is ~3.6e10; ADVICE r11 #3). Pearson r per
 pair is ONE identical-operand-order double over those exact moments,
 NULL when either marginal variance is 0:
 
@@ -57,7 +59,14 @@ def _short(c: str) -> str:
 def _moment_sql() -> str:
     parts = ["CAST(count(*) AS BIGINT) AS n"]
     for c in _COLS:
-        parts.append(f"CAST(sum({_short(c)}) AS BIGINT) AS s_{_short(c)}")
+        # DECIMAL(38,0), not BIGINT (ADVICE r11 #3): an e6-scaled
+        # extendedprice row is ~3.6e10, so a BIGINT marginal sum wraps
+        # around a few hundred million rows (~sf40) — silently under
+        # Spark's non-ANSI sum, loudly in DuckDB. The moments feed the
+        # correlation as doubles either way.
+        parts.append(
+            f"CAST(sum(CAST({_short(c)} AS DECIMAL(38,0))) "
+            f"AS DECIMAL(38,0)) AS s_{_short(c)}")
     for a, b in combinations(_COLS, 2):
         sa, sb = _short(a), _short(b)
         parts.append(
@@ -108,7 +117,10 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in _COLS:
         sc = _short(c)
-        aggs.append(F.sum(sc).cast("long").alias(f"s_{sc}"))
+        # DECIMAL(38,0) accumulation — see the _moment_sql note
+        aggs.append(
+            F.sum(F.col(sc).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias(f"s_{sc}"))
     for a, b in combinations(_COLS, 2):
         sa, sb = _short(a), _short(b)
         aggs.append(

@@ -107,6 +107,46 @@ def test_q104_single_scan_nine_ary_combine(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q104_subresolution_amounts_excluded_identically(spark):
+    """ADVICE r11 #4: a nonzero amount whose DECIMAL(30,6) rendering
+    rounds to zero (|x| < 5e-7) has no leading digit — the exclusion
+    predicate round-trips through the SAME cast as the digit
+    extraction, so Spark and DuckDB keep exactly the same rows and
+    every kept row yields a non-NULL digit on BOTH engines (the old
+    `x <> 0` predicate kept them: _DIGIT went NULL on Spark but raised
+    a cast error on DuckDB)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.queries.benford import _DIGIT, _NONZERO
+
+    vals = [3e-7, -4.9e-7, 4.999e-7, 5.001e-7, -6e-7, 0.0, 1.2, 0.091]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    kept_spark = sorted(
+        r.x for r in sdf.where(F.expr(_NONZERO.format(x="x"))).collect()
+    )
+    con = duckdb.connect()
+    rel = "(SELECT unnest(" + repr(vals) + "::DOUBLE[]) AS x)"
+    kept_duck = sorted(
+        r[0] for r in con.execute(
+            f"SELECT x FROM {rel} WHERE " + _NONZERO.format(x="x")
+        ).fetchall()
+    )
+    assert kept_spark == kept_duck == sorted([5.001e-7, -6e-7, 1.2, 0.091])
+    dig_spark = sorted(
+        r[0] for r in sdf.where(F.expr(_NONZERO.format(x="x")))
+        .select(F.expr(_DIGIT.format(x="x"))).collect()
+    )
+    dig_duck = sorted(
+        r[0] for r in con.execute(
+            "SELECT " + _DIGIT.format(x="x") + f" FROM {rel} "
+            "WHERE " + _NONZERO.format(x="x")
+        ).fetchall()
+    )
+    assert dig_spark == dig_duck and None not in dig_spark
+    con.close()
+
+
 # ---------------------------------------------------------------------------
 # q105 — unigram entropy
 # ---------------------------------------------------------------------------

@@ -5,7 +5,11 @@ get the same treatment BEFORE they ever register, so a super-linear
 row is caught while its module is still free to change.
 
 Usage: python tools/probe_staged_scale.py [module ...]
-Defaults to the full staged-r12 + staged-r13 sets.
+Defaults to every queries/ module exposing a STAGED dict with at least
+one not-yet-registered entry — DERIVED by scan, not a hand-kept list
+(ADVICE r11 #2: the r11 list silently omitted 7 of the 15 staged-r13
+modules, so a no-arg run under-probed while the GATE file claimed full
+coverage).
 """
 
 from __future__ import annotations
@@ -19,17 +23,36 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DEFAULT_MODULES = [
-    "pit", "ab", "paths", "sketch_overlap",           # staged r12
-    "collocations", "fd", "novelty", "psi",           # staged r13
-    "rules", "zipf", "arrivals", "separation",        # staged r13b
-]
+
+def staged_modules() -> list[str]:
+    """Scan bucket_to_bigquery_spark/queries for modules with unregistered
+    STAGED entries (importing the registry first, so a module whose
+    STAGED surface already registered — e.g. pit/ab/paths/sketch_overlap
+    after r12 — drops out automatically)."""
+    from bucket_to_bigquery_spark.queries import all_queries
+
+    reg = set(all_queries())
+    qdir = os.path.join(REPO, "bucket_to_bigquery_spark", "queries")
+    found = []
+    for fname in sorted(os.listdir(qdir)):
+        if not fname.endswith(".py") or fname.startswith("_"):
+            continue
+        mod = importlib.import_module(
+            f"bucket_to_bigquery_spark.queries.{fname[:-3]}")
+        staged = getattr(mod, "STAGED", None)
+        if staged and any(n not in reg for n in staged):
+            found.append(fname[:-3])
+    return found
 
 
 def main() -> int:
     from bucket_to_bigquery_spark.session import get_spark
 
-    mods = sys.argv[1:] or DEFAULT_MODULES
+    mods = sys.argv[1:] or staged_modules()
+    if not mods:
+        print(json.dumps({"probe": "staged_10x", "ratios": {},
+                          "note": "no unregistered STAGED entries found"}))
+        return 0
     spark = get_spark("staged-scale-probe")
     results = []
     for modname in mods:
