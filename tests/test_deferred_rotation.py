@@ -111,3 +111,39 @@ def test_live_deferral_file_matches_registry_and_window_plan():
         "a deferred entry is aliased in-window — it should not be listed"
     )
     assert deferral["changed_files"] == ["bucket_to_bigquery_spark/scratch.py"]
+
+
+def test_deferred_entries_replay_off_gate(spark, sf_dir):
+    """ADVICE r11 #1: a deferral postpones GATE evidence, not ALL
+    evidence. Whenever a live deferral file exists, every listed entry
+    replays against its oracle right here — so a regression in the
+    wide-fan-in change that only affects the deferred families is
+    caught by the creating round's CI, one round before the gate sees
+    it. Skips (cheaply) in resolution rounds like r12, where the file
+    is gone and the entries are in-window."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    path = os.path.join(repo, DEFERRAL_FILE)
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no active rotation deferral — entries are gate-visible")
+    with open(path) as fh:
+        deferral = json.load(fh)
+    sys.path.insert(0, repo)
+    from bucket_to_bigquery_spark.queries import all_queries
+
+    from .oracle import compare, duck_connection
+
+    reg = all_queries()
+    duck = duck_connection(sf_dir)
+    try:
+        failures = []
+        for name in sorted(deferral["entries"]):
+            if name not in reg:
+                continue  # deregistered since the deferral was written
+            problems = compare(name, spark, duck, sf_dir, reg)
+            if problems:
+                failures.append(f"{name}: " + "; ".join(problems))
+        assert not failures, "\n".join(failures)
+    finally:
+        duck.close()
