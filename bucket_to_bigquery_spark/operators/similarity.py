@@ -1007,17 +1007,45 @@ def ivf_scan_stats_exact(
     cannot hash array cells — the q33 lesson)."""
     import numpy as np
 
+    _EMPTY_SCHEMA = (
+        "q_id long, n_corpus long, n_lists long, n_probe long, "
+        "probed_lists string, candidates long, scan_frac double"
+    )
+    spark = corpus.sparkSession
+    # bound-check the query set FIRST (like cosine_topk_exact) — an
+    # oversized caller should not pay the corpus count + centroid
+    # collect before being rejected. Duplicate query ids dedup like the
+    # sibling ANN paths (they would silently double-count candidates
+    # and interleave probe ranks in probed_lists).
+    qrows = (
+        queries.dropDuplicates([id_col])
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    if len(qrows) > _MAX_EXACT_QUERIES:
+        raise ValueError(
+            f"ivf_scan_stats_exact: {len(qrows)} query vectors exceed the "
+            f"small-by-contract bound {_MAX_EXACT_QUERIES}"
+        )
+    if not qrows:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
     n = corpus.count()
-    n_lists = ivf_operating_point(n)
     cent_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
-        .limit(n_lists)
+        .limit(ivf_operating_point(n))
         .collect()
     )
+    if not cent_rows:
+        # empty corpus: no lists to probe — mirror the SQL twin, whose
+        # empty cent CTE yields an empty result
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
     cent = np.asarray(
         [np.asarray(r[vec_col], dtype="float64") for r in cent_rows]
     )
+    # the operating point clamps at 8 but a tiny corpus may not HAVE 8
+    # vectors — every downstream shape follows the actual centroid count
+    n_lists = len(cent)
     feats = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
@@ -1044,20 +1072,6 @@ def ivf_scan_stats_exact(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
-    qrows = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    if len(qrows) > _MAX_EXACT_QUERIES:
-        raise ValueError(
-            f"ivf_scan_stats_exact: {len(qrows)} query vectors exceed the "
-            f"small-by-contract bound {_MAX_EXACT_QUERIES}"
-        )
-    spark = corpus.sparkSession
-    if not qrows:
-        return spark.createDataFrame(
-            [], "q_id long, n_corpus long, n_lists long, n_probe long, "
-                "probed_lists string, candidates long, scan_frac double",
-        )
     q_mat = np.asarray(
         [np.asarray(r["q_vec"], dtype="float64") for r in qrows]
     )

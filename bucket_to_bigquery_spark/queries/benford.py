@@ -12,11 +12,12 @@ engine surface (SURVEY §2.C extension when registered).
 Per leading digit d ∈ 1..9 of |o_totalprice|: observed count, observed
 share, Benford expectation log10(1 + 1/d), and the per-digit
 chi-square contribution (o − e)²/e over counts. Amounts with no leading
-digit at 6-place resolution — NULL, zero, and |x| < 5e-7 whose
-DECIMAL(30,6) rendering rounds to zero (ADVICE r11 #4: the predicate
-round-trips through the SAME cast as the digit extraction, so both
-engines exclude identically on ANY numeric column) — are excluded
-(declared; completeness is q73's business).
+digit at DECIMAL(30,6) resolution — NULL, zero, |x| < 5e-7 (rendering
+rounds to zero) and |x| ≥ 1e24 (beyond the type's range) — are
+excluded (ADVICE r11 #4 + r12 review: the predicate round-trips
+through the SAME cast as the digit extraction, magnitude-guarded by a
+lazily-evaluated CASE, so both engines exclude identically on ANY
+numeric column; declared — completeness is q73's business).
 
 Determinism: counts exact BIGINTs (the leading digit of a DOUBLE is
 taken lexically — first nonzero digit of the DECIMAL(30,6) rendering
@@ -59,9 +60,15 @@ _CHI = ("CAST(round(((CAST({o} AS DOUBLE) - CAST({n} AS DOUBLE) * "
 # the digit extraction uses (ADVICE r11 #4): a nonzero amount whose
 # 6-place rendering rounds to zero (|x| < 5e-7) has NO leading digit —
 # `x <> 0` alone kept it, where _DIGIT went NULL on Spark but raised a
-# cast error on DuckDB. Identical cast ⇒ identical exclusion on both
-# engines for any numeric column this audit is pointed at.
-_NONZERO = "CAST(abs({x}) AS DECIMAL(30,6)) <> 0"
+# cast error on DuckDB. The CASE also bounds the magnitude BEFORE the
+# cast ever runs (CASE is lazily evaluated on both engines, a bare AND
+# is not guaranteed to short-circuit): |x| ≥ 1e24 overflows
+# DECIMAL(30,6) — silently NULL on non-ANSI Spark, an error on DuckDB
+# (r12 review) — so out-of-range magnitudes are excluded identically
+# too. With both guards the exclusion is identical on both engines for
+# any numeric column this audit is pointed at.
+_NONZERO = ("CASE WHEN abs({x}) < 1e24 "
+            "THEN CAST(abs({x}) AS DECIMAL(30,6)) <> 0 ELSE FALSE END")
 
 _Q104_ORACLE = (
     "WITH amounts AS (SELECT o_totalprice AS x FROM orders "

@@ -68,9 +68,14 @@ _Q48G_ORACLE = (
     "probes AS (SELECT q_id, list_id, row_number() OVER "
     "(PARTITION BY q_id ORDER BY d2 ASC, list_id ASC) AS rnk FROM pd "
     f"QUALIFY rnk <= {_N_PROBE}) "
+    # n_lists/n_probe report the ACTUAL centroid count / effective probe
+    # width (a corpus smaller than the clamp floor has fewer lists than
+    # the operating point requests — the builder emits len(cent) and
+    # min(n_probe, len(cent)), so the oracle must too; review r12)
     "SELECT p.q_id, (SELECT n FROM nn) AS n_corpus, "
-    "(SELECT n_lists FROM ll) AS n_lists, "
-    f"CAST({_N_PROBE} AS BIGINT) AS n_probe, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM cent) AS n_lists, "
+    f"LEAST(CAST({_N_PROBE} AS BIGINT), "
+    "(SELECT CAST(count(*) AS BIGINT) FROM cent)) AS n_probe, "
     "array_to_string(list(p.list_id ORDER BY p.rnk), ',') AS probed_lists, "
     "CAST(sum(COALESCE(s.cnt, 0)) AS BIGINT) AS candidates, "
     "CAST(sum(COALESCE(s.cnt, 0)) AS DOUBLE) / "

@@ -119,3 +119,37 @@ def test_exact_scan_stats_rejects_unbounded_query_set(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="small-by-contract"):
         ivf_scan_stats_exact(emb, big)
+
+
+def test_exact_scan_stats_corpus_smaller_than_clamp_floor(spark):
+    """A 5-vector corpus has fewer vectors than the n_lists clamp floor
+    (8): every shape follows the ACTUAL centroid count — n_lists = 5,
+    effective n_probe = 5, all lists probed, candidates = the whole
+    corpus (r12 review: the operating-point count crashed lexsort)."""
+    corpus = _dup_corpus(spark, n=5, dup_of=0, dup_id=3)
+    out = ivf_scan_stats_exact(corpus, corpus.where("vec_id < 2")).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_lists"] == 5 and r["n_probe"] == 5
+        assert len(r["probed_lists"].split(",")) == 5
+        assert r["candidates"] == 5 and r["scan_frac"] == 1.0
+
+
+def test_exact_scan_stats_dedups_query_ids(spark):
+    """Duplicate q_ids in the query frame must not double-count
+    candidates or interleave probe ranks (the sibling ANN paths
+    dropDuplicates the same way; r12 review)."""
+    corpus = _dup_corpus(spark, n=12)
+    q = corpus.where("vec_id < 1")
+    out = ivf_scan_stats_exact(corpus, q.unionAll(q), n_probe=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert len(r["probed_lists"].split(",")) == 8
+    assert r["candidates"] == 12
+
+
+def test_exact_scan_stats_empty_corpus_and_empty_queries(spark):
+    corpus = _dup_corpus(spark, n=12)
+    empty = corpus.where("vec_id < 0")
+    assert ivf_scan_stats_exact(empty, corpus.where("vec_id < 2")).count() == 0
+    assert ivf_scan_stats_exact(corpus, empty).count() == 0

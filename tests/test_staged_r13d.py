@@ -120,7 +120,8 @@ def test_q104_subresolution_amounts_excluded_identically(spark):
 
     from bucket_to_bigquery_spark.queries.benford import _DIGIT, _NONZERO
 
-    vals = [3e-7, -4.9e-7, 4.999e-7, 5.001e-7, -6e-7, 0.0, 1.2, 0.091]
+    vals = [3e-7, -4.9e-7, 4.999e-7, 5.001e-7, -6e-7, 0.0, 1.2, 0.091,
+            1e25, -3e24]  # out-of-DECIMAL(30,6)-range magnitudes too
     sdf = spark.createDataFrame([(v,) for v in vals], "x double")
     kept_spark = sorted(
         r.x for r in sdf.where(F.expr(_NONZERO.format(x="x"))).collect()
