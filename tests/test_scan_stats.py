@@ -153,3 +153,14 @@ def test_exact_scan_stats_empty_corpus_and_empty_queries(spark):
     empty = corpus.where("vec_id < 0")
     assert ivf_scan_stats_exact(empty, corpus.where("vec_id < 2")).count() == 0
     assert ivf_scan_stats_exact(corpus, empty).count() == 0
+
+
+def test_q48g_plan_shape(spark, sf_dir):
+    """The size join must broadcast (L rows by construction) and
+    nothing may fall back to a cartesian/BNLJ — the probe frame joins
+    sizes on list_id, an equi-key."""
+    df = all_queries()["q48g_ivf_scan_stats"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
