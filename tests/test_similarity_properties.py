@@ -115,3 +115,51 @@ def test_cosine_topk_matches_pure_numpy_reference(spark):
             n_id, cos = got[(q, rank)]
             assert n_id == j, (q, rank)
             assert cos == -negcos, (q, rank)  # bit-identical, not approx
+
+
+# ---------------------------------------------------------------------------
+# r12: the exact e12 DISTANCE contract (q48g's engine) — numpy vs the
+# DuckDB SQL twin on adversarial float32 vectors
+# ---------------------------------------------------------------------------
+
+f32_components = st.floats(
+    min_value=-10.0, max_value=10.0, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6).flatmap(
+        lambda d: st.tuples(
+            st.lists(st.lists(f32_components, min_size=d, max_size=d),
+                     min_size=1, max_size=4),
+            st.lists(st.lists(f32_components, min_size=d, max_size=d),
+                     min_size=1, max_size=4),
+        )
+    )
+)
+def test_d2_e12_rows_matches_duckdb_sql_twin(xc):
+    """Σ round((xᵢ−cᵢ)²·1e12) must be bit-identical between the numpy
+    path (operators.similarity._d2_e12_rows) and the SQL fragment the
+    q48g oracle uses (queries.scan_stats._D2_E12_SQL) — on arbitrary
+    float32 inputs including negatives, zeros and subnormal-ish
+    magnitudes, not just the synthetic embedding distribution. |x| ≤ 10
+    keeps the 64-dim worst case far inside int64."""
+    from bucket_to_bigquery_spark.operators.similarity import _d2_e12_rows
+    from bucket_to_bigquery_spark.queries.scan_stats import _D2_E12_SQL
+
+    xs, cs = xc
+    x = np.asarray(xs, dtype="float32").astype("float64")
+    c = np.asarray(cs, dtype="float32").astype("float64")
+    ours = _d2_e12_rows(x, c)
+    con = duckdb.connect()
+    expr = _D2_E12_SQL.format(a="a", b="b")
+    for i, xv in enumerate(xs):
+        for j, cv in enumerate(cs):
+            theirs = con.execute(
+                f"SELECT {expr} FROM "
+                "(SELECT ?::FLOAT[] AS a, ?::FLOAT[] AS b)", [xv, cv]
+            ).fetchone()[0]
+            assert int(ours[i, j]) == theirs, (xv, cv, int(ours[i, j]), theirs)
+    con.close()
