@@ -48,44 +48,40 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # precedent: 50 in-window + 38 deferred to r12).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # Round 12: the deferred half of the r11 scratch.py 2-round split
-    # comes due (GATE_r11.md "Round-12 plan"; tools/deferred_rotation.json
-    # is DELETED this round) — the 38 scratch-dependent entries rotate
-    # in-window, and the similarity.py ADVICE r9 fixes ride the llm
-    # slots. Plus: the four pre-booked staged registrations
-    # (q90/q91/q92/q89b), the NEW q48g scan-stats side-channel oracle,
-    # the q65 e6-BIGINT contract fix, the q89 md5-fold + re-label, q62
-    # (pulled by the similarity.py change via projections.py), and four
-    # stale-refresh slots (q44/q45 — the last r8-era family evidence —
-    # then the two oldest r9 scalar rows). Exactly 50.
+    # Round 13 (GATE_r13.md; executes GATE_r12.md's "Round-13 plan"):
+    # the 15 staged registrations q93-q107 (all value-oracled at two SFs,
+    # brute-force replayed, plan-pinned, 10x-probed since r11 — see
+    # tests/test_staged_r13*.py) plus the deep stale burn-down — all 9
+    # remaining r9 rows, then the 26 oldest r10 rows. Registration
+    # touches only queries/__init__.py (infra) + these aliases; no
+    # behavioral edit to any previously-registered module this round.
+    # Exactly 50.
     #
-    # llm_queries.py (32) — deferred scratch rotation
-    "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
-    "q46d_dedup_apply", "q47_ngram_jaccard_pairs", "q47b_minhash_lsh_pairs",
-    "q47c_embedding_neardup", "q47d_benchmark_decontamination",
-    "q47e_containment_pairs", "q47f_embedding_dedup_apply",
-    "q48_cosine_topk", "q48b_ann_lsh_topk", "q48c_ivf_topk",
-    "q48d_ivf_prebuilt", "q48e_signgrid_ann", "q48f_knn_label_audit",
-    "q49_text_stats", "q49b_length_histogram", "q49c_language_id",
-    "q49d_doc_fingerprint", "q49e_quality_filter", "q49f_repetition_ratio",
-    "q49g_stratified_sample", "q49h_shard_assignment",
-    "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
-    "q49l_vocab_coverage", "q49m_bigram_lm_score", "q50_multimodal_bytes",
-    "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
-    # pipeline_queries.py (4) + incremental.py (2) — deferred rotation
-    "q51_repeated_substrings", "q52_sequence_packing",
-    "q53_substring_scrub", "q54_full_pipeline",
-    "q55_incremental_dedup", "q55b_incremental_dedup_apply",
-    # r12 registrations (5)
-    "q90_pit_enrichment", "q91_ab_lift", "q92_top_event_paths",
-    "q89b_source_overlap_minhash", "q48g_ivf_scan_stats",
-    # changed-code slots (3): quantiles.py, overlap.py, projections.py
-    # (the latter via its operators/similarity.py dependency)
-    "q65_quantile_bands", "q89_source_overlap", "q62_jl_sign_projection",
-    # stale refresh (4): the two r8-era udf rows, then the two oldest
-    # r9 scalar rows (GATE_r12.md slot math)
-    "q44_grouped_agg_udf_weighted_mean", "q45_map_in_pandas_tokenize",
-    "q30_string_funcs", "q31_datetime_funcs",
+    # r13 registrations (15)
+    "q93_pmi_collocations", "q94_fd_audit", "q95_shingle_novelty",
+    "q96_psi_drift", "q97_association_rules", "q98_zipf_slope",
+    "q99_interarrival_burstiness", "q100_class_separation",
+    "q101_k_anonymity", "q102_source_scorecard", "q103_new_vs_returning",
+    "q104_benford_audit", "q105_unigram_entropy",
+    "q106_unit_price_dispersion", "q107_correlation_matrix",
+    # stale refresh, r9 rows — the oldest evidence anywhere (9)
+    "q09b_salted_skew_join", "q11b_full_outer_join",
+    "q32_math_funcs", "q33_array_funcs", "q34_map_struct_funcs",
+    "q35_conditional_funcs", "q56_mixture_sampling",
+    "q56b_mixture_composition", "q49n_heavy_hitters_cms",
+    # stale refresh, oldest r10 rows (26)
+    "q31b_local_time_ordered_view", "q31c_stacked_views",
+    "q33b_vector_norm", "q42_pandas_udf_normalize",
+    "q43_apply_in_pandas_zscore", "q57_bloom_decontamination",
+    "q58_snapshot_diff", "q59_weighted_sample", "q60_zorder_layout",
+    "q61_hll_sketch_union", "q63_sessionization", "q63b_event_funnel",
+    "q64_retention_cohorts", "q66_heavy_keys",
+    "q66b_key_frequency_histogram", "q67_bpe_pair_merge",
+    "q68_windowed_topk", "q69_group_centered_embeddings",
+    "q70_scd2_dimension", "q71_document_chunking",
+    "q72_leakage_safe_split", "q72b_split_leakage_audit",
+    "q73_quality_constraints", "q74_changelog_upsert",
+    "q75_bm25_topk", "q76_frequent_pairs",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -137,9 +137,41 @@ from . import pit  # noqa: F401, E402
 from . import scan_stats  # noqa: F401, E402
 from . import sketch_overlap  # noqa: F401, E402
 
+# The r13 window (GATE_r13.md): the 15 staged modules built across
+# r11 — PMI collocations, functional-dependency audit, shingle novelty,
+# PSI drift, association rules, Zipf slope, inter-arrival burstiness,
+# class separation, k-anonymity, source scorecard, new-vs-returning
+# growth, Benford audit, unigram entropy, unit-price dispersion,
+# correlation matrix. Each was value-oracled at sf0.001+sf0.01,
+# brute-force replayed, plan-pinned and 10x-probed BEFORE registration
+# (tests/test_staged_r13*.py, tools/probe_staged_scale.py); each entry
+# costs exactly one GATE_PRIORITY slot. collocations/novelty/zipf/
+# scorecard/entropy share the q46-family tokenizer/normalize contracts,
+# so MODULE_DEPS maps them onto llm_queries.py — registration itself
+# does not change that file, so no extra pull-in (GATE_r12.md slot
+# math).
+from . import anonymity  # noqa: F401, E402
+from . import arrivals  # noqa: F401, E402
+from . import benford  # noqa: F401, E402
+from . import collocations  # noqa: F401, E402
+from . import correlation  # noqa: F401, E402
+from . import dispersion  # noqa: F401, E402
+from . import entropy  # noqa: F401, E402
+from . import fd  # noqa: F401, E402
+from . import growth  # noqa: F401, E402
+from . import novelty  # noqa: F401, E402
+from . import psi  # noqa: F401, E402
+from . import rules  # noqa: F401, E402
+from . import scorecard  # noqa: F401, E402
+from . import separation  # noqa: F401, E402
+from . import zipf  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot,
-                ab, paths, pit, sketch_overlap):
+                ab, paths, pit, sketch_overlap,
+                anonymity, arrivals, benford, collocations, correlation,
+                dispersion, entropy, fd, growth, novelty, psi, rules,
+                scorecard, separation, zipf):
     _staged.register()
 del _staged
 
