@@ -233,11 +233,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Calib-banded normalization (VERDICT r12 #8): the sandbox host has two
+    # scheduling regimes and three consecutive rounds of bench reads needed
+    # manual regime adjudication. Each row is also emitted as
+    # wall ÷ calib-midpoint so cross-round comparisons can be made in
+    # calib units directly from the record (the raw rows stay primary).
+    calib_mid = round((calib_pre + calib_post) / 2.0, 4) or 1.0
+    calibnorm = {k: round(v / calib_mid, 2) for k, v in timings.items()}
     detail = {
         "metric": "declared_query_set_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_calibnorm": calibnorm,
+        "calib_mid": calib_mid,
         "query_stats": stats,
         "calib_s": [calib_pre, calib_post],
         "ann_recall_at_5": recall,
@@ -283,13 +292,40 @@ def main() -> None:
     if errors:
         # the per-query map omits failed entries; make that machine-visible
         compact["errors"] = len(errors)
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) >= 1900:
+
+    def _line() -> str:
+        return json.dumps(compact, separators=(",", ":"))
+
+    # The driver captures the last 2000 chars of combined output and parses
+    # the final JSON line — the line must fit WHOLE. At 148 entries the r12
+    # line measured 1880 chars; the r13 registry (163+) overflows, and the
+    # old single fallback would have dropped every per-query row from the
+    # driver record. Degrade gracefully instead, cheapest information
+    # first: the advisory scalars (still in the committed detail record
+    # AND on stderr METRIC lines) go before row precision, and rows go
+    # only as the last resort.
+    line = _line()
+    if len(line) >= 1980:
+        # 1-decimal rows first: adjudication-grade precision lives in the
+        # committed detail record; the driver row only needs magnitude
+        compact["queries"] = {
+            (k if codes[k] in collided else codes[k]): round(v, 1)
+            for k, v in timings.items()
+        }
+        line = _line()
+    if len(line) >= 1980:
+        # then the advisory scalars (still in the detail record AND on
+        # stderr METRIC lines)
+        compact.pop("ann_recall_at_5", None)
+        compact.pop("ivf_scan_frac", None)
+        compact["advisory_omitted"] = 1
+        line = _line()
+    if len(line) >= 1980:
         # never leave the driver's tail parse without a valid final line:
         # drop the per-query map before dropping the headline metric
         compact.pop("queries")
         compact["queries_omitted"] = "line exceeded driver tail capture"
-        line = json.dumps(compact, separators=(",", ":"))
+        line = _line()
     print(line)
 
 
