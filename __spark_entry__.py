@@ -69,8 +69,13 @@ GATE_PRIORITY = frozenset({
     "q32_math_funcs", "q33_array_funcs", "q34_map_struct_funcs",
     "q35_conditional_funcs", "q56_mixture_sampling",
     "q56b_mixture_composition", "q49n_heavy_hitters_cms",
-    # stale refresh, oldest r10 rows (26)
-    "q31b_local_time_ordered_view", "q31c_stacked_views",
+    # mid-round registration (GATE_r13.md): the q48h full-oracle IVF
+    # top-k variant; its slot evicts the q31c stale-refresh alias (r7
+    # q02c precedent — scalar.py untouched, q31c's r10 row stays valid,
+    # q31b keeps the view family in-window)
+    "q48h_ivf_topk_exact_centroids",
+    # stale refresh, oldest r10 rows (25 after the q31c eviction)
+    "q31b_local_time_ordered_view",
     "q33b_vector_norm", "q42_pandas_udf_normalize",
     "q43_apply_in_pandas_zscore", "q57_bloom_decontamination",
     "q58_snapshot_diff", "q59_weighted_sample", "q60_zorder_layout",

@@ -150,6 +150,11 @@ from . import sketch_overlap  # noqa: F401, E402
 # so MODULE_DEPS maps them onto llm_queries.py — registration itself
 # does not change that file, so no extra pull-in (GATE_r12.md slot
 # math).
+# Mid-r13 registration (GATE_r13.md "Mid-round registrations"): q48h,
+# the full-value-oracle IVF top-k with injected deterministic centroids
+# — registers via @query at import; its slot is paid by evicting the
+# q31c stale-refresh alias (file untouched, r10 row stays valid).
+from . import ann_exact  # noqa: F401, E402
 from . import anonymity  # noqa: F401, E402
 from . import arrivals  # noqa: F401, E402
 from . import benford  # noqa: F401, E402

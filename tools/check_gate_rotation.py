@@ -201,6 +201,12 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/scan_stats.py": [
         PKG + "operators/similarity.py",
     ],
+    # New r13 surface: q48h runs the IVF probe+rank path with injected
+    # centroids, reusing similarity.py's e12 primitives read-only — a
+    # change there must pull it in-window (like scan_stats.py's q48g).
+    PKG + "queries/ann_exact.py": [
+        PKG + "operators/similarity.py",
+    ],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
