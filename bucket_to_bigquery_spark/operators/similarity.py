@@ -1004,7 +1004,17 @@ def ivf_scan_stats_exact(
     Returns one row per query: ``(q_id, n_corpus, n_lists, n_probe,
     probed_lists, candidates, scan_frac)`` with ``probed_lists`` a
     comma-joined string in probe order (the driver's pandas hasher
-    cannot hash array cells — the q33 lesson)."""
+    cannot hash array cells — the q33 lesson).
+
+    Input contract (ADVICE r12 #3): query ``id_col`` values must be
+    unique per (id, vec) pair — duplicate ids are tolerated ONLY when
+    they carry identical vectors (the q48g corpus, where queries are a
+    slice of the keyed embeddings table, satisfies this by
+    construction; tests/test_scan_stats.py pins that case). The
+    ``dropDuplicates([id_col])`` below keeps an arbitrary row, so
+    duplicate ids with DIFFERENT vectors would be nondeterministic and
+    could diverge from the SQL oracle (which never dedups) — that input
+    is out of contract, not handled."""
     import numpy as np
 
     _EMPTY_SCHEMA = (

@@ -105,3 +105,56 @@ def test_minhash_params_are_stable():
     # the oracle SQL embeds these literals; silent drift = hash mismatch
     assert minhash_params(2, 42) == minhash_params(2, 42)
     assert len(set(minhash_params(6, 42))) == 6
+
+
+# ---------------------------------------------------------------------------
+# q89 md5-fold key parity (ADVICE r12 #2): overlap.py re-derives the
+# 60-bit fold inline as _SHKEY_SQL with no shared constant with
+# operators/dedup.shingle_hash — a future edit to either side could
+# silently desync the q89 oracle from the builder. Pin the two engines
+# against a pure-python hashlib reference (a third implementation) so
+# any drift fails here before it reaches the driver gate.
+# ---------------------------------------------------------------------------
+
+def _py_fold(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=1, max_size=40).filter(lambda s: "\x00" not in s))
+def test_shkey_sql_matches_hashlib_fold(s):
+    import duckdb
+
+    from bucket_to_bigquery_spark.queries.overlap import _SHKEY_SQL
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_SHKEY_SQL} FROM (SELECT ? AS sh)", [s]
+    ).fetchone()[0]
+    con.close()
+    assert got == _py_fold(s), s
+
+
+def test_shingle_hash_matches_hashlib_fold(spark):
+    """One Spark job over a mixed corpus (fixed edge strings + seeded
+    random unicode) pins operators/dedup.shingle_hash to the same
+    hashlib reference — closing the builder==oracle triangle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.operators.dedup import shingle_hash
+
+    rng = random.Random(89)
+    corpus = [
+        "a", "aa bb cc", " leading", "trailing ", "UPPER lower",
+        "ünïcode šš žž", "日本語 テスト", "emoji 🙂 row", "tab\tsep",
+        "quote'and\"quote", "back\\slash", "comma,semi;colon",
+    ] + [
+        "".join(rng.choice("abcdefghij ,.-ü日🙂") for _ in range(rng.randint(1, 30)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], ["sh"])
+    rows = df.select("sh", shingle_hash(F.col("sh")).alias("h")).collect()
+    for r in rows:
+        assert r["h"] == _py_fold(r["sh"]), r["sh"]

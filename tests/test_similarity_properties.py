@@ -163,3 +163,48 @@ def test_d2_e12_rows_matches_duckdb_sql_twin(xc):
             ).fetchone()[0]
             assert int(ours[i, j]) == theirs, (xv, cv, int(ours[i, j]), theirs)
     con.close()
+
+
+def test_lloyd_and_calibrate_peak_memory_bounded_at_v5_caps():
+    """The r12 chunked-GEMM claim (GATE_r12.md #1 / VERDICT r12 #5): at
+    the v5 operating caps (fit sample 65536, n_lists 4096, d 64) the
+    previous full sample x lists float64 matmul peaked at ~2.1 GB
+    driver-side PER CALL; the row-chunked ``_argmin_d2`` bounds the
+    working slice to ~64 MB. The r12 change is behavioral on the hot
+    path and was pinned only by value tests — this pins the MEMORY
+    bound itself: tracemalloc (numpy arrays are tracked via
+    PyTraceMalloc) must see peak extra allocation well under the old
+    full-matrix cost for both the fit and the calibration.
+
+    Budget arithmetic: inputs x (65536x64 f64 = 32 MB) + centroids
+    (2 MB) live across the call; the chunked slice is 2048x4096x8
+    = 64 MB; scatter-add/assignment temporaries add ~tens of MB. A
+    400 MB ceiling is ~5x headroom over the design cost and ~5x below
+    the 2.1 GB regression signature."""
+    import tracemalloc
+
+    from bucket_to_bigquery_spark.operators.similarity import (
+        _calibrate_n_probe,
+        _lloyd,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.standard_normal((65536, 64))
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    base, _ = tracemalloc.get_traced_memory()
+    cent = _lloyd(x, 4096, seed=42, iters=2)
+    _, peak_fit = tracemalloc.get_traced_memory()
+    tracemalloc.reset_peak()
+    n_probe = _calibrate_n_probe(x, cent, target=0.9, k=5, n_cal=64)
+    _, peak_cal = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    limit = 400 * 1024 * 1024
+    assert peak_fit - base < limit, f"_lloyd peaked at {(peak_fit-base)/2**20:.0f} MB"
+    assert peak_cal - base < limit, f"_calibrate_n_probe peaked at {(peak_cal-base)/2**20:.0f} MB"
+    # sanity: the fit actually produced the capped operating point and a
+    # usable probe width (guards against a vacuous pass on early-exit)
+    assert len(cent) == 4096
+    assert 1 <= n_probe <= 4096
