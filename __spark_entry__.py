@@ -74,6 +74,10 @@ GATE_PRIORITY = frozenset({
     # q02c precedent — scalar.py untouched, q31c's r10 row stays valid,
     # q31b keeps the view family in-window)
     "q48h_ivf_topk_exact_centroids",
+    # mid-round registration #2 (GATE_r13.md): q108 notification-driven
+    # ingest; its slot evicts the q72b stale-refresh alias (splits.py
+    # untouched, its r10 row stays valid, q72 keeps the family in-window)
+    "q108_notification_ingest",
     # stale refresh, oldest r10 rows (25 after the q31c eviction)
     "q31b_local_time_ordered_view",
     "q33b_vector_norm", "q42_pandas_udf_normalize",
@@ -84,7 +88,7 @@ GATE_PRIORITY = frozenset({
     "q66b_key_frequency_histogram", "q67_bpe_pair_merge",
     "q68_windowed_topk", "q69_group_centered_embeddings",
     "q70_scd2_dimension", "q71_document_chunking",
-    "q72_leakage_safe_split", "q72b_split_leakage_audit",
+    "q72_leakage_safe_split",
     "q73_quality_constraints", "q74_changelog_upsert",
     "q75_bm25_topk", "q76_frequent_pairs",
 })

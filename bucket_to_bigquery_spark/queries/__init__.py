@@ -156,6 +156,10 @@ from . import sketch_overlap  # noqa: F401, E402
 # q31c stale-refresh alias (file untouched, r10 row stays valid).
 from . import ann_exact  # noqa: F401, E402
 from . import anonymity  # noqa: F401, E402
+# Mid-r13 registration #2 (GATE_r13.md): q108, notification-driven
+# ingest from a live socket (the A5/A17 PubSub-pull parity leg) —
+# slot paid by evicting the q72b stale-refresh alias.
+from . import notify  # noqa: F401, E402
 from . import arrivals  # noqa: F401, E402
 from . import benford  # noqa: F401, E402
 from . import collocations  # noqa: F401, E402

@@ -207,6 +207,15 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/ann_exact.py": [
         PKG + "operators/similarity.py",
     ],
+    # New r13 surface #2: q108 consumes A5-shaped envelopes through the
+    # ingest decode path, the streaming idempotent sink, and a scratch-
+    # materialized feed — a behavioral change to any of them must pull
+    # it in-window.
+    PKG + "queries/notify.py": [
+        PKG + "ingest/events.py",
+        PKG + "streaming/__init__.py",
+        PKG + "scratch.py",
+    ],
     PKG + "queries/splits.py": [
         # the split keys on operators.dedup.normalize_text (q46's exact
         # dedup-group key) and imports llm_queries._NORM_SQL for the
