@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import base64
 import json
-import os
+import shutil
 import socket
 import threading
 import time
@@ -240,6 +240,11 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"q108 sink/derivation mismatch: {len(got)} committed vs "
                 f"{len(want)} expected"
             )
+        # the checkpoint served its ack purpose during the feed; the
+        # published artifact is the sink alone (the q41 discipline —
+        # its offset log records absolute temp paths the atomic publish
+        # is about to rename away)
+        shutil.rmtree(f"{p}/ckpt", ignore_errors=True)
 
     materialize_once(base, _build)
     return (
