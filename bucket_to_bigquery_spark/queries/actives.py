@@ -64,7 +64,11 @@ _Q118_DESCRIPTION = (
 
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"]
-    day = (F.expr("unix_micros(ts)") / F.lit(_US_PER_DAY)).cast("long")
+    # integer `div`, NOT double / + cast: the double quotient of a
+    # just-before-midnight microsecond can round up across the day
+    # boundary where the oracle's exact integer // cannot (the
+    # anomaly.py/rfm.py engine-division convention)
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
     pd_ = ev.select("user_id", day.alias("d")).distinct()
     days = pd_.select("d").distinct()
     srv = pd_.select(

@@ -56,6 +56,14 @@ _N_BANDS = 4
 _BAND_BITS = 8
 _MAX_HAMMING = 3
 
+# The recall guarantee is pigeonhole over these couplings — make them
+# self-checking so the documented widening seam (64-bit fingerprint,
+# 16-bit bands) cannot be followed halfway without a loud failure:
+# ≤ _MAX_HAMMING differing bits must be unable to touch every band,
+# and the bands must tile the whole fingerprint.
+assert _MAX_HAMMING <= _N_BANDS - 1, "banding misses true pairs"
+assert _N_BANDS * _BAND_BITS == 32, "bands must tile the fingerprint"
+
 # q46b's fingerprint SQL: the token/normalize twins are IMPORTED from
 # llm_queries (one tokenizer definition, the r9 review rule — a change
 # there pulls this entry in-window via MODULE_DEPS); the 32-bit fold is

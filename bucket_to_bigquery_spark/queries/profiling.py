@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from .registry import query, tables
 
-# (name, position, canonical min/max SQL renderer for DuckDB)
+# (name, type) in schema order — position comes from enumerate, the
+# canonical min/max renderers from _duck_render/_spark_render below
 _COLS = [
     ("o_orderkey", "bigint"),
     ("o_custkey", "bigint"),

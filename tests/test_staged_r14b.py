@@ -108,6 +108,17 @@ def test_staged_oracle_parity(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def test_q115_fold_sql_matches_q46b_oracle_verbatim():
+    """hamming._SIMHASH_SQL restates the q46b oracle's inline 32-bit
+    fold (llm_queries.py is window-frozen this round, so the string
+    cannot be hoisted there yet — the llm-rotation round does that;
+    GATE_r13.md deferred items). Until then the two copies are pinned
+    verbatim: an edit to either side that desyncs the fingerprint
+    contract fails here, not in a driver hash three rounds later."""
+    q46b = all_queries()["q46b_simhash_fingerprint"]
+    assert hamming._SIMHASH_SQL in q46b.oracle
+
+
 def test_q115_matches_allpairs_bruteforce(spark, sf_dir):
     """The banding recall guarantee, verified against ALL cluster pairs:
     every distinct-fingerprint pair at hamming ≤ 3 must survive the
