@@ -69,7 +69,9 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary where the oracle's exact integer // cannot (the
     # anomaly.py/rfm.py engine-division convention)
     day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
-    pd_ = ev.select("user_id", day.alias("d")).distinct()
+    # two consumers (days + srv): uncached, each replays the corpus
+    # distinct (q80 lesson)
+    pd_ = ev.select("user_id", day.alias("d")).distinct().cache()
     days = pd_.select("d").distinct()
     srv = pd_.select(
         "user_id",

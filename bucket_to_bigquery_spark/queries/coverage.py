@@ -77,6 +77,8 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()  # two consumers (tot + top): uncached, each replays
+        #           the corpus tokenize (q80 lesson)
     )
     tot = tc.agg(F.sum("c").cast("long").alias("t"))
     # distributed top-K: TakeOrderedAndProject under the total order —

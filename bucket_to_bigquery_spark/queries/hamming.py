@@ -143,6 +143,8 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh", "rep", "sz",
                 F.col("bv.band_idx").alias("band_idx"),
                 F.col("bv.band_val").alias("band_val"))
+        .cache()  # both self-join sides read it: uncached, each side
+        #           replays the corpus simhash fold (q80 lesson)
     )
     left = b.select(
         F.col("rep").alias("rep_a"), F.col("sh").alias("sh_a"),

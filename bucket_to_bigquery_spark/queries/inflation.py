@@ -95,6 +95,8 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
         .withColumn("n_docs",
                     (F.col("sz") * F.col("n_clusters")).cast("long"))
+        .cache()  # two consumers (tot + the report): uncached, each
+        #           replays the corpus fingerprint pass (q80 lesson)
     )
     tot = h.agg(
         F.sum("n_docs").cast("long").alias("docs"),

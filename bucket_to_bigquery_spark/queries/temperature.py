@@ -71,7 +71,8 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
-    )
+    ).cache()  # two consumers (tot + p): uncached, each replays the
+    #            corpus scan (q80 lesson)
     tot = s.agg(F.sum("chars").cast("long").alias("t"))
     p = (
         s.crossJoin(F.broadcast(tot))

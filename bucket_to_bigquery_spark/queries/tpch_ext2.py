@@ -239,7 +239,8 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = t["part"].where(F.col("p_brand") == _BRAND).select("p_partkey")
     bl = t["lineitem"].join(
         F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
-    )
+    ).cache()  # two consumers (stats + the filtered re-read): uncached,
+    #            each replays the lineitem scan (q80 lesson)
     st = bl.groupBy(F.col("l_partkey").alias("st_partkey")).agg(
         F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("qsum"),
         F.count(F.lit(1)).cast("long").alias("qn"),
