@@ -38,11 +38,15 @@ only orders/customer). EXISTS/anti-join legs are declared
 left_semi/left_anti equi-joins (never IN-subquery materialization);
 the correlated scalars (q122 per-part average, q125 per-year max,
 q126 global mean) are computed as map-side-combined aggregates on the
-REDUCED frames and joined back — the q122 stats join is per-part
-(broadcastable at |brand parts|), the q125 max rides a window over
-the |years|×|suppliers| aggregate, the q126 mean is a 1-row
-broadcast. Explicit broadcast only on true dims (nation); AQE
-broadcasts filtered fact sides at test SFs on its own.
+REDUCED frames and joined back — the q122 stats join is a plain
+per-part equi-join (brand key sets and per-part stats are
+SF-proportional, so no forced broadcast), the q125 max rides a window
+over the |years|×|suppliers| aggregate and only the WINNERS frame
+(a few ties per year) is broadcast into the supplier name join, the
+q126 mean is a 1-row broadcast. Explicit broadcast only on frames
+whose size is bounded by the query itself (nation, the winners, the
+1-row mean); AQE broadcasts filtered fact sides at test SFs on its
+own.
 """
 
 from __future__ import annotations
@@ -50,15 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import dsum, dsum_sql, query, tables
-
-_REV = "l_extendedprice * (1 - l_discount)"
-_DEC = "decimal(30,6)"
-
-
-def _rev_col():
-    # built lazily: module import must not require an active SparkContext
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+from .registry import _DEC, davg, davg_sql, dsum, dsum_sql, query, tables
+from .tpch_ext import _REV, _rev_col
 
 
 # ---------------------------------------------------------------------------
@@ -208,29 +205,30 @@ _BRAND = "Brand#1"
 _Q122_ORACLE = (
     "WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '" + _BRAND
     + "'), "
-    "st AS (SELECT l_partkey, "
-    "CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS qsum, "
-    "CAST(count(*) AS BIGINT) AS qn "
-    "FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY l_partkey) "
+    "st AS (SELECT l_partkey, " + davg_sql("l_quantity", "qavg")
+    + " FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY l_partkey) "
     "SELECT l.l_partkey, "
-    "CAST(round(0.2 * (st.qsum / st.qn) * 1e6) AS BIGINT) "
+    "CAST(round(0.2 * st.qavg * 1e6) AS BIGINT) "
     "AS threshold_qty_e6, "
     "CAST(count(*) AS BIGINT) AS n_small_lines, "
     + dsum_sql(_REV, "small_revenue")
     + " FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey "
-    "WHERE l.l_quantity < 0.2 * (st.qsum / st.qn) "
+    "WHERE l.l_quantity < 0.2 * st.qavg "
     "GROUP BY l.l_partkey, threshold_qty_e6 ORDER BY l.l_partkey"
 )
 
 _Q122_DESCRIPTION = (
     "Q122: TPC-H Q17 shape — per-part revenue from lines below 20% of "
     "that part's average quantity, parts filtered to one brand. The "
-    "correlated scalar average is a per-part aggregate (exact decimal "
-    "quantity sum / exact count — ONE double division, identical "
-    "operand order both engines) joined back to the same lines — at "
-    "scale a broadcastable |brand parts|-row frame, never a correlated "
-    "re-scan per row. Threshold exposed e6 for the oracle hash; dsum "
-    "revenue; one lineitem pass for stats + one for the filter."
+    "correlated scalar average is a per-part aggregate (registry davg: "
+    "exact decimal quantity sum / non-null count — ONE double "
+    "division, identical operand order both engines) joined back to "
+    "the same lines — never a correlated re-scan per row. Both the "
+    "brand semi-join and the stats join are declared plain equi-joins "
+    "(brand key sets and per-part stats are SF-proportional — forcing "
+    "broadcast would lie at 100 TB; AQE broadcasts them at test SFs). "
+    "Threshold exposed e6 for the oracle hash; dsum revenue; one "
+    "cached brand-lineitem pass."
 )
 
 
@@ -238,16 +236,14 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     bp = t["part"].where(F.col("p_brand") == _BRAND).select("p_partkey")
     bl = t["lineitem"].join(
-        F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        bp, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     ).cache()  # two consumers (stats + the filtered re-read): uncached,
     #            each replays the lineitem scan (q80 lesson)
     st = bl.groupBy(F.col("l_partkey").alias("st_partkey")).agg(
-        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("qsum"),
-        F.count(F.lit(1)).cast("long").alias("qn"),
-    )
-    thr = F.lit(0.2) * (F.col("qsum") / F.col("qn"))
+        davg(F.col("l_quantity"), "qavg"))
+    thr = F.lit(0.2) * F.col("qavg")
     return (
-        bl.join(F.broadcast(st), F.col("l_partkey") == F.col("st_partkey"))
+        bl.join(st, F.col("l_partkey") == F.col("st_partkey"))
         .where(F.col("l_quantity") < thr)
         .groupBy(
             "l_partkey",
@@ -392,8 +388,9 @@ _Q125_DESCRIPTION = (
     "The max is a window on the ALREADY-AGGREGATED |years|×|suppliers| "
     "frame (never the fact table); ties all surface (deterministic — "
     "revenue is exact-decimal-derived, so equality is well-defined "
-    "cross-engine); supplier names ride a broadcast; ordered on the "
-    "unique (year, suppkey)."
+    "cross-engine); the WINNERS frame broadcasts into the supplier "
+    "name join (supplier itself is SF-proportional — never forced); "
+    "ordered on the unique (year, suppkey)."
 )
 
 
@@ -408,10 +405,16 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(_rev_col(), "revenue"))
     )
     w = Window.partitionBy("l_year")
-    return (
+    winners = (
         sr.withColumn("mr", F.max("revenue").over(w))
         .where(F.col("revenue") == F.col("mr"))
-        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+    )
+    # broadcast the WINNERS (a few ties per year), never supplier —
+    # supplier is SF-proportional and a forced broadcast would lie at
+    # 100 TB (review finding)
+    return (
+        F.broadcast(winners)
+        .join(t["supplier"].select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_year", "l_suppkey", "s_name", "revenue")
         .orderBy("l_year", "l_suppkey")
@@ -425,9 +428,8 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DORMANT_CUTOFF = "2000-01-01"
 
 _Q126_ORACLE = (
-    "WITH m AS (SELECT "
-    "CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(*) "
-    "AS mean_bal FROM customer WHERE c_acctbal > 0), "
+    "WITH m AS (SELECT " + davg_sql("c_acctbal", "mean_bal")
+    + " FROM customer WHERE c_acctbal > 0), "
     "recent AS (SELECT DISTINCT o_custkey FROM orders "
     f"WHERE o_orderdate >= TIMESTAMP '{_DORMANT_CUTOFF}') "
     "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
@@ -455,10 +457,7 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     m = (
         t["customer"].where(F.col("c_acctbal") > 0)
-        .agg(
-            (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
-             / F.count(F.lit(1))).alias("mean_bal")
-        )
+        .agg(davg(F.col("c_acctbal"), "mean_bal"))
     )
     recent = t["orders"].where(
         F.col("o_orderdate") >= F.to_timestamp(F.lit(_DORMANT_CUTOFF))

@@ -199,12 +199,14 @@ def test_q122_matches_bruteforce(spark, sf_dir):
         assert r.small_revenue == float(rev)
 
 
-def test_q122_plan_stats_join_broadcast(spark, sf_dir):
-    """The correlated average must be a stats join, never a re-scan per
-    row; both the brand semi-join and the stats join broadcast."""
+def test_q122_plan_stats_join_not_cartesian(spark, sf_dir):
+    """The correlated average must be a stats join (plain equi-joins —
+    no forced broadcast of SF-proportional frames, the review
+    finding), never a re-scan per row or a cross product."""
     plan = _plan(spark, sf_dir, "q122_tpch_q17_shape")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan  # the cached brand-line frame
 
 
 # ---------------------------------------------------------------------------

@@ -185,7 +185,12 @@ def test_q129_matches_bruteforce(spark, sf_dir):
     lats: dict = defaultdict(list)
     for li in t["lineitem"].select("l_orderkey", "l_shipdate").collect():
         pr, ous = orders[li.l_orderkey]
-        lats[pr].append((_micros(li.l_shipdate) - ous) // _US_PER_DAY)
+        diff = _micros(li.l_shipdate) - ous
+        # truncate toward zero like Spark `div` / DuckDB `//` — Python
+        # // floors, which diverges on negative intra-day latencies
+        # (review finding; midnight-aligned data masks it today)
+        d = abs(diff) // _US_PER_DAY
+        lats[pr].append(d if diff >= 0 else -d)
     got = _run("q129_ship_latency_percentiles", spark, sf_dir).collect()
     assert [r.priority for r in got] == sorted(lats)
     for r in got:
