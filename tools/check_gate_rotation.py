@@ -275,6 +275,34 @@ MODULE_DEPS: dict[str, list[str]] = {
     # Fifth staged batch — self-contained numeric-profiling modules.
     PKG + "queries/dispersion.py": [],
     PKG + "queries/correlation.py": [],
+    # Staged r14 surface (GATE_r13.md "Staged r14 surface": built late
+    # r13, register in r14) — NOT imported by queries/__init__, zero
+    # registered entries until then; mapped so the unmapped-changed-file
+    # guard knows them and registration inherits correct pull-in.
+    # tpch_ext2 imports the revenue expression/column from tpch_ext;
+    # hamming/inflation/coverage share the tokenizer contract (and
+    # inflation imports hamming's _SIMHASH_SQL fold twin).
+    PKG + "queries/tpch_ext.py": [],
+    PKG + "queries/tpch_ext2.py": [PKG + "queries/tpch_ext.py"],
+    PKG + "queries/profiling.py": [],
+    PKG + "queries/temperature.py": [],
+    PKG + "queries/hamming.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/inflation.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+        PKG + "queries/hamming.py",
+    ],
+    PKG + "queries/coverage.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/actives.py": [],
+    PKG + "queries/embed_outliers.py": [],
+    PKG + "queries/seasonality.py": [],
+    PKG + "queries/latency.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
