@@ -303,6 +303,10 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/embed_outliers.py": [],
     PKG + "queries/seasonality.py": [],
     PKG + "queries/latency.py": [],
+    # lloyd_step reuses similarity primitives READ-ONLY (the q48h
+    # ann_exact precedent) — the edge pulls it into any similarity.py
+    # rotation (r16 per the GATE_r13 plan).
+    PKG + "queries/lloyd_step.py": [PKG + "operators/similarity.py"],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
