@@ -1,0 +1,128 @@
+"""Sixth r13-staged batch for ROUND-14+ registration: q131 peak
+concurrent sessions per day (concurrency.py) — the sweep-line interval
+operator over the q63 sessionization contract, built as the two-level
+segmented scan (within-day prefix peaks + cross-day carry).
+
+Same three checks as tests/test_staged_r14.py: staging containment,
+oracle parity through the driver-mirror harness, and a full Python
+brute-force replay + plan pins. The replay runs the NAIVE global
+sweep (sort every boundary, running sum, per-day max) — the
+decomposed builder must equal it exactly.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from bucket_to_bigquery_spark.queries import all_queries, concurrency
+from bucket_to_bigquery_spark.queries.registry import (
+    Query,
+    _with_tuning,
+    tables,
+)
+
+from .oracle import compare, duck_connection
+
+STAGED: dict[str, Query] = {
+    name: Query(name, _with_tuning(fn), oracle, desc, tags)
+    for name, (fn, oracle, desc, tags) in concurrency.STAGED.items()
+}
+
+
+def _run(name, spark, sf_dir):
+    return STAGED[name].builder(spark, sf_dir)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = STAGED[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _micros(ts) -> int:
+    return int(ts.timestamp() * 1_000_000)
+
+
+def _brute_peaks(rows):
+    """Naive global sweep over q63-contract sessions."""
+    by_user: dict = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    intervals = []
+    for evs in by_user.values():
+        evs.sort()
+        start = prev = _micros(evs[0][0])
+        for ts, _ in evs[1:]:
+            us = _micros(ts)
+            if us - prev > concurrency._GAP_US:
+                intervals.append((start, prev))
+                start = us
+            prev = us
+        intervals.append((start, prev))
+    deltas: dict = defaultdict(lambda: [0, 0])  # t -> [plus, minus]
+    for s, e in intervals:
+        deltas[s][0] += 1
+        deltas[e][1] += 1
+    cum = 0
+    day_peak: dict = {}
+    day_starts: dict = defaultdict(int)
+    for t in sorted(deltas):
+        plus, minus = deltas[t]
+        peak_here = cum + plus  # starts apply before ends at equal t
+        cum += plus - minus
+        d = t // concurrency._US_PER_DAY
+        day_peak[d] = max(day_peak.get(d, 0), peak_here)
+        day_starts[d] += plus
+    return day_peak, day_starts, len(intervals)
+
+
+def test_staged_entries_are_not_registered():
+    reg = all_queries()
+    assert STAGED
+    for name in STAGED:
+        assert name not in reg, (
+            f"{name} is registered — the r13 gate-window accounting "
+            "(GATE_r13.md) no longer matches"
+        )
+
+
+def test_staged_oracle_parity(spark, sf_dir):
+    duck = duck_connection(sf_dir)
+    try:
+        for name in sorted(STAGED):
+            problems = compare(name, spark, duck, sf_dir, STAGED)
+            assert not problems, f"{name}: " + "; ".join(problems)
+    finally:
+        duck.close()
+
+
+def test_q131_matches_naive_global_sweep(spark, sf_dir):
+    rows = tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id").collect()
+    day_peak, day_starts, n_intervals = _brute_peaks(rows)
+    got = _run("q131_peak_concurrency", spark, sf_dir).collect()
+    assert [r.day_idx for r in got] == sorted(day_peak)
+    for r in got:
+        assert r.peak_concurrent == day_peak[r.day_idx], r.day_idx
+        assert r.n_session_starts == day_starts[r.day_idx], r.day_idx
+    assert sum(r.n_session_starts for r in got) == n_intervals
+
+
+def test_q131_peaks_are_genuinely_concurrent(spark, sf_dir):
+    """The operator must be doing interval math, not counting: some
+    day's peak must exceed 1 (overlap exists) and every peak is at
+    least 1 on its observed day."""
+    got = _run("q131_peak_concurrency", spark, sf_dir).collect()
+    assert got
+    assert all(r.peak_concurrent >= 1 for r in got)
+    assert any(r.peak_concurrent > 1 for r in got)
+
+
+def test_q131_plan_day_partitioned_scan(spark, sf_dir):
+    """The scale contract: the sweep's running sum is day-partitioned
+    (plus the tiny |days| carry window) — the per-instant aggregation
+    sits BELOW the windows, and nothing is a cartesian."""
+    plan = _plan(spark, sf_dir, "q131_peak_concurrency")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2  # within-day + cross-day carry
+    below_first_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in below_first_window

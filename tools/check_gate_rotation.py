@@ -307,6 +307,9 @@ MODULE_DEPS: dict[str, list[str]] = {
     # ann_exact precedent) — the edge pulls it into any similarity.py
     # rotation (r16 per the GATE_r13 plan).
     PKG + "queries/lloyd_step.py": [PKG + "operators/similarity.py"],
+    # concurrency restates the q63 sessionization contract — a
+    # sessions.py contract change must pull it in-window.
+    PKG + "queries/concurrency.py": [PKG + "queries/sessions.py"],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
