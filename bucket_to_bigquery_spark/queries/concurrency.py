@@ -128,8 +128,9 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("plus") - F.col("minus")).cast("long").alias("day_total"),
         F.max("peak_local").cast("long").alias("peak_local"),
         F.sum("plus").cast("long").alias("n_session_starts"),
-    ).cache()  # two consumers via self-dependency of the carry window
-    # (3) cross-day carry over the tiny |days|-row frame
+    )
+    # (3) cross-day carry over the tiny |days|-row frame — ONE consumer
+    # (a window is a single scan), so no cache (review finding)
     wc = Window.orderBy("day_idx").rowsBetween(
         Window.unboundedPreceding, -1)
     return (

@@ -241,11 +241,19 @@ def test_q117_plan_takeordered_no_global_sort(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _day(ts) -> int:
+    # exact integer micros (float .timestamp() loses sub-µs precision —
+    # the r13b review finding); testdata days are all post-1970, so
+    # floor == the engines' truncate here
+    import calendar
+
+    us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+    return us // actives._US_PER_DAY
+
+
 def test_q118_matches_bruteforce(spark, sf_dir):
     ev = tables(spark, sf_dir)["events"].select("user_id", "ts").collect()
-    pairs = {(r.user_id,
-              int(r.ts.timestamp() * 1_000_000) // actives._US_PER_DAY)
-             for r in ev}
+    pairs = {(r.user_id, _day(r.ts)) for r in ev}
     days = {d for _, d in pairs}
     active: dict = defaultdict(set)
     for u, d in pairs:
@@ -264,8 +272,7 @@ def test_q118_window_exceeds_daily_actives(spark, sf_dir):
     ev = tables(spark, sf_dir)["events"].select("user_id", "ts").collect()
     daily: dict = defaultdict(set)
     for r in ev:
-        d = int(r.ts.timestamp() * 1_000_000) // actives._US_PER_DAY
-        daily[d].add(r.user_id)
+        daily[_day(r.ts)].add(r.user_id)
     got = {r.day_idx: r.n_active_7d
            for r in _run("q118_rolling_active_users", spark, sf_dir).collect()}
     assert all(got[d] >= len(u) for d, u in daily.items())

@@ -56,7 +56,11 @@ def _round_half_away(x: float) -> int:
 
 
 def _micros(ts) -> int:
-    return int(ts.timestamp() * 1_000_000)
+    # exact integer microseconds — float .timestamp() loses sub-µs
+    # precision at ~1e15 magnitudes (the r13b review finding)
+    import calendar
+
+    return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
 
 
 # ---------------------------------------------------------------------------

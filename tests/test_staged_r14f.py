@@ -12,6 +12,7 @@ decomposed builder must equal it exactly.
 
 from __future__ import annotations
 
+import calendar
 from collections import defaultdict
 
 from bucket_to_bigquery_spark.queries import all_queries, concurrency
@@ -39,7 +40,16 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 
 def _micros(ts) -> int:
-    return int(ts.timestamp() * 1_000_000)
+    # exact integer microseconds — float .timestamp() loses sub-µs
+    # precision at ~1e15 magnitudes (the r13b review finding)
+    return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+
+
+def _trunc_div(a: int, b: int) -> int:
+    # truncate toward zero like Spark `div` / DuckDB `//` — Python //
+    # floors (tests/test_division_convention.py)
+    q = abs(a) // b
+    return q if a >= 0 else -q
 
 
 def _brute_peaks(rows):
@@ -69,7 +79,7 @@ def _brute_peaks(rows):
         plus, minus = deltas[t]
         peak_here = cum + plus  # starts apply before ends at equal t
         cum += plus - minus
-        d = t // concurrency._US_PER_DAY
+        d = _trunc_div(t, concurrency._US_PER_DAY)
         day_peak[d] = max(day_peak.get(d, 0), peak_here)
         day_starts[d] += plus
     return day_peak, day_starts, len(intervals)
