@@ -1,0 +1,136 @@
+"""STAGED r14+ surface (built late r13, NOT registered) — q132:
+near-duplicate components — connected components over the q115
+fingerprint-cluster adjacency (hamming ≤ 3 edges between distinct
+32-bit SimHash clusters), reported per component: representative
+(minimum doc_id), cluster count, document mass. THE near-dedup
+survivor-selection input: q116 reports hamming-0 inflation, q115 the
+pairwise edges; this entry closes the near-dup path with the
+transitive grouping a dedup apply would key on.
+
+Cross-paradigm verification (why this entry is interesting beyond its
+semantics): the Spark side runs the ITERATIVE pointer-jumping
+operator (operators/graph.connected_components — the q46c/q54
+machinery); the DuckDB oracle computes the same labels with a
+RECURSIVE CTE min-label closure. Hash equality pins an iterative
+distributed algorithm against a recursive SQL definition of the same
+fixpoint — the strongest oracle shape the CC family has had (q46c's
+oracle keys on exact-text groups, where components are single-hop).
+
+Reference parity: n/a — no analytics surface in the reference;
+declared engine surface (SURVEY §2.C extension when registered).
+
+Determinism: fingerprints/banding/hamming are the q115 contract
+(IMPORTED — one definition); component label = the component's
+MINIMUM cluster representative (exact integers, both paradigms);
+counts and doc masses exact BIGINTs. Ordered by component_rep.
+
+Scale design (100 TB): nodes are fingerprint CLUSTERS (≤ |distinct
+fingerprints|), never documents; edges are the q115 banded adjacency
+(never all-pairs). connected_components is the log-diameter
+pointer-jumping operator with the skew-safe star-contraction seam and
+block-released checkpoints (the r7 leak fix). The recursive-CTE
+closure is ORACLE-side only (DuckDB, test scale) — its worst case is
+Σ|component|² rows, fine at gate scale and irrelevant to the engine
+plan. Registration note (GATE_r13 rotation math): MODULE_DEPS chains
+to llm_queries via hamming, so this entry registers with
+q115/q116/q117 in r16, after the r15 llm rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import simhash_col, tokens
+from ..operators.graph import connected_components
+from .hamming import _SIMHASH_SQL, q115
+from .llm_queries import _TOKHASH_SQL, _TOKS_SQL
+from .registry import query, tables
+
+_Q132_ORACLE = (
+    "WITH RECURSIVE t AS (SELECT doc_id, "
+    f"list_transform(list_distinct({_TOKS_SQL}), t -> "
+    + _TOKHASH_SQL.format(t="t")
+    + ") AS hs FROM documents), "
+    f"f AS (SELECT doc_id, {_SIMHASH_SQL} AS sh FROM t), "
+    "cl AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS rep, "
+    "CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY sh), "
+    "b AS (SELECT sh, rep, i AS bi, (sh >> (i * 8)) & 255 AS bv "
+    "FROM cl CROSS JOIN range(0, 4) r(i)), "
+    "ed AS (SELECT DISTINCT x.rep AS ra, y.rep AS rb "
+    "FROM b x JOIN b y ON x.bi = y.bi AND x.bv = y.bv AND x.rep < y.rep "
+    "WHERE bit_count(xor(x.sh, y.sh)) <= 3), "
+    "sym AS (SELECT ra AS a, rb AS bb FROM ed "
+    "UNION ALL SELECT rb, ra FROM ed), "
+    # recursive min-label closure: every label reachable from a node;
+    # min per node = the component's minimum representative
+    "reach(node, l) AS (SELECT rep, rep FROM cl "
+    "UNION SELECT s.bb, r.l FROM reach r JOIN sym s ON s.a = r.node), "
+    "comp AS (SELECT node, CAST(min(l) AS BIGINT) AS c "
+    "FROM reach GROUP BY node) "
+    "SELECT comp.c AS component_rep, "
+    "CAST(count(*) AS BIGINT) AS n_clusters, "
+    "CAST(sum(cl.sz) AS BIGINT) AS n_docs "
+    "FROM comp JOIN cl ON cl.rep = comp.node "
+    "GROUP BY comp.c ORDER BY component_rep"
+)
+
+_Q132_DESCRIPTION = (
+    "Q132: near-duplicate components — connected components over the "
+    "q115 simhash cluster adjacency, per component: min-doc_id "
+    "representative, cluster count, document mass (the transitive "
+    "grouping a near-dedup apply keys on). Spark runs the iterative "
+    "pointer-jumping CC operator (log-diameter, skew-safe seam); the "
+    "oracle recomputes the same labels with a recursive-CTE min-label "
+    "closure — an iterative distributed algorithm hash-pinned against "
+    "a recursive SQL fixpoint. Nodes are fingerprint clusters, edges "
+    "the banded adjacency — documents never shuffle."
+)
+
+
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    cl = (
+        docs.select(
+            "doc_id", simhash_col(tokens("text"), bits=32).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(
+            F.min("doc_id").cast("long").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("sz"),
+        )
+        .cache()  # two consumers (node universe + the mass join):
+    #              uncached, each replays the corpus fold (q80 lesson)
+    )
+    edges = q115(spark, sf_dir).select(
+        F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+    labels = connected_components(
+        edges,
+        nodes=cl.select(F.col("rep").alias("node")),
+        nodes_unique=True,
+        edges_unique=True,
+    )
+    return (
+        labels.join(cl, labels["node"] == cl["rep"])
+        .groupBy(F.col("cluster_id").alias("component_rep"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+        .orderBy("component_rep")
+    )
+
+
+STAGED = {
+    "q132_neardup_components": (q132, _Q132_ORACLE, _Q132_DESCRIPTION,
+                                ("llm", "dedup", "graph")),
+}
+
+
+def register() -> None:
+    """r16 registration seam — see joins_ext.register for the pattern."""
+    for name, (fn, oracle, desc, tags) in STAGED.items():
+        query(name, oracle=oracle, description=desc, tags=tags)(fn)
+
+
+__all__ = ["q132", "STAGED", "register"]

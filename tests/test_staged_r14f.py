@@ -1,21 +1,32 @@
 """Sixth r13-staged batch for ROUND-14+ registration: q131 peak
 concurrent sessions per day (concurrency.py) — the sweep-line interval
 operator over the q63 sessionization contract, built as the two-level
-segmented scan (within-day prefix peaks + cross-day carry).
+segmented scan (within-day prefix peaks + cross-day carry) — and q132
+near-duplicate components (neardup_cc.py) — the iterative
+pointer-jumping CC operator hash-pinned against a recursive-CTE
+min-label closure.
 
 Same three checks as tests/test_staged_r14.py: staging containment,
-oracle parity through the driver-mirror harness, and a full Python
-brute-force replay + plan pins. The replay runs the NAIVE global
-sweep (sort every boundary, running sum, per-day max) — the
-decomposed builder must equal it exactly.
+oracle parity through the driver-mirror harness, and full Python
+brute-force replays + plan pins. The q131 replay runs the NAIVE
+global sweep (sort every boundary, running sum, per-day max); the
+q132 replay runs union-find over an independently recomputed simhash
+adjacency — the decomposed/iterative builders must equal both
+exactly.
 """
 
 from __future__ import annotations
 
 import calendar
+import hashlib
 from collections import defaultdict
 
-from bucket_to_bigquery_spark.queries import all_queries, concurrency
+from bucket_to_bigquery_spark.queries import (
+    all_queries,
+    concurrency,
+    hamming,
+    neardup_cc,
+)
 from bucket_to_bigquery_spark.queries.registry import (
     Query,
     _with_tuning,
@@ -24,9 +35,12 @@ from bucket_to_bigquery_spark.queries.registry import (
 
 from .oracle import compare, duck_connection
 
+_STAGED_MODULES = (concurrency, neardup_cc)
+
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
-    for name, (fn, oracle, desc, tags) in concurrency.STAGED.items()
+    for mod in _STAGED_MODULES
+    for name, (fn, oracle, desc, tags) in mod.STAGED.items()
 }
 
 
@@ -136,3 +150,76 @@ def test_q131_plan_day_partitioned_scan(spark, sf_dir):
     assert plan.count("Window") >= 2  # within-day + cross-day carry
     below_first_window = plan.split("Window", 1)[1]
     assert "HashAggregate" in below_first_window
+
+
+# ---------------------------------------------------------------------------
+# q132 — near-duplicate components
+# ---------------------------------------------------------------------------
+
+
+def _toks(text: str) -> list[str]:
+    return " ".join(text.lower().split()).split(" ") if text else [""]
+
+
+def _simhash32(text: str) -> int:
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+          for t in dict.fromkeys(_toks(text))]
+    sh = 0
+    for j in range(32):
+        if sum(((h >> j) & 1) * 2 - 1 for h in hs) > 0:
+            sh |= 1 << j
+    return sh
+
+
+def test_q132_matches_unionfind_bruteforce(spark, sf_dir):
+    """Union-find over an independently recomputed simhash adjacency
+    (all cluster pairs at hamming ≤ 3 — no banding shortcut): the
+    iterative CC operator and the recursive oracle must both equal
+    the classical algorithm."""
+    docs = tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text").collect()
+    clusters: dict = defaultdict(list)
+    for r in docs:
+        clusters[_simhash32(r.text)].append(r.doc_id)
+    nodes = sorted((min(ids), sh, len(ids))
+                   for sh, ids in clusters.items())
+    parent = {rep: rep for rep, _, _ in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, (ra, sa, _) in enumerate(nodes):
+        for rb, sb, _ in nodes[i + 1:]:
+            if bin(sa ^ sb).count("1") <= hamming._MAX_HAMMING:
+                a, b = find(ra), find(rb)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp: dict = defaultdict(lambda: [0, 0])
+    for rep, _, sz in nodes:
+        c = find(rep)
+        comp[c][0] += 1
+        comp[c][1] += sz
+    expect = [(c, n, d) for c, (n, d) in sorted(comp.items())]
+    got = _run("q132_neardup_components", spark, sf_dir).collect()
+    assert [(r.component_rep, r.n_clusters, r.n_docs) for r in got] == expect
+
+
+def test_q132_components_partition_the_corpus(spark, sf_dir):
+    """Conservation + nontriviality: doc masses sum to the corpus,
+    every representative is its own component's minimum, and at least
+    one component merges multiple fingerprint clusters."""
+    n_docs = tables(spark, sf_dir)["documents"].count()
+    got = _run("q132_neardup_components", spark, sf_dir).collect()
+    assert sum(r.n_docs for r in got) == n_docs
+    assert any(r.n_clusters > 1 for r in got)
+    reps = [r.component_rep for r in got]
+    assert reps == sorted(set(reps))
+
+
+def test_q132_plan_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q132_neardup_components")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # the cached cluster frame

@@ -310,6 +310,15 @@ MODULE_DEPS: dict[str, list[str]] = {
     # concurrency restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window.
     PKG + "queries/concurrency.py": [PKG + "queries/sessions.py"],
+    # neardup_cc consumes the q115 adjacency + the CC operator + the
+    # shared fingerprint/tokenizer contracts — registers in r16 with
+    # q115/q116/q117 (the llm_queries hold-back, GATE_r13).
+    PKG + "queries/neardup_cc.py": [
+        PKG + "queries/hamming.py",
+        PKG + "queries/llm_queries.py",
+        PKG + "operators/dedup.py",
+        PKG + "operators/graph.py",
+    ],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
