@@ -121,9 +121,95 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q133_ORACLE = (
+    "WITH RECURSIVE t AS (SELECT doc_id, "
+    f"list_transform(list_distinct({_TOKS_SQL}), t -> "
+    + _TOKHASH_SQL.format(t="t")
+    + ") AS hs FROM documents), "
+    f"f AS (SELECT doc_id, {_SIMHASH_SQL} AS sh FROM t), "
+    "cl AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS rep "
+    "FROM f GROUP BY sh), "
+    "b AS (SELECT sh, rep, i AS bi, (sh >> (i * 8)) & 255 AS bv "
+    "FROM cl CROSS JOIN range(0, 4) r(i)), "
+    "ed AS (SELECT DISTINCT x.rep AS ra, y.rep AS rb "
+    "FROM b x JOIN b y ON x.bi = y.bi AND x.bv = y.bv AND x.rep < y.rep "
+    "WHERE bit_count(xor(x.sh, y.sh)) <= 3), "
+    "sym AS (SELECT ra AS a, rb AS bb FROM ed "
+    "UNION ALL SELECT rb, ra FROM ed), "
+    "reach(node, l) AS (SELECT rep, rep FROM cl "
+    "UNION SELECT s.bb, r.l FROM reach r JOIN sym s ON s.a = r.node), "
+    "comp AS (SELECT node, CAST(min(l) AS BIGINT) AS c "
+    "FROM reach GROUP BY node), "
+    # doc -> fingerprint cluster -> component; survivor = the doc that
+    # IS its component's label (min doc_id in the component)
+    "lab AS (SELECT d.doc_id, d.source, comp.c FROM documents d "
+    "JOIN f ON f.doc_id = d.doc_id JOIN cl ON cl.sh = f.sh "
+    "JOIN comp ON comp.node = cl.rep) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN doc_id = c THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_survivors, "
+    "CAST(sum(CASE WHEN doc_id = c THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS n_removed, "
+    "CAST(round(CAST(sum(CASE WHEN doc_id = c THEN 0 ELSE 1 END) "
+    "AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS removed_share_e6 "
+    "FROM lab GROUP BY source ORDER BY source"
+)
+
+_Q133_DESCRIPTION = (
+    "Q133: near-duplicate dedup APPLY — the q46d analogue at near-dup "
+    "granularity: each q132 component keeps exactly its minimum-doc_id "
+    "survivor; the report is each source's retained/removed mass and "
+    "removal share (e6). Doc -> fingerprint cluster -> component via "
+    "two hash joins of the already-tiny cluster/label frames back onto "
+    "the corpus (documents shuffle once, on the 8-byte fingerprint); "
+    "the same recursive-CTE closure oracles the component labels."
+)
+
+
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    fp = docs.select(
+        "doc_id", "source",
+        simhash_col(tokens("text"), bits=32).alias("sh"),
+    )
+    cl = (
+        fp.groupBy("sh")
+        .agg(F.min("doc_id").cast("long").alias("rep"))
+    ).cache()  # two consumers (node universe + the doc join) — q80
+    edges = q115(spark, sf_dir).select(
+        F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+    labels = connected_components(
+        edges,
+        nodes=cl.select(F.col("rep").alias("node")),
+        nodes_unique=True,
+        edges_unique=True,
+    )
+    lab = (
+        fp.join(cl, "sh")
+        .join(labels, cl["rep"] == labels["node"])
+        .select("doc_id", "source", F.col("cluster_id").alias("c"))
+    )
+    survivor = (F.col("doc_id") == F.col("c")).cast("long")
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(survivor).cast("long").alias("n_survivors"),
+            F.sum(F.lit(1) - survivor).cast("long").alias("n_removed"),
+            F.round(
+                F.sum(F.lit(1) - survivor).cast("double")
+                / F.count(F.lit(1)) * F.lit(1e6)
+            ).cast("long").alias("removed_share_e6"),
+        )
+        .orderBy("source")
+    )
+
+
 STAGED = {
     "q132_neardup_components": (q132, _Q132_ORACLE, _Q132_DESCRIPTION,
                                 ("llm", "dedup", "graph")),
+    "q133_neardup_apply": (q133, _Q133_ORACLE, _Q133_DESCRIPTION,
+                           ("llm", "dedup", "graph")),
 }
 
 
@@ -133,4 +219,4 @@ def register() -> None:
         query(name, oracle=oracle, description=desc, tags=tags)(fn)
 
 
-__all__ = ["q132", "STAGED", "register"]
+__all__ = ["q132", "q133", "STAGED", "register"]

@@ -223,3 +223,58 @@ def test_q132_plan_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q132_neardup_components")
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # the cached cluster frame
+
+
+# ---------------------------------------------------------------------------
+# q133 — near-duplicate dedup apply
+# ---------------------------------------------------------------------------
+
+
+def test_q133_matches_unionfind_bruteforce(spark, sf_dir):
+    """Same union-find ground truth as q132, carried to doc level:
+    per source, exactly one survivor per component and the removal
+    share over exact counts."""
+    docs = tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "source").collect()
+    clusters: dict = defaultdict(list)
+    src: dict = {}
+    for r in docs:
+        clusters[_simhash32(r.text)].append(r.doc_id)
+        src[r.doc_id] = r.source
+    nodes = sorted((min(ids), sh) for sh, ids in clusters.items())
+    parent = {rep: rep for rep, _ in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, (ra, sa) in enumerate(nodes):
+        for rb, sb in nodes[i + 1:]:
+            if bin(sa ^ sb).count("1") <= hamming._MAX_HAMMING:
+                a, b = find(ra), find(rb)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp_of_sh = {sh: find(rep) for rep, sh in nodes}
+    agg: dict = defaultdict(lambda: [0, 0])  # source -> [docs, survivors]
+    for sh, ids in clusters.items():
+        c = comp_of_sh[sh]
+        for d in ids:
+            agg[src[d]][0] += 1
+            agg[src[d]][1] += int(d == c)
+    got = _run("q133_neardup_apply", spark, sf_dir).collect()
+    assert [r.source for r in got] == sorted(agg)
+    for r in got:
+        n, surv = agg[r.source]
+        assert (r.n_docs, r.n_survivors, r.n_removed) == (n, surv, n - surv)
+        assert abs(r.removed_share_e6
+                   - round((n - surv) / n * 1e6)) <= 1
+
+
+def test_q133_survivors_count_components(spark, sf_dir):
+    """Global invariant: total survivors == number of q132 components
+    (one survivor per component, wherever its source lands)."""
+    comps = _run("q132_neardup_components", spark, sf_dir).count()
+    got = _run("q133_neardup_apply", spark, sf_dir).collect()
+    assert sum(r.n_survivors for r in got) == comps
