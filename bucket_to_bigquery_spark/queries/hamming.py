@@ -112,11 +112,12 @@ _Q115_DESCRIPTION = (
 )
 
 
-def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables(spark, sf_dir)["documents"]
-    # fingerprint under the exact q46b contract, collapsed to distinct-
-    # fingerprint clusters: the hamming-0 cliques become single nodes
-    cl = (
+def cluster_frame(docs: DataFrame) -> DataFrame:
+    """Distinct-fingerprint clusters (sh, rep, sz) under the exact q46b
+    contract — the hamming-0 cliques become single nodes. Shared by
+    q115 and neardup_cc's q132/q133 (ONE fold definition; callers
+    cache it when they consume it more than once)."""
+    return (
         docs.select(
             "doc_id", simhash_col(tokens("text"), bits=32).alias("sh")
         )
@@ -126,6 +127,14 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("sz"),
         )
     )
+
+
+def adjacency(cl: DataFrame) -> DataFrame:
+    """Hamming ≤ _MAX_HAMMING edges between distinct-fingerprint
+    clusters from a (sh, rep, sz) frame: the banded equi-join +
+    exact-hamming verify. Returns the UNORDERED edge frame
+    (rep_a < rep_b, sizes, doc-pair mass) — q115 orders it; q132/q133
+    feed it to connected components as-is."""
     mask = (1 << _BAND_BITS) - 1
     # literal shift amounts per band (Spark's shift builtins take int
     # literals — the q46b lesson), assembled as one explode of a
@@ -171,8 +180,12 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs_a") * F.col("n_docs_b")).cast("long")
             .alias("n_doc_pairs"),
         )
-        .orderBy("rep_a", "rep_b")
     )
+
+
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    return adjacency(cluster_frame(docs)).orderBy("rep_a", "rep_b")
 
 
 STAGED = {
@@ -187,4 +200,4 @@ def register() -> None:
         query(name, oracle=oracle, description=desc, tags=tags)(fn)
 
 
-__all__ = ["q115", "STAGED", "register"]
+__all__ = ["q115", "cluster_frame", "adjacency", "STAGED", "register"]

@@ -1,5 +1,5 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q132): every staged builder and its DuckDB oracle run over a
+(q109–q133): every staged builder and its DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
 

@@ -171,6 +171,29 @@ def _simhash32(text: str) -> int:
     return sh
 
 
+def _components_by_sh(clusters: dict) -> dict:
+    """Classical union-find ground truth over ALL cluster pairs at
+    hamming ≤ 3 (no banding shortcut): {sh: component root (min
+    doc_id)}. Shared by the q132 and q133 replays — ONE definition of
+    the reference algorithm."""
+    nodes = sorted((min(ids), sh) for sh, ids in clusters.items())
+    parent = {rep: rep for rep, _ in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, (ra, sa) in enumerate(nodes):
+        for rb, sb in nodes[i + 1:]:
+            if bin(sa ^ sb).count("1") <= hamming._MAX_HAMMING:
+                a, b = find(ra), find(rb)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    return {sh: find(rep) for rep, sh in nodes}
+
+
 def test_q132_matches_unionfind_bruteforce(spark, sf_dir):
     """Union-find over an independently recomputed simhash adjacency
     (all cluster pairs at hamming ≤ 3 — no banding shortcut): the
@@ -181,27 +204,12 @@ def test_q132_matches_unionfind_bruteforce(spark, sf_dir):
     clusters: dict = defaultdict(list)
     for r in docs:
         clusters[_simhash32(r.text)].append(r.doc_id)
-    nodes = sorted((min(ids), sh, len(ids))
-                   for sh, ids in clusters.items())
-    parent = {rep: rep for rep, _, _ in nodes}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for i, (ra, sa, _) in enumerate(nodes):
-        for rb, sb, _ in nodes[i + 1:]:
-            if bin(sa ^ sb).count("1") <= hamming._MAX_HAMMING:
-                a, b = find(ra), find(rb)
-                if a != b:
-                    parent[max(a, b)] = min(a, b)
+    comp_of_sh = _components_by_sh(clusters)
     comp: dict = defaultdict(lambda: [0, 0])
-    for rep, _, sz in nodes:
-        c = find(rep)
+    for sh, ids in clusters.items():
+        c = comp_of_sh[sh]
         comp[c][0] += 1
-        comp[c][1] += sz
+        comp[c][1] += len(ids)
     expect = [(c, n, d) for c, (n, d) in sorted(comp.items())]
     got = _run("q132_neardup_components", spark, sf_dir).collect()
     assert [(r.component_rep, r.n_clusters, r.n_docs) for r in got] == expect
@@ -241,22 +249,7 @@ def test_q133_matches_unionfind_bruteforce(spark, sf_dir):
     for r in docs:
         clusters[_simhash32(r.text)].append(r.doc_id)
         src[r.doc_id] = r.source
-    nodes = sorted((min(ids), sh) for sh, ids in clusters.items())
-    parent = {rep: rep for rep, _ in nodes}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for i, (ra, sa) in enumerate(nodes):
-        for rb, sb in nodes[i + 1:]:
-            if bin(sa ^ sb).count("1") <= hamming._MAX_HAMMING:
-                a, b = find(ra), find(rb)
-                if a != b:
-                    parent[max(a, b)] = min(a, b)
-    comp_of_sh = {sh: find(rep) for rep, sh in nodes}
+    comp_of_sh = _components_by_sh(clusters)
     agg: dict = defaultdict(lambda: [0, 0])  # source -> [docs, survivors]
     for sh, ids in clusters.items():
         c = comp_of_sh[sh]
