@@ -1,5 +1,5 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q133): every staged builder and its DuckDB oracle run over a
+(q109–q134): every staged builder and its DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
 
@@ -40,6 +40,7 @@ from bucket_to_bigquery_spark.queries import (
     actives,
     coverage,
     concurrency,
+    funnel_ttc,
     embed_outliers,
     hamming,
     inflation,
@@ -59,7 +60,7 @@ from .oracle import compare, duck_connection
 _STAGED_MODULES = (
     tpch_ext, tpch_ext2, profiling, temperature, hamming, inflation,
     coverage, actives, embed_outliers, seasonality, latency, lloyd_step,
-    concurrency, neardup_cc,
+    concurrency, neardup_cc, funnel_ttc,
 )
 
 STAGED: dict[str, Query] = {

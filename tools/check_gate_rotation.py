@@ -319,6 +319,9 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "operators/dedup.py",
         PKG + "operators/graph.py",
     ],
+    # funnel_ttc restates the q63b funnel chaining contract — a
+    # sessions.py contract change must pull it in-window.
+    PKG + "queries/funnel_ttc.py": [PKG + "queries/sessions.py"],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
