@@ -1,5 +1,6 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q134): every staged builder and its DuckDB oracle run over a
+(q109–q134 + the r17 batch q135–q140): every staged builder and its
+DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
 
@@ -38,16 +39,22 @@ import pytest
 
 from bucket_to_bigquery_spark.queries import (
     actives,
+    cooccur,
     coverage,
     concurrency,
     funnel_ttc,
+    fuzzy,
     embed_outliers,
     hamming,
     inflation,
+    ks,
     latency,
     lloyd_step,
     neardup_cc,
+    pq_ann,
     profiling,
+    recon,
+    robust,
     seasonality,
     temperature,
     tpch_ext,
@@ -61,6 +68,11 @@ _STAGED_MODULES = (
     tpch_ext, tpch_ext2, profiling, temperature, hamming, inflation,
     coverage, actives, embed_outliers, seasonality, latency, lloyd_step,
     concurrency, neardup_cc, funnel_ttc,
+    # staged r17 batch (q135–q140): recon's all-clean audit, ks with a
+    # 3-vs-1 split, robust's tiny segments, cooccur's single-item
+    # baskets, pq_ann's sub-16-vector codebook with identical/zero
+    # vector ties, fuzzy's zero-candidate single-token names
+    recon, ks, robust, cooccur, pq_ann, fuzzy,
 )
 
 STAGED: dict[str, Query] = {

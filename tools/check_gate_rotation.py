@@ -322,6 +322,19 @@ MODULE_DEPS: dict[str, list[str]] = {
     # funnel_ttc restates the q63b funnel chaining contract — a
     # sessions.py contract change must pull it in-window.
     PKG + "queries/funnel_ttc.py": [PKG + "queries/sessions.py"],
+    # --- staged r17 batch (built late r13; registry-only fan-in
+    # except robust, which restates q129's disc percentile rank rule:
+    # a latency.py contract change must pull it in-window). ks restates
+    # the q131 segmented-scan DECOMPOSITION but shares no value
+    # contract with concurrency (different domain, own oracle), and
+    # pq_ann re-derives the e12 d2 contract inline (the q48h/ann_exact
+    # rationale) — both deliberately edge-free.
+    PKG + "queries/recon.py": [],
+    PKG + "queries/ks.py": [],
+    PKG + "queries/robust.py": [PKG + "queries/latency.py"],
+    PKG + "queries/cooccur.py": [],
+    PKG + "queries/pq_ann.py": [],
+    PKG + "queries/fuzzy.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
