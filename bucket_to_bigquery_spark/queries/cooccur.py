@@ -81,11 +81,14 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("f"))
     a = items.alias("a")
     b = items.alias("b")
+    # two consumers (both union orientations) — without the cache the
+    # costliest stage (the basket self-join + pair shuffle) runs twice
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o"))
                & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("i"), F.col("b.p").alias("j"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
     )
     sym = pairs.unionAll(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))

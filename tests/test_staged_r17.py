@@ -396,27 +396,33 @@ def _violation_dir(tmp_path) -> str:
        "p_retailprice"],
       [[1], ["lone widget"], ["Brand#1"], ["PROMO"], [1], [1.0]],
       [i64, s, s, s, i32, f64])
-    # order 1 has lines; order 2 is childless; order 3 dangles on
-    # customer 9 — ALL dated after the 1998 KS pivot (early side empty)
+    # order 1 has lines; orders 2/4 are childless; order 3 dangles on
+    # customer 9; order 4's custkey is NULL (the NULL-FK contract: a
+    # NULL key IS a violation) — ALL dated after the 1998 KS pivot
+    # (early side empty)
     w("orders.parquet",
       ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
        "o_orderdate", "o_orderpriority"],
-      [[1, 2, 3], [1, 1, 9], ["O", "O", "O"], [10.0, 20.0, 30.0],
+      [[1, 2, 3, 4], [1, 1, 9, None], ["O", "O", "O", "O"],
+       [10.0, 20.0, 30.0, 40.0],
        [dt.datetime(1999, 1, 1), dt.datetime(1999, 2, 1),
-        dt.datetime(1999, 3, 1)],
-       ["1-URGENT", "2-HIGH", "2-HIGH"]],
+        dt.datetime(1999, 3, 1), dt.datetime(1999, 4, 1)],
+       ["1-URGENT", "2-HIGH", "2-HIGH", "5-LOW"]],
       [i64, i64, s, f64, tus, s])
     # line on order 99 is an orphan; duplicated (1, 1) PK; one line on
-    # missing part 7; one zero quantity
+    # missing part 7; one zero quantity; one line with NULL
+    # orderkey/partkey/linenumber (NULL-FK + NULL-PK-tuple semantics —
+    # where NOT IN / bare-column countDistinct would silently diverge)
     w("lineitem.parquet",
       ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
        "l_returnflag", "l_linestatus", "l_shipdate"],
-      [[1, 1, 1, 99], [1, 1, 7, 1], [1, 1, 1, 1], [1, 1, 2, 1],
-       [1.0, 0.0, 2.0, 3.0], [1.0, 1.0, 2.0, 3.0],
-       [0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0],
-       ["N", "N", "N", "N"], ["O", "O", "O", "O"],
-       [dt.datetime(1999, 1, 5)] * 4],
+      [[1, 1, 1, 99, None], [1, 1, 7, 1, None], [1, 1, 1, 1, 1],
+       [1, 1, 2, 1, None],
+       [1.0, 0.0, 2.0, 3.0, 4.0], [1.0, 1.0, 2.0, 3.0, 4.0],
+       [0.0] * 5, [0.0] * 5,
+       ["N"] * 5, ["O"] * 5,
+       [dt.datetime(1999, 1, 5)] * 5],
       [i64, i64, i64, i32, f64, f64, f64, f64, s, s, tus])
     w("events.parquet",
       ["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -441,12 +447,12 @@ def test_q135_counts_planted_violations(spark, tmp_path):
     got = {r.chk: (r.n_bad, r.n_checked) for r in
            _run("q135_referential_audit", spark, bad).collect()}
     assert got == {
-        "orphan_lineitems": (1, 4),
-        "childless_orders": (2, 3),  # order 3's customer dangles too
-        "orders_missing_customer": (1, 3),
-        "lineitems_missing_part": (1, 4),
-        "duplicate_line_pk": (1, 4),
-        "nonpositive_quantity": (1, 4),
+        "orphan_lineitems": (2, 5),  # order-99 line + the NULL-key line
+        "childless_orders": (3, 4),
+        "orders_missing_customer": (2, 4),  # dangling 9 + NULL custkey
+        "lineitems_missing_part": (2, 5),  # part-7 line + NULL partkey
+        "duplicate_line_pk": (1, 5),  # (NULL,NULL) is its own tuple
+        "nonpositive_quantity": (1, 5),
     }
 
 

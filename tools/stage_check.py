@@ -23,7 +23,11 @@ def main() -> int:
     it = iter(args)
     for a in it:
         if a == "--sf":
-            sfs.append(next(it))
+            try:
+                sfs.append(next(it))
+            except StopIteration:
+                print("usage: stage_check.py <module> [...] [--sf DIR ...]")
+                return 2
         else:
             mods.append(a)
     sfs = sfs or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
