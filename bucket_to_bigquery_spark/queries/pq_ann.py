@@ -107,6 +107,66 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb)
 
 
+_SL = "(size({v}) div " + str(_M) + ")"
+_SUB = ("slice({v}, cast(m * " + _SL + " + 1 as int), "
+        "cast(" + _SL + " as int))")
+
+
+def _sub_slices(df: DataFrame, id_col: str, vec_col: str,
+                out_id: str, out_sub: str, m_sub: int) -> DataFrame:
+    """Explode a vector frame into its per-subspace slices."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.expr(f"sequence(0, {m_sub - 1})")).alias("m"),
+        F.col(vec_col).alias("_vec"),
+    ).select(
+        out_id, "m",
+        F.expr(_SUB.format(v="_vec")).alias(out_sub),
+    )
+
+
+def pq_subcodebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = _M,
+    k_codes: int = _KCB,
+) -> DataFrame:
+    """The injected per-subspace codebooks: the ``k_codes``
+    lowest-``id_col`` corpus vectors' sub-slices as
+    (m, code_id, csub). TakeOrdered (distributed) — never a global
+    sort."""
+    cb = corpus.select(id_col, vec_col).orderBy(id_col).limit(k_codes)
+    cbw = cb.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1)
+        .cast("long").alias("code_id"),
+        F.col(vec_col).alias("cvec"),
+    )
+    return _sub_slices(cbw, "code_id", "cvec", "code_id", "csub",
+                       m_sub).select("m", "code_id", "csub")
+
+
+def pq_assign(
+    corpus: DataFrame,
+    subcb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = _M,
+) -> DataFrame:
+    """Per-(vector, subspace) nearest-codeword assignment under the
+    exact e12 d² contract (ties → lowest code_id). Returns
+    (vid, m, code_id, d2)."""
+    ex = _sub_slices(corpus, id_col, vec_col, "vid", "vsub", m_sub)
+    d = ex.join(F.broadcast(subcb), "m").select(
+        "vid", "m", "code_id",
+        F.expr(_D2_E12_SPARK.format(a="vsub", b="csub")).alias("d2"),
+    )
+    w = Window.partitionBy("vid", "m").orderBy(
+        F.col("d2").asc(), F.col("code_id").asc())
+    return d.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1).drop("rn")
+
+
 def pq_encode(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -119,40 +179,8 @@ def pq_encode(
     (id, packed BIGINT code word — nibble m at bit 4m — and the exact
     e12 recon error).
     """
-    sl = "(size({v}) div " + str(m_sub) + ")"
-    sub = ("slice({v}, cast(m * " + sl + " + 1 as int), "
-           "cast(" + sl + " as int))")
-    # TakeOrdered (distributed) top-K by id — never a global sort
-    cb = corpus.select(id_col, vec_col).orderBy(id_col).limit(k_codes)
-    cbw = cb.select(
-        (F.row_number().over(Window.orderBy(id_col)) - 1)
-        .cast("long").alias("code_id"),
-        F.col(vec_col).alias("cvec"),
-    )
-    subcb = cbw.select(
-        "code_id",
-        F.explode(F.expr(f"sequence(0, {m_sub - 1})")).alias("m"),
-        "cvec",
-    ).select(
-        "m", "code_id",
-        F.expr(sub.format(v="cvec")).alias("csub"),
-    )
-    ex = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.explode(F.expr(f"sequence(0, {m_sub - 1})")).alias("m"),
-        F.col(vec_col).alias("vec"),
-    ).select(
-        "vid", "m",
-        F.expr(sub.format(v="vec")).alias("vsub"),
-    )
-    d = ex.join(F.broadcast(subcb), "m").select(
-        "vid", "m", "code_id",
-        F.expr(_D2_E12_SPARK.format(a="vsub", b="csub")).alias("d2"),
-    )
-    w = Window.partitionBy("vid", "m").orderBy(
-        F.col("d2").asc(), F.col("code_id").asc())
-    pick = d.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1)
+    subcb = pq_subcodebooks(corpus, id_col, vec_col, m_sub, k_codes)
+    pick = pq_assign(corpus, subcb, id_col, vec_col, m_sub)
     return (
         pick.groupBy("vid")
         .agg(
@@ -166,9 +194,110 @@ def pq_encode(
     )
 
 
+_ADC_K = 5
+_N_QUERIES = 10  # the q48-family audited query slice (vec_id < 10)
+
+_Q141_ORACLE = (
+    "WITH p AS (SELECT len(embedding) // "
+    f"{_M} AS sl FROM embeddings LIMIT 1), "
+    "cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) "
+    "- 1 AS code_id, embedding AS cvec FROM embeddings "
+    f"QUALIFY row_number() OVER (ORDER BY vec_id) <= {_KCB}), "
+    f"ms AS (SELECT unnest(range({_M})) AS m), "
+    "subcb AS (SELECT m, code_id, "
+    "list_slice(cvec, m * sl + 1, m * sl + sl) AS csub FROM cb, ms, p), "
+    "ex AS (SELECT vec_id, m, "
+    "list_slice(embedding, m * sl + 1, m * sl + sl) AS vsub "
+    "FROM embeddings, ms, p), "
+    "d AS (SELECT vec_id, ex.m, code_id, "
+    + _D2_E12_SQL.format(a="vsub", b="csub")
+    + " AS d2 FROM ex JOIN subcb ON ex.m = subcb.m), "
+    "pick AS (SELECT vec_id, m, code_id FROM d "
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, m "
+    "ORDER BY d2 ASC, code_id ASC) = 1), "
+    "qx AS (SELECT vec_id AS q_id, m, "
+    "list_slice(embedding, m * sl + 1, m * sl + sl) AS qsub "
+    f"FROM embeddings, ms, p WHERE vec_id < {_N_QUERIES}), "
+    "dtab AS (SELECT q_id, subcb.m, code_id, "
+    + _D2_E12_SQL.format(a="qsub", b="csub")
+    + " AS qd2 FROM qx JOIN subcb ON qx.m = subcb.m), "
+    "adc AS (SELECT q_id, pick.vec_id AS n_id, "
+    "CAST(sum(qd2) AS BIGINT) AS adc_d2_e12 "
+    "FROM pick JOIN dtab ON pick.m = dtab.m "
+    "AND pick.code_id = dtab.code_id "
+    "WHERE pick.vec_id != dtab.q_id GROUP BY q_id, pick.vec_id) "
+    "SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id "
+    "ORDER BY adc_d2_e12 ASC, n_id ASC) AS BIGINT) AS rank, "
+    "n_id, adc_d2_e12 FROM adc "
+    f"QUALIFY rank <= {_ADC_K} ORDER BY q_id, rank"
+)
+
+_Q141_DESCRIPTION = (
+    "Q141: PQ asymmetric-distance (ADC) top-5 — the SERVING leg of "
+    "product quantization: each query builds its tiny (M x K) "
+    "distance table against the injected sub-codebooks under the "
+    "exact e12 d2 contract, and every corpus vector is scored as the "
+    "SUM OF TABLE LOOKUPS over its assigned codes — the corpus is "
+    "scanned as codes, never as vectors. Integer-exact throughout "
+    "(table entries and sums are e12 BIGINTs; ties -> lowest "
+    "neighbor id), full value oracle. Scale-correct: distance tables "
+    "broadcast (Q*M*K rows), assignments flow map-side into the "
+    "per-(query, vector) combine; full vectors appear only in the "
+    "one assignment pass q139 already audits."
+)
+
+
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables(spark, sf_dir)["embeddings"]
+    return pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ADC_K)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = _M,
+    k_codes: int = _KCB,
+    k: int = _ADC_K,
+) -> DataFrame:
+    """PQ ADC scan: score every corpus vector for every query as the
+    sum of per-subspace distance-table lookups over its assigned
+    codes; per-query top-k (adc ASC, id ASC), self excluded."""
+    # two consumers (corpus assignment + query distance tables) ->
+    # cache the tiny (M*K)-row codebook frame
+    subcb = pq_subcodebooks(corpus, id_col, vec_col, m_sub,
+                            k_codes).cache()
+    assign = pq_assign(corpus, subcb, id_col, vec_col, m_sub).select(
+        "vid", "m", "code_id")
+    qx = _sub_slices(queries, id_col, vec_col, "q_id", "qsub", m_sub)
+    dtab = qx.join(F.broadcast(subcb), "m").select(
+        "q_id", "m", "code_id",
+        F.expr(_D2_E12_SPARK.format(a="qsub", b="csub")).alias("qd2"),
+    )
+    adc = (
+        assign.join(F.broadcast(dtab), ["m", "code_id"])
+        .where(F.col("vid") != F.col("q_id"))
+        .groupBy("q_id", "vid")
+        .agg(F.sum("qd2").cast("long").alias("adc_d2_e12"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_d2_e12").asc(), F.col("vid").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", F.col("vid").alias("n_id"),
+                "adc_d2_e12")
+        .orderBy("q_id", "rank")
+    )
+
+
 STAGED = {
     "q139_pq_encode": (q139, _Q139_ORACLE, _Q139_DESCRIPTION,
                        ("llm", "similarity")),
+    "q141_pq_adc_topk": (q141, _Q141_ORACLE, _Q141_DESCRIPTION,
+                         ("llm", "similarity")),
 }
 
 
@@ -178,4 +307,5 @@ def register() -> None:
         query(name, oracle=oracle, description=desc, tags=tags)(fn)
 
 
-__all__ = ["q139", "pq_encode", "STAGED", "register"]
+__all__ = ["q139", "q141", "pq_encode", "pq_adc_topk",
+           "pq_subcodebooks", "pq_assign", "STAGED", "register"]

@@ -50,10 +50,12 @@ from bucket_to_bigquery_spark.queries import (
     ks,
     latency,
     lloyd_step,
+    multitouch,
     neardup_cc,
     pq_ann,
     profiling,
     recon,
+    regression,
     robust,
     seasonality,
     temperature,
@@ -68,11 +70,14 @@ _STAGED_MODULES = (
     tpch_ext, tpch_ext2, profiling, temperature, hamming, inflation,
     coverage, actives, embed_outliers, seasonality, latency, lloyd_step,
     concurrency, neardup_cc, funnel_ttc,
-    # staged r17 batch (q135–q140): recon's all-clean audit, ks with a
+    # staged r17 batch (q135–q143): recon's all-clean audit, ks with a
     # 3-vs-1 split, robust's tiny segments, cooccur's single-item
     # baskets, pq_ann's sub-16-vector codebook with identical/zero
-    # vector ties, fuzzy's zero-candidate single-token names
-    recon, ks, robust, cooccur, pq_ann, fuzzy,
+    # vector ties (encode AND ADC scan), fuzzy's zero-candidate
+    # single-token names, regression's zero-x-variance NULL branch
+    # (Brand#2's constant quantities), multitouch's same-timestamp
+    # view-before-purchase tie and purchase-less users
+    recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
 )
 
 STAGED: dict[str, Query] = {

@@ -335,6 +335,11 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/cooccur.py": [],
     PKG + "queries/pq_ann.py": [],
     PKG + "queries/fuzzy.py": [],
+    # regression restates q107's DECIMAL(38,0) exact-moment + e6
+    # output contract — a correlation.py contract change must pull it
+    # in-window once both register.
+    PKG + "queries/regression.py": [PKG + "queries/correlation.py"],
+    PKG + "queries/multitouch.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
