@@ -10,9 +10,17 @@ block-then-verify string-similarity join.
 Reference parity: n/a — no analytics surface in the reference;
 declared engine surface (SURVEY §2.C extension when registered).
 
-Determinism: integer edit distance (both engines implement the
-classic full-DP Levenshtein), exact token split on single spaces,
-candidate dedup before scoring, ordered (a_partkey, b_partkey).
+Determinism: integer edit distance under the BYTE-granular contract
+— DuckDB's levenshtein edits UTF-8 BYTES while Spark's edits code
+points ('café'→'cafe' is 2 vs 1), so the two agree only on ASCII;
+the builder therefore computes Levenshtein over the UTF-8 byte view
+(encode to UTF-8, reinterpret as ISO-8859-1 — one char per byte),
+which equals DuckDB's semantic for ARBITRARY input and the plain
+character distance for ASCII (this corpus). The convention is
+pinned engine-vs-engine-vs-replay on adversarial unicode in
+tests/test_levenshtein_convention.py. Exact token split on single
+spaces, candidate dedup before scoring, ordered
+(a_partkey, b_partkey).
 
 Scale design (100 TB): the naive string-similarity join is all-pairs
 — quadratic and unrunnable. Candidates here come from ONE equi-join
@@ -60,7 +68,9 @@ _Q140_DESCRIPTION = (
     "equi-join under the q47-discipline DF cap (48 lowest-partkey "
     "members per token block, deterministic and oracle-replicated, so "
     "hot tokens cannot go quadratic), pair dedup, then JVM-side "
-    "Levenshtein verify (<= 3). Integer distances, exact split, "
+    "Levenshtein verify (<= 3) under the BYTE-granular contract (the "
+    "UTF-8 byte view — DuckDB's semantic for arbitrary input, plain "
+    "character distance on ASCII). Integer distances, exact split, "
     "ordered pairs. Complements q79's sorted-neighborhood candidates "
     "with token blocking + true edit-distance verification."
 )
@@ -100,10 +110,17 @@ def fuzzy_name_pairs(
         )
         .distinct()
     )
+    # BYTE-granular Levenshtein (the DuckDB semantic): edit the UTF-8
+    # byte view, one ISO-8859-1 char per byte — see the module
+    # docstring and tests/test_levenshtein_convention.py
+    bv = "decode(encode({c}, 'utf-8'), 'iso-8859-1')"
     return (
         cand.withColumn(
             "lev",
-            F.levenshtein(F.col("a_name"), F.col("b_name")).cast("long"),
+            F.expr(
+                f"levenshtein({bv.format(c='a_name')}, "
+                f"{bv.format(c='b_name')})"
+            ).cast("long"),
         )
         .where(F.col("lev") <= max_lev)
         .orderBy("a_partkey", "b_partkey")

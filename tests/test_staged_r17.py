@@ -61,7 +61,8 @@ def _cents(price: float) -> int:
 
 def test_staged_entries_are_not_registered():
     reg = all_queries()
-    assert STAGED and len(STAGED) == 6
+    # the six q135–q140 entries plus pq_ann's q141 (tested in _r17b)
+    assert STAGED and len(STAGED) == 7
     for name in STAGED:
         assert name not in reg, (
             f"{name} is registered — the r17 staging plan "
@@ -314,7 +315,10 @@ def test_q139_plan_broadcast_codebook(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _lev(a: str, b: str) -> int:
+def _lev(a_s: str, b_s: str) -> int:
+    # the byte-granular contract (fuzzy.py docstring): DP over UTF-8
+    # bytes — identical to chars on this ASCII corpus
+    a, b = a_s.encode(), b_s.encode()
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
