@@ -58,9 +58,11 @@ from bucket_to_bigquery_spark.queries import (
     regression,
     robust,
     seasonality,
+    sq,
     temperature,
     tpch_ext,
     tpch_ext2,
+    triples,
 )
 from bucket_to_bigquery_spark.queries.registry import Query, _with_tuning
 
@@ -76,8 +78,11 @@ _STAGED_MODULES = (
     # vector ties (encode AND ADC scan), fuzzy's zero-candidate
     # single-token names, regression's zero-x-variance NULL branch
     # (Brand#2's constant quantities), multitouch's same-timestamp
-    # view-before-purchase tie and purchase-less users
+    # view-before-purchase tie and purchase-less users, sq's
+    # constant-dimension (mn == mx) branch on the shared-zero dims,
+    # triples' zero-triple two-item baskets (empty-result parity)
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
+    sq, triples,
 )
 
 STAGED: dict[str, Query] = {

@@ -340,6 +340,8 @@ MODULE_DEPS: dict[str, list[str]] = {
     # in-window once both register.
     PKG + "queries/regression.py": [PKG + "queries/correlation.py"],
     PKG + "queries/multitouch.py": [],
+    PKG + "queries/sq.py": [],
+    PKG + "queries/triples.py": [],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
