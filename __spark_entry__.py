@@ -78,14 +78,23 @@ GATE_PRIORITY = frozenset({
     # ingest; its slot evicts the q72b stale-refresh alias (splits.py
     # untouched, its r10 row stays valid, q72 keeps the family in-window)
     "q108_notification_ingest",
-    # stale refresh, oldest r10 rows (25 after the q31c eviction)
+    # mid-round emergency behavioral fix (GATE_r13.md; the documented
+    # evict-stale-refresh path): q79's builder moved to the
+    # byte-granular Levenshtein contract (raw Spark levenshtein edits
+    # code points where DuckDB edits UTF-8 bytes — latent oracle
+    # divergence on any non-ASCII name; values unchanged on this ASCII
+    # corpus). Slot evicts the q66b stale-refresh alias (keystats.py
+    # untouched, its r10 row stays valid, q66 keeps the family
+    # in-window).
+    "q79_sorted_neighborhood_linkage",
+    # stale refresh, oldest r10 rows (24 after the q31c/q66b evictions)
     "q31b_local_time_ordered_view",
     "q33b_vector_norm", "q42_pandas_udf_normalize",
     "q43_apply_in_pandas_zscore", "q57_bloom_decontamination",
     "q58_snapshot_diff", "q59_weighted_sample", "q60_zorder_layout",
     "q61_hll_sketch_union", "q63_sessionization", "q63b_event_funnel",
     "q64_retention_cohorts", "q66_heavy_keys",
-    "q66b_key_frequency_histogram", "q67_bpe_pair_merge",
+    "q67_bpe_pair_merge",
     "q68_windowed_topk", "q69_group_centered_embeddings",
     "q70_scd2_dimension", "q71_document_chunking",
     "q72_leakage_safe_split",

@@ -13,9 +13,15 @@ The operation: block parts by the second name token (``split_part``'s
 noun: "red widget" → "widget"), order each block by (p_name,
 p_partkey), pair each row with its ``lead(1)`` and ``lead(2)``
 neighbors, and keep pairs with ``levenshtein(name_a, name_b) <= 2``
-(exact-duplicate listings score 0; near-variants small). Both engines
-implement the identical Wagner–Fischer distance on identical blocks and
-orders, so the result is exact — no float, no rounding.
+(exact-duplicate listings score 0; near-variants small). The distance
+is the BYTE-granular Levenshtein contract (r13 catch, fixed in-window
+by stale-slot eviction — GATE_r13.md): DuckDB's levenshtein edits
+UTF-8 BYTES while Spark's edits code points, so the builder computes
+the distance over the UTF-8 byte view (encode → reinterpret as
+ISO-8859-1, one char per byte), which equals DuckDB's semantic for
+ARBITRARY names and the plain character distance on ASCII (this
+corpus — values unchanged). Pinned three ways on adversarial unicode
+in tests/test_levenshtein_convention.py. No float, no rounding.
 
 Scale design (100 TB): blocking IS the scale story — the window
 partitions by block key, so the only exchange is one hash shuffle on
@@ -71,7 +77,9 @@ _Q79_DESCRIPTION = (
     "next-2 neighbors with exact Levenshtein, keep dist<=2. One hash "
     "exchange on the block key, 2 comparisons per row instead of "
     "O(block^2), never a single-partition global sort (plan-pinned). "
-    "Integer edit distance — bit-exact on both engines."
+    "Integer edit distance under the byte-granular contract (UTF-8 "
+    "byte view — the DuckDB semantic for arbitrary input, plain "
+    "character distance on ASCII)."
 )
 
 
@@ -110,7 +118,11 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("block", "part_a", "name_a", "nb.part_b", "nb.name_b")
         .where(F.col("part_b").isNotNull())
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # BYTE-granular Levenshtein (the DuckDB semantic) — see the module
+    # docstring and tests/test_levenshtein_convention.py
+    bv = "decode(encode({c}, 'utf-8'), 'iso-8859-1')"
+    dist = F.expr(
+        f"levenshtein({bv.format(c='name_a')}, {bv.format(c='name_b')})")
     return (
         pairs.withColumn("dist", dist.cast("long"))
         .where(F.col("dist") <= _MAX_DIST)

@@ -107,21 +107,21 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb)
 
 
-_SL = "(size({v}) div " + str(_M) + ")"
-_SUB = ("slice({v}, cast(m * " + _SL + " + 1 as int), "
-        "cast(" + _SL + " as int))")
-
-
 def _sub_slices(df: DataFrame, id_col: str, vec_col: str,
                 out_id: str, out_sub: str, m_sub: int) -> DataFrame:
-    """Explode a vector frame into its per-subspace slices."""
+    """Explode a vector frame into its per-subspace slices. The slice
+    length derives from the CALL's ``m_sub`` (not the module default —
+    a hardcoded default here would silently truncate the vector for
+    any other subspace count)."""
+    sl = f"(size(_vec) div {m_sub})"
+    sub = f"slice(_vec, cast(m * {sl} + 1 as int), cast({sl} as int))"
     return df.select(
         F.col(id_col).alias(out_id),
         F.explode(F.expr(f"sequence(0, {m_sub - 1})")).alias("m"),
         F.col(vec_col).alias("_vec"),
     ).select(
         out_id, "m",
-        F.expr(_SUB.format(v="_vec")).alias(out_sub),
+        F.expr(sub).alias(out_sub),
     )
 
 

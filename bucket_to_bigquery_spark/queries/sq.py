@@ -36,13 +36,13 @@ from pyspark.sql import functions as F
 
 from .registry import query, tables
 
-_LEVELS = 255  # int8 code points 0..255
+_MAX_CODE = 255  # top of the uint8 code range 0..255 (256 levels)
 
 # shared operand order for the affine code + reconstruction error
-_SCALE = f"((mx - mn) / {_LEVELS}.0)"
+_SCALE = f"((mx - mn) / {_MAX_CODE}.0)"
 _CODE = (
     "CASE WHEN mx = mn THEN 0 ELSE "
-    "CAST(LEAST(255.0, GREATEST(0.0, "
+    f"CAST(LEAST({_MAX_CODE}.0, GREATEST(0.0, "
     f"round((x - mn) / {_SCALE}))) AS BIGINT) END"
 )
 _RECON = f"(mn + CAST({_CODE} AS DOUBLE) * {_SCALE})"
@@ -62,7 +62,7 @@ _Q144_ORACLE = (
     "FROM ex JOIN calib ON ex.dim = calib.dim) "
     "SELECT dim, CAST(any_value(mn) AS DOUBLE) AS mn, "
     "CAST(any_value(mx) AS DOUBLE) AS mx, "
-    "CAST(sum(CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END) "
+    f"CAST(sum(CASE WHEN code = 0 OR code = {_MAX_CODE} THEN 1 ELSE 0 END) "
     "AS BIGINT) AS n_saturated, "
     "CAST(sum(err) AS BIGINT) AS err2_e12, "
     "CAST(count(*) AS BIGINT) AS n "
@@ -111,7 +111,7 @@ def sq_calibration_audit(
             F.first("mn").cast("double").alias("mn"),
             F.first("mx").cast("double").alias("mx"),
             F.sum(
-                F.when((F.col("code") == 0) | (F.col("code") == 255), 1)
+                F.when((F.col("code") == 0) | (F.col("code") == _MAX_CODE), 1)
                 .otherwise(0)
             ).cast("long").alias("n_saturated"),
             F.sum("err").cast("long").alias("err2_e12"),

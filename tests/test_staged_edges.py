@@ -72,7 +72,7 @@ _STAGED_MODULES = (
     tpch_ext, tpch_ext2, profiling, temperature, hamming, inflation,
     coverage, actives, embed_outliers, seasonality, latency, lloyd_step,
     concurrency, neardup_cc, funnel_ttc,
-    # staged r17 batch (q135–q143): recon's all-clean audit, ks with a
+    # staged r17 batch (q135–q145): recon's all-clean audit, ks with a
     # 3-vs-1 split, robust's tiny segments, cooccur's single-item
     # baskets, pq_ann's sub-16-vector codebook with identical/zero
     # vector ties (encode AND ADC scan), fuzzy's zero-candidate

@@ -73,7 +73,9 @@ def test_staged_entries_are_not_registered():
 def test_staged_oracle_parity(spark, sf_dir):
     duck = duck_connection(sf_dir)
     try:
-        for name in sorted(STAGED):
+        # q141 (pq_ann's second entry) runs its parity in
+        # tests/test_staged_r17b.py — don't pay the ADC scan twice
+        for name in sorted(set(STAGED) - {"q141_pq_adc_topk"}):
             problems = compare(name, spark, duck, sf_dir, STAGED)
             assert not problems, f"{name}: " + "; ".join(problems)
     finally:

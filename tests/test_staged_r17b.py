@@ -134,6 +134,29 @@ def test_q141_matches_bruteforce(spark, sf_dir):
                       in enumerate(expect[qid])]
 
 
+def test_pq_m_sub_parameter_slices_whole_vector(spark):
+    """Regression pin for the _sub_slices refactor: a non-default
+    m_sub must still cover EVERY dimension (the hardcoded-_M bug
+    sliced only the first m_sub·(D div 8) dims, silently)."""
+    from bucket_to_bigquery_spark.queries.pq_ann import pq_encode
+
+    # 8-dim vectors, m_sub=2 -> two 4-dim subspaces; vectors 0/1 are
+    # the codebook. vector 2 differs from vector 0 ONLY in the LAST
+    # dim — under the bug the last dims are never sliced, so its
+    # recon error would read 0
+    rows = [
+        (0, [0.0] * 8),
+        (1, [1.0] * 8),
+        (2, [0.0] * 7 + [0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in
+           pq_encode(df, m_sub=2, k_codes=2).collect()}
+    assert got[2].recon_d2_e12 == 250_000_000_000  # 0.5^2 * 1e12
+    assert got[0].recon_d2_e12 == 0
+    assert got[1].recon_d2_e12 == 0
+
+
 def test_q141_plan_broadcast_tables_no_cartesian(spark, sf_dir):
     """The serving contract: codebook AND distance tables broadcast —
     the corpus-code frame never shuffles to meet them."""
