@@ -39,6 +39,7 @@ import pytest
 
 from bucket_to_bigquery_spark.queries import (
     actives,
+    bfs,
     cooccur,
     coverage,
     concurrency,
@@ -59,6 +60,7 @@ from bucket_to_bigquery_spark.queries import (
     robust,
     seasonality,
     sq,
+    survival,
     temperature,
     tpch_ext,
     tpch_ext2,
@@ -80,9 +82,12 @@ _STAGED_MODULES = (
     # (Brand#2's constant quantities), multitouch's same-timestamp
     # view-before-purchase tie and purchase-less users, sq's
     # constant-dimension (mn == mx) branch on the shared-zero dims,
-    # triples' zero-triple two-item baskets (empty-result parity)
+    # triples' zero-triple two-item baskets (empty-result parity),
+    # bfs' edgeless graph (support < 2 everywhere -> seeds only),
+    # survival's zero-duration sessions + the exhaustion NULL branch
+    # (every session ends > 6h before the cutoff on the edge events)
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
-    sq, triples,
+    sq, triples, bfs, survival,
 )
 
 STAGED: dict[str, Query] = {

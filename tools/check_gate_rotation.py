@@ -342,6 +342,11 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/multitouch.py": [],
     PKG + "queries/sq.py": [],
     PKG + "queries/triples.py": [],
+    PKG + "queries/bfs.py": [],
+    # survival restates the q63 sessionization contract — a
+    # sessions.py contract change must pull it in-window (the
+    # concurrency/funnel_ttc precedent).
+    PKG + "queries/survival.py": [PKG + "queries/sessions.py"],
     PKG + "queries/pipeline_queries.py": [
         PKG + "operators/substring.py",
         # q51/q53/q54 build on the planted-dup corpus + tokenization +
