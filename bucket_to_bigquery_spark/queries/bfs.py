@@ -42,7 +42,7 @@ from .registry import query, tables
 
 _MIN_SUPPORT = 2
 _MAX_HOPS = 4
-_N_SEEDS = 5  # seed set: p_partkey < 5
+_SEED_KEY_BOUND = 5  # seed set: p_partkey < 5 (a KEY bound, not a count)
 
 _Q146_ORACLE = (
     "WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o, "
@@ -53,7 +53,7 @@ _Q146_ORACLE = (
     f"ed AS (SELECT pa AS a, pb AS b FROM pairs WHERE c >= {_MIN_SUPPORT} "
     f"UNION ALL SELECT pb, pa FROM pairs WHERE c >= {_MIN_SUPPORT}), "
     "bfs(node, h) AS (SELECT p_partkey, 0 FROM part "
-    f"WHERE p_partkey < {_N_SEEDS} "
+    f"WHERE p_partkey < {_SEED_KEY_BOUND} "
     "UNION SELECT e.b, bfs.h + 1 FROM bfs JOIN ed e ON e.a = bfs.node "
     f"WHERE bfs.h < {_MAX_HOPS}) "
     "SELECT node AS p_partkey, CAST(min(h) AS BIGINT) AS hops "
@@ -87,6 +87,9 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= _MIN_SUPPORT)
+        .cache()  # two consumers (both union orientations) — the
+        # q138 review precedent: uncached, the basket self-join +
+        # support aggregate would execute once per branch
     )
     # one edge build, consumed once per BFS round -> cache
     edges = pairs.select(
@@ -94,7 +97,7 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
     ).cache()
-    seeds = part.where(F.col("p_partkey") < _N_SEEDS).select(
+    seeds = part.where(F.col("p_partkey") < _SEED_KEY_BOUND).select(
         F.col("p_partkey").alias("node"))
     visited = seeds.withColumn("hops", F.lit(0).cast("long")).cache()
     frontier = seeds

@@ -37,8 +37,9 @@ Scale design (100 TB): ONE user-partitioned sessionization window
 exchanges), then a count-compress to the (duration, ended, censored)
 frame — bounded by the session-length domain in MINUTES,
 corpus-size-independent — and every cumulate/window runs on that
-tiny frame (the q129/q136 count-compress discipline). The cutoff is
-a 1-row broadcast.
+tiny frame (the q129/q136 count-compress discipline). The cutoff
+(max event time ≡ max session end) reduces from the cached session
+frame — one fact pass total — and broadcasts as 1 row.
 """
 
 from __future__ import annotations
@@ -117,7 +118,6 @@ _Q147_DESCRIPTION = (
 def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"]
     us = F.expr("unix_micros(ts)")
-    cutoff = ev.agg(F.max(us).alias("cut"))
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("us") - F.lag("us").over(wu)
     sessioned = (
@@ -133,8 +133,13 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # cache: two consumers (the cutoff reduce + the lives projection);
+    # cutoff = max event time = max session END, so it derives from the
+    # |sessions|-bounded frame — never a second fact-table scan (review
+    # finding: the first cut re-scanned events for the max)
     sess = sessioned.groupBy("user_id", "si").agg(
-        F.min("us").alias("s"), F.max("us").alias("e"))
+        F.min("us").alias("s"), F.max("us").alias("e")).cache()
+    cutoff = sess.agg(F.max("e").alias("cut"))
     lives = sess.crossJoin(F.broadcast(cutoff)).select(
         F.expr(f"(e - s) div {_US_PER_MIN}").alias("dur"),
         F.when(F.col("cut") - F.col("e") < _GAP_US, 1)

@@ -1,5 +1,5 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q134 + the r17 batch q135–q140): every staged builder and its
+(q109–q134 + the r17 batch q135–q147): every staged builder and its
 DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
@@ -85,7 +85,8 @@ _STAGED_MODULES = (
     # triples' zero-triple two-item baskets (empty-result parity),
     # bfs' edgeless graph (support < 2 everywhere -> seeds only),
     # survival's zero-duration sessions + the exhaustion NULL branch
-    # (every session ends > 6h before the cutoff on the edge events)
+    # (the censored dur-0 sessions leave the risk set first, so the
+    # one remaining dur-90 session exhausts it: d = n, survival 0)
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
     sq, triples, bfs, survival,
 )

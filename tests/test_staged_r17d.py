@@ -29,9 +29,6 @@ STAGED: dict[str, Query] = {
     for name, (fn, oracle, desc, tags) in mod.STAGED.items()
 }
 
-_US_PER_DAY = 86_400_000_000
-
-
 def _run(name, spark, sf_dir):
     return STAGED[name].builder(spark, sf_dir)
 
@@ -192,8 +189,8 @@ def test_q147_curve_invariants(spark, sf_dir):
 
 
 def test_q147_plan_compress_below_windows(spark, sf_dir):
-    """The curve's cumulates run on the day-bounded compressed frame —
-    the per-user combine sits BELOW the windows."""
+    """The curve's cumulates run on the minute-bounded compressed
+    frame — the per-session combine sits BELOW the windows."""
     plan = _plan(spark, sf_dir, "q147_survival_curve")
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 2  # risk-set carry + curve cumulate
