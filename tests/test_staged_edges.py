@@ -1,5 +1,5 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q134 + the r17 batch q135–q147): every staged builder and its
+(q109–q134 + the r17 batch q135–q148): every staged builder and its
 DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
@@ -48,6 +48,7 @@ from bucket_to_bigquery_spark.queries import (
     embed_outliers,
     hamming,
     inflation,
+    ivfpq,
     ks,
     latency,
     lloyd_step,
@@ -74,7 +75,7 @@ _STAGED_MODULES = (
     tpch_ext, tpch_ext2, profiling, temperature, hamming, inflation,
     coverage, actives, embed_outliers, seasonality, latency, lloyd_step,
     concurrency, neardup_cc, funnel_ttc,
-    # staged r17 batch (q135–q145): recon's all-clean audit, ks with a
+    # staged r17 batch (q135–q148): recon's all-clean audit, ks with a
     # 3-vs-1 split, robust's tiny segments, cooccur's single-item
     # baskets, pq_ann's sub-16-vector codebook with identical/zero
     # vector ties (encode AND ADC scan), fuzzy's zero-candidate
@@ -83,12 +84,14 @@ _STAGED_MODULES = (
     # view-before-purchase tie and purchase-less users, sq's
     # constant-dimension (mn == mx) branch on the shared-zero dims,
     # triples' zero-triple two-item baskets (empty-result parity),
+    # ivfpq's every-vector-is-its-own-centroid degenerate corpus
+    # (all residuals zero -> every distance ties -> lowest-id order),
     # bfs' edgeless graph (support < 2 everywhere -> seeds only),
     # survival's zero-duration sessions + the exhaustion NULL branch
     # (the censored dur-0 sessions leave the risk set first, so the
     # one remaining dur-90 session exhausts it: d = n, survival 0)
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
-    sq, triples, bfs, survival,
+    sq, triples, bfs, survival, ivfpq,
 )
 
 STAGED: dict[str, Query] = {

@@ -343,6 +343,7 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/sq.py": [],
     PKG + "queries/triples.py": [],
     PKG + "queries/bfs.py": [],
+    PKG + "queries/ivfpq.py": [],
     # survival restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window (the
     # concurrency/funnel_ttc precedent).
