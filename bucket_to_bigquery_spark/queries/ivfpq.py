@@ -174,6 +174,8 @@ def ivfpq_adc_topk(
     sl = f"(size(r) div {m_sub})"
     sub_r = f"slice(r, cast(m * {sl} + 1 as int), cast({sl} as int))"
 
+    # two broadcast consumers (corpus assignment + query probing) —
+    # uncached, each broadcast would replay the TakeOrdered corpus scan
     coarse = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_lists)
         .select(
@@ -181,6 +183,7 @@ def ivfpq_adc_topk(
             .cast("long").alias("list_id"),
             F.col(vec_col).alias("cvec"),
         )
+        .cache()
     )
     # coarse assignment: one corpus pass against the broadcast centroids
     ad = corpus.select(

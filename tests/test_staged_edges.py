@@ -84,8 +84,10 @@ _STAGED_MODULES = (
     # view-before-purchase tie and purchase-less users, sq's
     # constant-dimension (mn == mx) branch on the shared-zero dims,
     # triples' zero-triple two-item baskets (empty-result parity),
-    # ivfpq's every-vector-is-its-own-centroid degenerate corpus
-    # (all residuals zero -> every distance ties -> lowest-id order),
+    # ivfpq's degenerate 4-vector corpus: every vector is a coarse
+    # centroid, the identical pair both assign (tie) to the FIRST
+    # twin's list — leaving the second twin's inverted list EMPTY —
+    # and the matched vectors' residuals are all-zero,
     # bfs' edgeless graph (support < 2 everywhere -> seeds only),
     # survival's zero-duration sessions + the exhaustion NULL branch
     # (the censored dur-0 sessions leave the risk set first, so the

@@ -108,7 +108,6 @@ def _ivfpq_replay(rows):
             for m in range(8):
                 qs = qr[m * sl:(m + 1) * sl]
                 for k, c in enumerate(cbv):
-                    dtab[(lst, m, k)] = dtab.get((lst, m, k))
                     dtab[(lst, m, k)] = _d2_e12(
                         qs, c[m * sl:(m + 1) * sl])
         scores = sorted(
