@@ -1,0 +1,108 @@
+"""First r13-staged batch for ROUND-18 registration: q149
+leave-one-out hit-rate@5 of the q138 co-occurrence recommender
+(receval.py).
+
+Same checks as tests/test_staged_r17.py: staging containment, oracle
+parity through the driver-mirror harness, a full Python replay
+(neighbor lists + hold-out eval), and a plan/identity pin.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from itertools import combinations
+
+from bucket_to_bigquery_spark.queries import all_queries, receval
+from bucket_to_bigquery_spark.queries.registry import (
+    Query,
+    _with_tuning,
+    tables,
+)
+
+from .oracle import compare, duck_connection
+
+STAGED: dict[str, Query] = {
+    name: Query(name, _with_tuning(fn), oracle, desc, tags)
+    for name, (fn, oracle, desc, tags) in receval.STAGED.items()
+}
+
+
+def _run(name, spark, sf_dir):
+    return STAGED[name].builder(spark, sf_dir)
+
+
+def test_staged_entries_are_not_registered():
+    reg = all_queries()
+    assert list(STAGED) == ["q149_recommender_hit_rate"]
+    for name in STAGED:
+        assert name not in reg, (
+            f"{name} is registered — the r18 staging plan "
+            "(GATE_r13.md) no longer matches"
+        )
+
+
+def test_staged_oracle_parity(spark, sf_dir):
+    duck = duck_connection(sf_dir)
+    try:
+        for name in sorted(STAGED):
+            problems = compare(name, spark, duck, sf_dir, STAGED)
+            assert not problems, f"{name}: " + "; ".join(problems)
+    finally:
+        duck.close()
+
+
+def _neighbors(baskets):
+    """The q138 replay: top-5 cosine neighbors per item."""
+    f: dict = defaultdict(int)
+    c: dict = defaultdict(int)
+    for items in baskets.values():
+        for p in items:
+            f[p] += 1
+        for i, j in combinations(sorted(items), 2):
+            c[(i, j)] += 1
+    neigh = defaultdict(list)
+    for (i, j), cij in c.items():
+        cos = cij / (math.sqrt(f[i]) * math.sqrt(f[j]))
+        neigh[i].append((-cos, j))
+        neigh[j].append((-cos, i))
+    return {i: [j for _, j in sorted(v)[:5]] for i, v in neigh.items()}
+
+
+def test_q149_matches_bruteforce(spark, sf_dir):
+    rows = tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_partkey").collect()
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    nb = _neighbors(baskets)
+    n_eval, n_hits = 0, 0
+    for items in baskets.values():
+        if len(items) < 2:
+            continue
+        h = max(items)
+        n_eval += 1
+        pred = {j for p in items if p != h for j in nb.get(p, ())}
+        n_hits += h in pred
+    got = _run("q149_recommender_hit_rate", spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_eval, r.n_hits) == (n_eval, n_hits)
+    assert r.hit_rate_e6 == n_hits * 1_000_000 // n_eval
+    assert 0 < r.n_eval
+    assert 0 < r.n_hits <= r.n_eval  # the in-sample fit should hit some
+
+
+def test_q149_neighbor_definition_is_q138s(spark, sf_dir):
+    """One-definition pin: the eval's prediction pool is exactly the
+    registered-to-be q138 frame (builder call + oracle subquery), so
+    a q138 change cannot silently diverge the eval."""
+    from bucket_to_bigquery_spark.queries.cooccur import (
+        _Q138_ORACLE,
+        q138,
+    )
+
+    assert _Q138_ORACLE in STAGED[
+        "q149_recommender_hit_rate"].oracle
+    nb = q138(spark, sf_dir)
+    assert {"partkey", "neighbor"} <= set(nb.columns)

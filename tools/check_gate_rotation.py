@@ -344,6 +344,9 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/triples.py": [],
     PKG + "queries/bfs.py": [],
     PKG + "queries/ivfpq.py": [],
+    # receval imports q138's builder + oracle text — a cooccur.py
+    # change must pull the eval in-window once both register.
+    PKG + "queries/receval.py": [PKG + "queries/cooccur.py"],
     # survival restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window (the
     # concurrency/funnel_ttc precedent).
