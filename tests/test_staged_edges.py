@@ -1,5 +1,5 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q134 + the r17/r18 batches q135–q149): every staged builder and its
+(q109–q134 + the r17/r18 batches q135–q150): every staged builder and its
 DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
@@ -40,6 +40,7 @@ import pytest
 from bucket_to_bigquery_spark.queries import (
     actives,
     bfs,
+    cohits,
     cooccur,
     coverage,
     concurrency,
@@ -90,13 +91,15 @@ _STAGED_MODULES = (
     # twin's list — leaving the second twin's inverted list EMPTY —
     # and the matched vectors' residuals are all-zero,
     # bfs' edgeless graph (support < 2 everywhere -> seeds only),
+    # cohits' star-degenerate bipartite graph (customer 2 buys only
+    # part 2/3 via orders 3-4; authority ties resolved by partkey),
     # receval's single-eval-case warehouse (order 1 = {1,2}: context
     # item 1 predicts its only neighbor 2 = the held-out max -> 1/1),
     # survival's zero-duration sessions + the exhaustion NULL branch
     # (the censored dur-0 sessions leave the risk set first, so the
     # one remaining dur-90 session exhausts it: d = n, survival 0)
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
-    sq, triples, bfs, survival, ivfpq, receval,
+    sq, triples, bfs, survival, ivfpq, receval, cohits,
 )
 
 STAGED: dict[str, Query] = {

@@ -1,10 +1,11 @@
 """First r13-staged batch for ROUND-18 registration: q149
 leave-one-out hit-rate@5 of the q138 co-occurrence recommender
-(receval.py).
+(receval.py) and q150 bipartite co-HITS authority ranking
+(cohits.py).
 
 Same checks as tests/test_staged_r17.py: staging containment, oracle
-parity through the driver-mirror harness, a full Python replay
-(neighbor lists + hold-out eval), and a plan/identity pin.
+parity through the driver-mirror harness, full Python replays, and
+plan/identity pins.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ import math
 from collections import defaultdict
 from itertools import combinations
 
-from bucket_to_bigquery_spark.queries import all_queries, receval
+from bucket_to_bigquery_spark.queries import all_queries, cohits, receval
 from bucket_to_bigquery_spark.queries.registry import (
     Query,
     _with_tuning,
@@ -24,7 +25,8 @@ from .oracle import compare, duck_connection
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
-    for name, (fn, oracle, desc, tags) in receval.STAGED.items()
+    for mod in (receval, cohits)
+    for name, (fn, oracle, desc, tags) in mod.STAGED.items()
 }
 
 
@@ -32,9 +34,15 @@ def _run(name, spark, sf_dir):
     return STAGED[name].builder(spark, sf_dir)
 
 
+def _plan(spark, sf_dir, name: str) -> str:
+    df = STAGED[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_staged_entries_are_not_registered():
     reg = all_queries()
-    assert list(STAGED) == ["q149_recommender_hit_rate"]
+    assert sorted(STAGED) == [
+        "q149_recommender_hit_rate", "q150_bipartite_hits"]
     for name in STAGED:
         assert name not in reg, (
             f"{name} is registered — the r18 staging plan "
@@ -91,6 +99,35 @@ def test_q149_matches_bruteforce(spark, sf_dir):
     assert r.hit_rate_e6 == n_hits * 1_000_000 // n_eval
     assert 0 < r.n_eval
     assert 0 < r.n_hits <= r.n_eval  # the in-sample fit should hit some
+
+
+def test_q150_matches_bruteforce(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    cust_of = {r.o_orderkey: r.o_custkey for r in
+               t["orders"].select("o_orderkey", "o_custkey").collect()}
+    edges = {(cust_of[r.l_orderkey], r.l_partkey) for r in
+             t["lineitem"].select("l_orderkey", "l_partkey").collect()}
+    a0: dict = defaultdict(int)
+    for c, p in edges:
+        a0[p] += 1
+    h1: dict = defaultdict(int)
+    for c, p in edges:
+        h1[c] += a0[p]
+    a2: dict = defaultdict(int)
+    for c, p in edges:
+        a2[p] += h1[c]
+    expect = sorted(((-a2[p], p) for p in a2))[:20]
+    got = [(r.rank, r.p_partkey, r.n_buyers, int(r.authority2)) for r in
+           _run("q150_bipartite_hits", spark, sf_dir).collect()]
+    assert got == [
+        (i + 1, p, a0[p], -na) for i, (na, p) in enumerate(expect)]
+
+
+def test_q150_plan_takeordered_cached_edges(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q150_bipartite_hits")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert "InMemoryTableScan" in plan  # cached edge frame
 
 
 def test_q149_neighbor_definition_is_q138s(spark, sf_dir):

@@ -347,6 +347,7 @@ MODULE_DEPS: dict[str, list[str]] = {
     # receval imports q138's builder + oracle text — a cooccur.py
     # change must pull the eval in-window once both register.
     PKG + "queries/receval.py": [PKG + "queries/cooccur.py"],
+    PKG + "queries/cohits.py": [],
     # survival restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window (the
     # concurrency/funnel_ttc precedent).
