@@ -1,5 +1,5 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q134 + the r17/r18 batches q135–q150): every staged builder and its
+(q109–q134 + the r17/r18 batches q135–q151): every staged builder and its
 DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
@@ -52,6 +52,7 @@ from bucket_to_bigquery_spark.queries import (
     ivfpq,
     ks,
     latency,
+    lloyd2,
     lloyd_step,
     multitouch,
     neardup_cc,
@@ -91,6 +92,9 @@ _STAGED_MODULES = (
     # twin's list — leaving the second twin's inverted list EMPTY —
     # and the matched vectors' residuals are all-zero,
     # bfs' edgeless graph (support < 2 everywhere -> seeds only),
+    # lloyd2's all-vectors-are-centroids corpus (step-1 ties, then
+    # the identical pair's shared list averages the twins' residual-
+    # free coordinates — the two-step chain on maximal degeneracy),
     # cohits' star-degenerate bipartite graph (customer 2 buys only
     # part 2/3 via orders 3-4; authority ties resolved by partkey),
     # receval's single-eval-case warehouse (order 1 = {1,2}: context
@@ -99,7 +103,7 @@ _STAGED_MODULES = (
     # (the censored dur-0 sessions leave the risk set first, so the
     # one remaining dur-90 session exhausts it: d = n, survival 0)
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
-    sq, triples, bfs, survival, ivfpq, receval, cohits,
+    sq, triples, bfs, survival, ivfpq, receval, cohits, lloyd2,
 )
 
 STAGED: dict[str, Query] = {

@@ -1,7 +1,7 @@
 """First r13-staged batch for ROUND-18 registration: q149
 leave-one-out hit-rate@5 of the q138 co-occurrence recommender
-(receval.py) and q150 bipartite co-HITS authority ranking
-(cohits.py).
+(receval.py), q150 bipartite co-HITS authority ranking (cohits.py),
+and q151 the two-step Lloyd convergence audit (lloyd2.py).
 
 Same checks as tests/test_staged_r17.py: staging containment, oracle
 parity through the driver-mirror harness, full Python replays, and
@@ -14,7 +14,12 @@ import math
 from collections import defaultdict
 from itertools import combinations
 
-from bucket_to_bigquery_spark.queries import all_queries, cohits, receval
+from bucket_to_bigquery_spark.queries import (
+    all_queries,
+    cohits,
+    lloyd2,
+    receval,
+)
 from bucket_to_bigquery_spark.queries.registry import (
     Query,
     _with_tuning,
@@ -25,7 +30,7 @@ from .oracle import compare, duck_connection
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
-    for mod in (receval, cohits)
+    for mod in (receval, cohits, lloyd2)
     for name, (fn, oracle, desc, tags) in mod.STAGED.items()
 }
 
@@ -42,7 +47,8 @@ def _plan(spark, sf_dir, name: str) -> str:
 def test_staged_entries_are_not_registered():
     reg = all_queries()
     assert sorted(STAGED) == [
-        "q149_recommender_hit_rate", "q150_bipartite_hits"]
+        "q149_recommender_hit_rate", "q150_bipartite_hits",
+        "q151_lloyd_two_steps"]
     for name in STAGED:
         assert name not in reg, (
             f"{name} is registered — the r18 staging plan "
@@ -128,6 +134,100 @@ def test_q150_plan_takeordered_cached_edges(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
     assert "InMemoryTableScan" in plan  # cached edge frame
+
+
+def _round_half_away(x: float) -> int:
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+
+def _lloyd_two_step_replay(rows):
+    """Both Lloyd steps in plain Python under the exact contracts:
+    e12 step-1 distances, e6-domain update (empty lists keep the old
+    centroid), e6-domain step-2 distances against the ONE-double
+    updated coordinates."""
+    n = len(rows)
+    n_lists = min(max(_round_half_away(math.sqrt(n)), 8), 4096)
+    cent = [v for _, v in rows[:n_lists]]
+    d = len(rows[0][1])
+
+    def d2_e12(a, b):
+        return sum(
+            _round_half_away((float(x) - float(y))
+                             * (float(x) - float(y)) * 1e12)
+            for x, y in zip(a, b))
+
+    a1 = {}
+    for vid, vec in rows:
+        d2s = [d2_e12(vec, c) for c in cent]
+        a1[vid] = min(range(n_lists), key=lambda i: (d2s[i], i))
+    sums = defaultdict(lambda: [0] * d)
+    pop = defaultdict(int)
+    for vid, vec in rows:
+        lst = a1[vid]
+        pop[lst] += 1
+        for j, x in enumerate(vec):
+            sums[lst][j] += _round_half_away(float(x) * 1e6)
+    c1 = []
+    for lst in range(n_lists):
+        if pop[lst]:
+            c1.append([float(s) / pop[lst] for s in sums[lst]])
+        else:
+            c1.append([float(_round_half_away(float(x) * 1e6))
+                       for x in cent[lst]])
+    a2 = {}
+    for vid, vec in rows:
+        ve = [float(_round_half_away(float(x) * 1e6)) for x in vec]
+        d2s = [
+            sum(_round_half_away((v - c) * (v - c))
+                for v, c in zip(ve, cl))
+            for cl in c1
+        ]
+        a2[vid] = min(range(n_lists), key=lambda i: (d2s[i], i))
+    out = []
+    for lst in range(n_lists):
+        m1 = [vid for vid in a1 if a1[vid] == lst]
+        m2 = [vid for vid in a2 if a2[vid] == lst]
+        out.append((lst, len(m1), sum(m1), len(m2), sum(m2),
+                    sum(1 for vid in m1 if a2[vid] != lst)))
+    return out
+
+
+def test_q151_matches_bruteforce(spark, sf_dir):
+    rows = sorted(
+        (r.vec_id, list(r.embedding)) for r in
+        tables(spark, sf_dir)["embeddings"].select(
+            "vec_id", "embedding").collect()
+    )
+    expect = _lloyd_two_step_replay(rows)
+    got = [(r.list_id, r.n_step1, r.vid_sum1, r.n_step2, r.vid_sum2,
+            r.n_moved_out) for r in
+           _run("q151_lloyd_two_steps", spark, sf_dir).collect()]
+    assert got == expect
+
+
+def test_q151_conservation_and_movement(spark, sf_dir):
+    """Both assignments partition the whole corpus (counts and vid
+    checksums conserve), and movement is bounded by the donor list's
+    step-1 population."""
+    rows = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id").collect()
+    n, vid_total = len(rows), sum(r.vec_id for r in rows)
+    got = _run("q151_lloyd_two_steps", spark, sf_dir).collect()
+    assert sum(r.n_step1 for r in got) == n
+    assert sum(r.n_step2 for r in got) == n
+    assert sum(r.vid_sum1 for r in got) == vid_total
+    assert sum(r.vid_sum2 for r in got) == vid_total
+    for r in got:
+        assert 0 <= r.n_moved_out <= r.n_step1
+
+
+def test_q151_plan_broadcast_no_cartesian(spark, sf_dir):
+    """Both assignment passes meet broadcast coordinate frames; the
+    corpus never shuffles whole vectors for them."""
+    plan = _plan(spark, sf_dir, "q151_lloyd_two_steps")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # cached step-1 assignment
 
 
 def test_q149_neighbor_definition_is_q138s(spark, sf_dir):

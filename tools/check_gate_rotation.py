@@ -348,6 +348,11 @@ MODULE_DEPS: dict[str, list[str]] = {
     # change must pull the eval in-window once both register.
     PKG + "queries/receval.py": [PKG + "queries/cooccur.py"],
     PKG + "queries/cohits.py": [],
+    # lloyd2 reuses similarity's ivf_operating_point READ-ONLY (the
+    # q130 precedent) — must stay UNREGISTERED through the r16
+    # similarity rotation (the edge would grow that window past 50);
+    # registers r18.
+    PKG + "queries/lloyd2.py": [PKG + "operators/similarity.py"],
     # survival restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window (the
     # concurrency/funnel_ttc precedent).
