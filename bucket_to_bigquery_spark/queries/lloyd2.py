@@ -181,17 +181,17 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("list_id", "j")
         .agg(F.sum("c").cast("long").alias("s"))
     )
-    dims = spark.range(1, _DIM + 1).select(F.col("id").alias("j"))
+    # cent_comp already enumerates every (list_id, j) pair — no
+    # dims-range cross needed (review finding)
     cent_comp = cent.select(
         "list_id",
         F.posexplode("c_vec").alias("j0", "c_raw"),
     ).select("list_id", (F.col("j0") + 1).alias("j"),
              F.col("c_raw").cast("double").alias("c_raw"))
     c1 = (
-        cent.select("list_id").crossJoin(F.broadcast(dims))
+        cent_comp
         .join(F.broadcast(pop1), "list_id", "left")
         .join(F.broadcast(sums), ["list_id", "j"], "left")
-        .join(F.broadcast(cent_comp), ["list_id", "j"])
         .select(
             "list_id", "j",
             F.when(

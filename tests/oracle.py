@@ -18,6 +18,14 @@ import duckdb
 from bucket_to_bigquery_spark.catalog import TABLE_NAMES
 
 
+def round_half_away(x: float) -> int:
+    """The engines' round() convention (half away from zero) for test
+    replays. Several older batch-test files carry local verbatim
+    copies predating this helper; new replays should import this one.
+    """
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -26,7 +26,7 @@ from bucket_to_bigquery_spark.queries.registry import (
     tables,
 )
 
-from .oracle import compare, duck_connection
+from .oracle import compare, duck_connection, round_half_away
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
@@ -136,8 +136,7 @@ def test_q150_plan_takeordered_cached_edges(spark, sf_dir):
     assert "InMemoryTableScan" in plan  # cached edge frame
 
 
-def _round_half_away(x: float) -> int:
-    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+_round_half_away = round_half_away
 
 
 def _lloyd_two_step_replay(rows):
@@ -146,8 +145,11 @@ def _lloyd_two_step_replay(rows):
     centroid), e6-domain step-2 distances against the ONE-double
     updated coordinates."""
     n = len(rows)
+    # the operating-point clamp can exceed n on tiny corpora; the
+    # engine's centroid slice is then just the whole corpus
     n_lists = min(max(_round_half_away(math.sqrt(n)), 8), 4096)
     cent = [v for _, v in rows[:n_lists]]
+    n_lists = len(cent)
     d = len(rows[0][1])
 
     def d2_e12(a, b):
