@@ -1,7 +1,8 @@
 """First r13-staged batch for ROUND-18 registration: q149
 leave-one-out hit-rate@5 of the q138 co-occurrence recommender
 (receval.py), q150 bipartite co-HITS authority ranking (cohits.py),
-and q151 the two-step Lloyd convergence audit (lloyd2.py).
+q151 the two-step Lloyd convergence audit (lloyd2.py), and q152 the
+two chained BPE merge rounds (bpe2.py).
 
 Same checks as tests/test_staged_r17.py: staging containment, oracle
 parity through the driver-mirror harness, full Python replays, and
@@ -16,6 +17,7 @@ from itertools import combinations
 
 from bucket_to_bigquery_spark.queries import (
     all_queries,
+    bpe2,
     cohits,
     lloyd2,
     receval,
@@ -30,7 +32,7 @@ from .oracle import compare, duck_connection, round_half_away
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
-    for mod in (receval, cohits, lloyd2)
+    for mod in (receval, cohits, lloyd2, bpe2)
     for name, (fn, oracle, desc, tags) in mod.STAGED.items()
 }
 
@@ -48,7 +50,7 @@ def test_staged_entries_are_not_registered():
     reg = all_queries()
     assert sorted(STAGED) == [
         "q149_recommender_hit_rate", "q150_bipartite_hits",
-        "q151_lloyd_two_steps"]
+        "q151_lloyd_two_steps", "q152_bpe_two_merges"]
     for name in STAGED:
         assert name not in reg, (
             f"{name} is registered — the r18 staging plan "
@@ -245,3 +247,114 @@ def test_q149_neighbor_definition_is_q138s(spark, sf_dir):
         "q149_recommender_hit_rate"].oracle
     nb = q138(spark, sf_dir)
     assert {"partkey", "neighbor"} <= set(nb.columns)
+
+
+# ---------------------------------------------------------------------------
+# q152 — two chained BPE merges
+# ---------------------------------------------------------------------------
+
+
+def _toks(text: str) -> list[str]:
+    """The shared q46-family tokenizer contract."""
+    return " ".join(text.lower().split()).split(" ") if text else [""]
+
+
+def _bpe_two_rounds(texts):
+    """Plain-Python replay: round-1 pair counts, GREEDY left-to-right
+    application of the (count DESC, pair ASC) winner, round-2 counts;
+    both rounds' top-10."""
+    docs = [t for t in (_toks(x) for x in texts) if len(t) >= 2]
+
+    def count_pairs(seqs):
+        c: dict = defaultdict(int)
+        for t in seqs:
+            for i in range(len(t) - 1):
+                c[f"{t[i]} {t[i + 1]}"] += 1
+        return c
+
+    def top(c):
+        return sorted(((-n, p) for p, n in c.items()))[:10]
+
+    c1 = count_pairs(docs)
+    if not c1:
+        return []
+    wa, wb = min(((-n, p) for p, n in c1.items()))[1].split(" ")
+    merged_docs = []
+    for t in docs:
+        out, i = [], 0
+        while i < len(t):
+            if i + 1 < len(t) and t[i] == wa and t[i + 1] == wb:
+                out.append(t[i] + "\x1f" + t[i + 1])
+                i += 2
+            else:
+                out.append(t[i])
+                i += 1
+        merged_docs.append(out)
+    c2 = count_pairs(d for d in merged_docs if len(d) >= 2)
+    rows = [(1, r + 1, p, -n) for r, (n, p) in enumerate(top(c1))]
+    rows += [(2, r + 1, p, -n) for r, (n, p) in enumerate(top(c2))]
+    return rows
+
+
+def test_q152_matches_bruteforce(spark, sf_dir):
+    texts = [r.text for r in
+             tables(spark, sf_dir)["documents"].select("text").collect()]
+    expect = _bpe_two_rounds(texts)
+    got = [(r.round, r.rank, r.pair, r.n) for r in
+           _run("q152_bpe_two_merges", spark, sf_dir).collect()]
+    assert got == expect
+
+
+def test_q152_overlapping_runs_merge_greedily(spark, tmp_path):
+    """The A == B pathology the run-parity windows exist for: corpora
+    whose winning pair overlaps itself ('a a a a a') must merge
+    greedily left-to-right in BOTH engines AND the replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "bpe_sf"
+    d.mkdir()
+    texts = ["a a a a a", "a a b a a", "b b b", "c"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * 4, type=pa.string()),
+            "source": pa.array(["web"] * 4, type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts],
+                                type=pa.int64()),
+        }),
+        d / "documents.parquet",
+    )
+    # satisfy the catalog: minimal copies of the other tables
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    d / f"{t}.parquet")
+    bad = str(d)
+    duck = duck_connection(bad)
+    try:
+        assert not compare("q152_bpe_two_merges", spark, duck, bad,
+                           STAGED)
+    finally:
+        duck.close()
+    got = [(r.round, r.rank, r.pair, r.n) for r in
+           _run("q152_bpe_two_merges", spark, bad).collect()]
+    assert got == _bpe_two_rounds(texts)
+    # the greedy semantics, spelled out: 'a a a a a' merges positions
+    # 1-2 and 3-4 (runs keep odd indexes), leaving a trailing 'a'
+    r2 = {p: n for rnd, _, p, n in got if rnd == 2}
+    assert r2["a\x1fa a\x1fa"] == 1
+    assert r2["a\x1fa a"] == 1  # doc 1's tail + none from doc 2
+
+
+def test_q152_plan_doc_partitioned_windows(spark, sf_dir):
+    """The greedy-run machinery windows BY DOCUMENT (parallel), and
+    both rounds' top-10 are TakeOrdered — never a global sort of the
+    pair frame."""
+    plan = _plan(spark, sf_dir, "q152_bpe_two_merges")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan  # cached tokenization
