@@ -26,6 +26,15 @@ def round_half_away(x: float) -> int:
     return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
 
 
+def toks_replay(text: str) -> list[str]:
+    """The shared q46-family tokenizer contract for test replays
+    (normalize whitespace, lowercase, split; "" tokenizes to [""]).
+    Several older batch-test files carry local verbatim copies
+    predating this helper; new replays should import this one.
+    """
+    return " ".join(text.lower().split()).split(" ") if text else [""]
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -28,7 +28,12 @@ from bucket_to_bigquery_spark.queries.registry import (
     tables,
 )
 
-from .oracle import compare, duck_connection, round_half_away
+from .oracle import (
+    compare,
+    duck_connection,
+    round_half_away,
+    toks_replay,
+)
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
@@ -254,9 +259,7 @@ def test_q149_neighbor_definition_is_q138s(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _toks(text: str) -> list[str]:
-    """The shared q46-family tokenizer contract."""
-    return " ".join(text.lower().split()).split(" ") if text else [""]
+_toks = toks_replay
 
 
 def _bpe_two_rounds(texts):
@@ -326,13 +329,15 @@ def test_q152_overlapping_runs_merge_greedily(spark, tmp_path):
         }),
         d / "documents.parquet",
     )
-    # satisfy the catalog: minimal copies of the other tables
+    # satisfy the catalog: minimal copies of the other tables, from
+    # the suite's configured SF dir (portable under B2BQS_TEST_SF_DIR)
     import shutil
+
+    from .conftest import SF_DIR
 
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"):
-        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
-                    d / f"{t}.parquet")
+        shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
     bad = str(d)
     duck = duck_connection(bad)
     try:
@@ -348,6 +353,27 @@ def test_q152_overlapping_runs_merge_greedily(spark, tmp_path):
     r2 = {p: n for rnd, _, p, n in got if rnd == 2}
     assert r2["a\x1fa a\x1fa"] == 1
     assert r2["a\x1fa a"] == 1  # doc 1's tail + none from doc 2
+
+
+def test_q152_round1_is_q67s_statistic(spark, sf_dir):
+    """One-definition pin (the q149/_Q138_ORACLE pattern): q152's
+    round-1 rows must BE q67's registered pair statistic (top-10 of
+    its top-30), and the oracle's pair fragment must appear verbatim
+    inside q67's oracle — a q67 pair-definition change cannot
+    silently diverge the chain."""
+    from bucket_to_bigquery_spark.queries.tokenstats import (
+        _Q67_ORACLE,
+        q67,
+    )
+
+    frag = bpe2._PAIRS_SQL.format(t="t")
+    assert frag in _Q67_ORACLE
+    q67_rows = [(r.rank, r.pair, r.n) for r in
+                q67(spark, sf_dir).collect() if r.rank <= 10]
+    r1_rows = [(r.rank, r.pair, r.n) for r in
+               _run("q152_bpe_two_merges", spark, sf_dir).collect()
+               if r.round == 1]
+    assert r1_rows == q67_rows
 
 
 def test_q152_plan_doc_partitioned_windows(spark, sf_dir):

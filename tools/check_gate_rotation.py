@@ -353,12 +353,14 @@ MODULE_DEPS: dict[str, list[str]] = {
     # similarity rotation (the edge would grow that window past 50);
     # registers r18.
     PKG + "queries/lloyd2.py": [PKG + "operators/similarity.py"],
-    # bpe2 shares the q67 tokenizer contract (tokens/_TOKS_SQL) — the
-    # q57/q67 single-definition discipline; registers r18, after the
-    # r15 llm rotation.
+    # bpe2 shares the q67 tokenizer contract (tokens/_TOKS_SQL) AND
+    # q67's pair statistic (round 1 is behaviorally pinned to it) —
+    # a tokenstats.py change must pull the chain in-window once it
+    # registers (r18, after the r15 llm rotation).
     PKG + "queries/bpe2.py": [
         PKG + "operators/dedup.py",
         PKG + "queries/llm_queries.py",
+        PKG + "queries/tokenstats.py",
     ],
     # survival restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window (the
