@@ -1,5 +1,5 @@
 """Adversarial edge-corpus parity for the ENTIRE staged surface
-(q109–q134 + the r17/r18 batches q135–q152): every staged builder and its
+(q109–q134 + the r17/r18 batches q135–q153): every staged builder and its
 DuckDB oracle run over a
 crafted tiny warehouse whose rows hit the paths the generated
 testdata never does —
@@ -65,6 +65,7 @@ from bucket_to_bigquery_spark.queries import (
     robust,
     seasonality,
     sq,
+    srccontain,
     survival,
     temperature,
     tpch_ext,
@@ -93,6 +94,8 @@ _STAGED_MODULES = (
     # twin's list — leaving the second twin's inverted list EMPTY —
     # and the matched vectors' residuals are all-zero,
     # bfs' edgeless graph (support < 2 everywhere -> seeds only),
+    # srccontain's sub-5-token docs (no shingles from most edge docs
+    # -> the sparse/absent-pair convention),
     # bpe2's ""/whitespace docs (both collapse to the [""] token
     # list, size-filtered out) and the duplicate pair winning merge,
     # lloyd2's all-vectors-are-centroids corpus (step-1 ties, then
@@ -107,7 +110,7 @@ _STAGED_MODULES = (
     # one remaining dur-90 session exhausts it: d = n, survival 0)
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
     sq, triples, bfs, survival, ivfpq, receval, cohits, lloyd2,
-    bpe2,
+    bpe2, srccontain,
 )
 
 STAGED: dict[str, Query] = {

@@ -1,8 +1,9 @@
 """First r13-staged batch for ROUND-18 registration: q149
 leave-one-out hit-rate@5 of the q138 co-occurrence recommender
 (receval.py), q150 bipartite co-HITS authority ranking (cohits.py),
-q151 the two-step Lloyd convergence audit (lloyd2.py), and q152 the
-two chained BPE merge rounds (bpe2.py).
+q151 the two-step Lloyd convergence audit (lloyd2.py), q152 the two
+chained BPE merge rounds (bpe2.py), and q153 the directional source
+containment matrix (srccontain.py).
 
 Same checks as tests/test_staged_r17.py: staging containment, oracle
 parity through the driver-mirror harness, full Python replays, and
@@ -21,6 +22,7 @@ from bucket_to_bigquery_spark.queries import (
     cohits,
     lloyd2,
     receval,
+    srccontain,
 )
 from bucket_to_bigquery_spark.queries.registry import (
     Query,
@@ -37,7 +39,7 @@ from .oracle import (
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
-    for mod in (receval, cohits, lloyd2, bpe2)
+    for mod in (receval, cohits, lloyd2, bpe2, srccontain)
     for name, (fn, oracle, desc, tags) in mod.STAGED.items()
 }
 
@@ -55,7 +57,8 @@ def test_staged_entries_are_not_registered():
     reg = all_queries()
     assert sorted(STAGED) == [
         "q149_recommender_hit_rate", "q150_bipartite_hits",
-        "q151_lloyd_two_steps", "q152_bpe_two_merges"]
+        "q151_lloyd_two_steps", "q152_bpe_two_merges",
+        "q153_source_containment"]
     for name in STAGED:
         assert name not in reg, (
             f"{name} is registered — the r18 staging plan "
@@ -384,3 +387,46 @@ def test_q152_plan_doc_partitioned_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "InMemoryTableScan" in plan  # cached tokenization
+
+
+# ---------------------------------------------------------------------------
+# q153 — directional source containment
+# ---------------------------------------------------------------------------
+
+
+def test_q153_matches_bruteforce(spark, sf_dir):
+    rows = tables(spark, sf_dir)["documents"].select(
+        "source", "text").collect()
+    sets: dict = defaultdict(set)
+    for r in rows:
+        t = _toks(r.text)
+        for i in range(len(t) - 4):
+            sets[r.source].add(" ".join(t[i:i + 5]))
+    expect = []
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            shared = len(sets[a] & sets[b])
+            if shared:
+                expect.append((a, b, len(sets[a]), shared,
+                               shared * 1_000_000 // len(sets[a])))
+    expect.sort()
+    got = [(r.source_a, r.source_b, r.n_a, r.n_shared,
+            r.containment_e6) for r in
+           _run("q153_source_containment", spark, sf_dir).collect()]
+    assert got == expect
+    # directionality is the point: containment must differ between the
+    # two orientations of at least one pair (unequal set sizes)
+    by_pair = {(a, b): c for a, b, _, _, c in got}
+    assert any(by_pair.get((b, a)) not in (None, c)
+               for (a, b), c in by_pair.items())
+
+
+def test_q153_fold_is_q89s(spark, sf_dir):
+    """One-definition pin: the containment oracle interpolates q89's
+    _SHKEY_SQL fold (imported, not restated)."""
+    from bucket_to_bigquery_spark.queries.overlap import _SHKEY_SQL
+    from bucket_to_bigquery_spark.queries.srccontain import _Q153_ORACLE
+
+    assert _SHKEY_SQL in _Q153_ORACLE

@@ -362,6 +362,14 @@ MODULE_DEPS: dict[str, list[str]] = {
         PKG + "queries/llm_queries.py",
         PKG + "queries/tokenstats.py",
     ],
+    # srccontain imports q89's fold twin + the shingle contract — an
+    # overlap.py/llm/dedup change must pull it once registered (r18,
+    # after the r15 llm rotation).
+    PKG + "queries/srccontain.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+        PKG + "queries/overlap.py",
+    ],
     # survival restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window (the
     # concurrency/funnel_ttc precedent).
