@@ -87,8 +87,10 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()  # three consumers: sizes + both join sides (q89 shape)
     )
+    # ONE consumer (za) — no cache (q89 caches its sizes because it
+    # has two; the review pass caught the blind copy)
     sizes = h.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n")).cache()
+        F.count(F.lit(1)).cast("long").alias("n"))
     a = h.select(F.col("source").alias("sa"), "sh")
     b = h.select(F.col("source").alias("sb"), "sh")
     inter = (

@@ -424,9 +424,20 @@ def test_q153_matches_bruteforce(spark, sf_dir):
 
 
 def test_q153_fold_is_q89s(spark, sf_dir):
-    """One-definition pin: the containment oracle interpolates q89's
-    _SHKEY_SQL fold (imported, not restated)."""
-    from bucket_to_bigquery_spark.queries.overlap import _SHKEY_SQL
+    """One-definition pins: the containment oracle interpolates q89's
+    _SHKEY_SQL fold (imported, not restated), and the whole
+    tok/raw/h/sizes CTE recipe is byte-identical to q89's — a q89
+    recipe change that bypasses the shared constants trips here
+    (the structural hoist into overlap.py rides that file's next
+    code rotation; GATE_r13.md deferred items)."""
+    import os
+
+    from bucket_to_bigquery_spark.queries.overlap import (
+        _Q89_ORACLE,
+        _SHKEY_SQL,
+    )
     from bucket_to_bigquery_spark.queries.srccontain import _Q153_ORACLE
 
     assert _SHKEY_SQL in _Q153_ORACLE
+    common = os.path.commonprefix([_Q89_ORACLE, _Q153_ORACLE])
+    assert "GROUP BY source), " in common  # shared through sizes
