@@ -81,8 +81,9 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    # two consumers (the h1 sweep + the final ranked join) — uncached,
-    # the degree aggregation would re-run over the edge frame
+    # two consumers (the h1 sweep + the final ranked join) -> cache;
+    # if uncached, the degree aggregation would re-run over the edge
+    # frame once per consumer
     a0 = edges.groupBy("p").agg(
         F.count(F.lit(1)).cast("long").alias("a")).cache()
     h1 = (

@@ -174,8 +174,9 @@ def ivfpq_adc_topk(
     sl = f"(size(r) div {m_sub})"
     sub_r = f"slice(r, cast(m * {sl} + 1 as int), cast({sl} as int))"
 
-    # two broadcast consumers (corpus assignment + query probing) —
-    # uncached, each broadcast would replay the TakeOrdered corpus scan
+    # two broadcast consumers (corpus assignment + query probing) ->
+    # cache; if uncached, each broadcast would replay the TakeOrdered
+    # corpus scan
     coarse = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_lists)
         .select(

@@ -11,7 +11,6 @@ raw rows, and plan pins on the scale contracts.
 from __future__ import annotations
 
 import calendar
-import math
 from collections import defaultdict
 
 from bucket_to_bigquery_spark.queries import (
@@ -26,7 +25,7 @@ from bucket_to_bigquery_spark.queries.registry import (
     tables,
 )
 
-from .oracle import compare, duck_connection
+from .oracle import compare, duck_connection, round_half_away
 
 _MODULES = (pq_ann, regression, multitouch)
 
@@ -49,8 +48,7 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _round_half_away(x: float) -> int:
-    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+_round_half_away = round_half_away
 
 
 def _d2_e12(a, b) -> int:

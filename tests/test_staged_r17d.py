@@ -21,7 +21,7 @@ from bucket_to_bigquery_spark.queries.registry import (
     tables,
 )
 
-from .oracle import compare, duck_connection
+from .oracle import compare, duck_connection, round_half_away
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
@@ -38,8 +38,7 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _round_half_away(x: float) -> int:
-    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+_round_half_away = round_half_away
 
 
 def _micros(ts) -> int:

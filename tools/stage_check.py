@@ -39,8 +39,13 @@ def main() -> int:
     spark = get_spark("stage-check")
     failures = 0
     for modname in mods:
-        mod = importlib.import_module(
-            f"bucket_to_bigquery_spark.queries.{modname}")
+        try:
+            mod = importlib.import_module(
+                f"bucket_to_bigquery_spark.queries.{modname}")
+        except ModuleNotFoundError:
+            print(f"unknown query module: {modname!r} "
+                  "(expected a bucket_to_bigquery_spark.queries submodule)")
+            return 2
         staged = {
             name: Query(name, _with_tuning(fn), oracle, desc, tags)
             for name, (fn, oracle, desc, tags) in mod.STAGED.items()
