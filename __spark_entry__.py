@@ -48,58 +48,46 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # precedent: 50 in-window + 38 deferred to r12).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # Round 13 (GATE_r13.md; executes GATE_r12.md's "Round-13 plan"):
-    # the 15 staged registrations q93-q107 (all value-oracled at two SFs,
-    # brute-force replayed, plan-pinned, 10x-probed since r11 — see
-    # tests/test_staged_r13*.py) plus the deep stale burn-down — all 9
-    # remaining r9 rows, then the 26 oldest r10 rows. Registration
-    # touches only queries/__init__.py (infra) + these aliases; no
-    # behavioral edit to any previously-registered module this round.
-    # Exactly 50.
+    # Round 14 (GATE_r14.md; executes GATE_r13.md's "Round-14" plan):
+    # the 21 booked staged registrations q109-q114, q118-q131, q134
+    # (value-oracled at 2-3 SFs, brute-force replayed, plan-pinned,
+    # edge-corpus-matched, 10x-probed since r13 —
+    # tests/test_staged_r14*.py) plus the stale burn-down: all 15
+    # remaining r10 rows (the q77-q88 families + the r13 evictees
+    # q31c/q66b/q72b), then the 14 oldest r11 rows in name order.
+    # Registration touches only queries/__init__.py (infra) + these
+    # aliases; no behavioral edit to any previously-registered module
+    # this round. q115/q116/q117 + q132/q133 stay staged until after
+    # the r15 llm_queries rotation (GATE_r13.md slot math). Exactly 50.
     #
-    # r13 registrations (15)
-    "q93_pmi_collocations", "q94_fd_audit", "q95_shingle_novelty",
-    "q96_psi_drift", "q97_association_rules", "q98_zipf_slope",
-    "q99_interarrival_burstiness", "q100_class_separation",
-    "q101_k_anonymity", "q102_source_scorecard", "q103_new_vs_returning",
-    "q104_benford_audit", "q105_unigram_entropy",
-    "q106_unit_price_dispersion", "q107_correlation_matrix",
-    # stale refresh, r9 rows — the oldest evidence anywhere (9)
-    "q09b_salted_skew_join", "q11b_full_outer_join",
-    "q32_math_funcs", "q33_array_funcs", "q34_map_struct_funcs",
-    "q35_conditional_funcs", "q56_mixture_sampling",
-    "q56b_mixture_composition", "q49n_heavy_hitters_cms",
-    # mid-round registration (GATE_r13.md): the q48h full-oracle IVF
-    # top-k variant; its slot evicts the q31c stale-refresh alias (r7
-    # q02c precedent — scalar.py untouched, q31c's r10 row stays valid,
-    # q31b keeps the view family in-window)
-    "q48h_ivf_topk_exact_centroids",
-    # mid-round registration #2 (GATE_r13.md): q108 notification-driven
-    # ingest; its slot evicts the q72b stale-refresh alias (splits.py
-    # untouched, its r10 row stays valid, q72 keeps the family in-window)
-    "q108_notification_ingest",
-    # mid-round emergency behavioral fix (GATE_r13.md; the documented
-    # evict-stale-refresh path): q79's builder moved to the
-    # byte-granular Levenshtein contract (raw Spark levenshtein edits
-    # code points where DuckDB edits UTF-8 bytes — latent oracle
-    # divergence on any non-ASCII name; values unchanged on this ASCII
-    # corpus). Slot evicts the q66b stale-refresh alias (keystats.py
-    # untouched, its r10 row stays valid, q66 keeps the family
-    # in-window).
-    "q79_sorted_neighborhood_linkage",
-    # stale refresh, oldest r10 rows (24 after the q31c/q66b evictions)
-    "q31b_local_time_ordered_view",
-    "q33b_vector_norm", "q42_pandas_udf_normalize",
-    "q43_apply_in_pandas_zscore", "q57_bloom_decontamination",
-    "q58_snapshot_diff", "q59_weighted_sample", "q60_zorder_layout",
-    "q61_hll_sketch_union", "q63_sessionization", "q63b_event_funnel",
-    "q64_retention_cohorts", "q66_heavy_keys",
-    "q67_bpe_pair_merge",
-    "q68_windowed_topk", "q69_group_centered_embeddings",
-    "q70_scd2_dimension", "q71_document_chunking",
-    "q72_leakage_safe_split",
-    "q73_quality_constraints", "q74_changelog_upsert",
-    "q75_bm25_topk", "q76_frequent_pairs",
+    # r14 registrations (21)
+    "q109_tpch_q5_shape", "q110_tpch_q10_shape", "q111_promo_share",
+    "q112_market_share", "q113_column_profile", "q114_alpha_sampling",
+    "q118_rolling_active_users", "q119_tpch_q4_shape",
+    "q120_tpch_q7_shape", "q121_tpch_q13_shape", "q122_tpch_q17_shape",
+    "q123_tpch_q18_shape", "q124_tpch_q19_shape", "q125_tpch_q15_shape",
+    "q126_tpch_q22_shape", "q127_embedding_outliers",
+    "q128_hourly_seasonality", "q129_ship_latency_percentiles",
+    "q130_lloyd_step_audit", "q131_peak_concurrency",
+    "q134_funnel_ttc_percentiles",
+    # stale refresh: ALL 15 remaining r10 rows (oldest evidence
+    # anywhere) — the q77-q88 analytics families plus the three r13
+    # eviction survivors q31c/q66b/q72b
+    "q31c_stacked_views", "q66b_key_frequency_histogram",
+    "q72b_split_leakage_audit", "q77_last_touch_attribution",
+    "q78_pagerank", "q78b_triangle_count", "q80_chi2_independence",
+    "q81_time_decay_score", "q82_skyline_orders", "q83_js_divergence",
+    "q84_daily_anomalies", "q85_markov_transitions", "q86_rfm_scores",
+    "q87_weekly_revenue_delta", "q88_gini_concentration",
+    # stale refresh: the 14 oldest r11 rows in name order (the
+    # relational/ingest scan-and-join head of the registry)
+    "q01_parquet_scan", "q02_csv_scan_roundtrip",
+    "q02b_orc_scan_roundtrip", "q02c_xml_scan_roundtrip",
+    "q03_json_extract", "q04_ingest_partitioned_sink",
+    "q04b_imported_audit", "q04c_partition_pruned_scan",
+    "q04d_catalog_sql", "q04e_compaction", "q05_glob_scan",
+    "q06_project_filter", "q07_select_except",
+    "q08_compound_predicates",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

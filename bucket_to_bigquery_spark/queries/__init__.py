@@ -175,12 +175,42 @@ from . import scorecard  # noqa: F401, E402
 from . import separation  # noqa: F401, E402
 from . import zipf  # noqa: F401, E402
 
+# The r14 window (GATE_r13.md "Round-14/15/16 plan"): the 21 booked
+# staged registrations q109-q114, q118-q131, q134 — TPC-H Q5/Q10/Q14/Q8
+# shapes, single-pass column profile, temperature-scaled mixture
+# weights, trailing-7-day actives, the TPC-H subquery-machinery batch
+# (Q4/Q7/Q13/Q17/Q18/Q19/Q15/Q22 shapes), per-label embedding outliers,
+# hourly seasonality, ship-latency percentiles, the Lloyd-update step
+# audit, peak concurrent sessions, and funnel time-to-convert
+# percentiles. Each was value-oracled at sf0.001+sf0.01 (+sf0.1 sweeps),
+# brute-force replayed, plan-pinned, edge-corpus-matched and 10x-probed
+# BEFORE registration (tests/test_staged_r14*.py, GATE_r13.md "Staged
+# r14/r16 surface"); registration touches only this file + the
+# GATE_PRIORITY aliases — no behavioral edit to any staged module.
+# q115/q116/q117 and q132/q133 stay UNREGISTERED until after the r15
+# llm_queries.py rotation (their tokenizer/fold MODULE_DEPS would grow
+# that window past 50 — the GATE_r13.md slot math).
+from . import actives  # noqa: F401, E402
+from . import concurrency  # noqa: F401, E402
+from . import embed_outliers  # noqa: F401, E402
+from . import funnel_ttc  # noqa: F401, E402
+from . import latency  # noqa: F401, E402
+from . import lloyd_step  # noqa: F401, E402
+from . import profiling  # noqa: F401, E402
+from . import seasonality  # noqa: F401, E402
+from . import temperature  # noqa: F401, E402
+from . import tpch_ext  # noqa: F401, E402
+from . import tpch_ext2  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot,
                 ab, paths, pit, sketch_overlap,
                 anonymity, arrivals, benford, collocations, correlation,
                 dispersion, entropy, fd, growth, novelty, psi, rules,
-                scorecard, separation, zipf):
+                scorecard, separation, zipf,
+                actives, concurrency, embed_outliers, funnel_ttc, latency,
+                lloyd_step, profiling, seasonality, temperature, tpch_ext,
+                tpch_ext2):
     _staged.register()
 del _staged
 

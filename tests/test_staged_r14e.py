@@ -55,14 +55,28 @@ def _d2_e12(a, b) -> int:
     )
 
 
-def test_staged_entries_are_not_registered():
+def test_staged_entries_are_registered():
+    """Round-14 wiring (GATE_r14.md): every formerly-staged entry is in
+    the registry with its oracle and description (queries/__init__ calls
+    register()); the r14 window budgets one GATE_PRIORITY slot each."""
     reg = all_queries()
     assert STAGED
+    for name, q in STAGED.items():
+        assert name in reg, f"{name} not registered — queries/__init__ wiring lost"
+        assert reg[name].oracle == q.oracle
+        assert reg[name].description
+
+
+def test_register_is_idempotent():
+    """Re-calling register() (already run once at package import) must
+    not duplicate or mutate entries."""
+    from bucket_to_bigquery_spark.queries.registry import REGISTRY
+
+    before = dict(REGISTRY)
+    lloyd_step.register()
+    assert set(REGISTRY) == set(before)
     for name in STAGED:
-        assert name not in reg, (
-            f"{name} is registered — the r13 gate-window accounting "
-            "(GATE_r13.md) no longer matches"
-        )
+        assert REGISTRY[name].oracle == before[name].oracle
 
 
 def test_staged_oracle_parity(spark, sf_dir):
