@@ -39,6 +39,13 @@ import pytest
 
 from bucket_to_bigquery_spark.queries import (
     actives,
+    lift,
+    markov_eval,
+    packstats,
+    pq_recall,
+    rankchurn,
+    saltadvisor,
+    tpch_ext3,
     bfs,
     bpe2,
     cohits,
@@ -111,6 +118,19 @@ _STAGED_MODULES = (
     recon, ks, robust, cooccur, pq_ann, fuzzy, regression, multitouch,
     sq, triples, bfs, survival, ivfpq, receval, cohits, lloyd2,
     bpe2, srccontain,
+    # staged r19 batch (q154-q160, GATE_r14.md): q154's one-line Q6
+    # band (only the 0.05-discount line qualifies), q155's sparse
+    # month sequence (gap months produce no pair group; single-sided
+    # pairs are all-dropped/all-entered), q156's all-train corpus
+    # (every edge event predates the pivot -> empty-result parity),
+    # q157 packing the ""/whitespace docs (first edge run of the q52
+    # packer twins on empty token lists), q158's 3-key domain, q159's
+    # 4-vector corpus (every vector is a query AND a codeword; the
+    # identical pair ties by id; top-5 truncates to 3 candidates),
+    # q160's train-cents TIE (both customers spend 30000 cents ->
+    # custkey order) with a zero-test-spend decile
+    tpch_ext3, rankchurn, markov_eval, packstats, saltadvisor,
+    pq_recall, lift,
 )
 
 STAGED: dict[str, Query] = {

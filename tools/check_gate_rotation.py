@@ -388,6 +388,31 @@ MODULE_DEPS: dict[str, list[str]] = {
         # directly (the dep map is NOT transitive)
         PKG + "scratch.py",
     ],
+    # Staged r19 surface (built r14, GATE_r14.md "Staged r19 surface"):
+    # NOT imported by queries/__init__ yet — zero registered entries;
+    # mapped so the unmapped-changed-file guard knows them and so their
+    # registration inherits correct dependency pull-in.
+    PKG + "queries/tpch_ext3.py": [],
+    PKG + "queries/rankchurn.py": [],
+    # markov_eval restates q85's (ts, event_id) transition total order —
+    # a markov.py contract change must pull the eval in-window once it
+    # registers (the survival.py/sessions.py precedent).
+    PKG + "queries/markov_eval.py": [PKG + "queries/markov.py"],
+    # packstats calls pipeline_queries.pack_chunks and embeds _Q52_SQL —
+    # map pipeline_queries plus ITS packing-relevant inputs directly
+    # (the dep map is NOT transitive): _Q52_SQL interpolates the
+    # llm tokenizer twin and pack_chunks tokenizes via operators/dedup.
+    PKG + "queries/packstats.py": [
+        PKG + "queries/pipeline_queries.py",
+        PKG + "queries/llm_queries.py",
+        PKG + "operators/dedup.py",
+    ],
+    PKG + "queries/saltadvisor.py": [],
+    # pq_recall calls pq_ann.pq_adc_topk and embeds _Q141_ORACLE +
+    # the e12 distance twins — a pq_ann.py change must pull the audit
+    # in-window once both register (the receval/cooccur precedent).
+    PKG + "queries/pq_recall.py": [PKG + "queries/pq_ann.py"],
+    PKG + "queries/lift.py": [],
 }
 
 # Shared infra: exercised by every entry, exempt from rotation. Exemption
