@@ -64,9 +64,12 @@ _Q160_ORACLE = (
     "CAST(SUM(n_cust) AS BIGINT) AS n_total FROM agg) "
     "SELECT CAST(decile AS BIGINT) AS decile, n_cust, train_cents, "
     "test_cents, "
+    # an all-train corpus has t_total = 0: lift is undefined -> NULL
+    # (an unguarded double /0 is engine-divergent: inf vs cast error)
+    "CASE WHEN t_total = 0 THEN NULL ELSE "
     "CAST(round((CAST(test_cents AS DOUBLE) / CAST(n_cust AS DOUBLE)) / "
     "(CAST(t_total AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6) "
-    "AS BIGINT) AS lift_e6 "
+    "AS BIGINT) END AS lift_e6 "
     "FROM agg, tot ORDER BY decile"
 )
 
@@ -131,10 +134,12 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decile").cast("long").alias("decile"),
             "n_cust", "train_cents", "test_cents",
             F.expr(
+                # t_total = 0 -> NULL (see the oracle's guard)
+                "case when t_total = 0 then null else "
                 "cast(round((cast(test_cents as double) / "
                 "cast(n_cust as double)) / "
                 "(cast(t_total as double) / cast(n_total as double)) "
-                "* 1e6) as bigint)"
+                "* 1e6) as bigint) end"
             ).alias("lift_e6"),
         )
         .orderBy("decile")

@@ -88,8 +88,11 @@ _Q159_DESCRIPTION = (
 def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables(spark, sf_dir)["embeddings"]
     queries_df = emb.where(F.col("vec_id") < _N_QUERIES)
+    # two consumers (the hit join + the adc checksum aggregate) ->
+    # cache; if uncached, the whole ADC scan (assignment pass included)
+    # would run twice
     adc = pq_adc_topk(emb, queries_df, k=_ADC_K).select(
-        "q_id", F.col("n_id").alias("adc_n_id"))
+        "q_id", F.col("n_id").alias("adc_n_id")).cache()
     qv = queries_df.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec"))
     xd = (

@@ -17,6 +17,10 @@ truncating divisions of exact counts (the shared division
 convention), salt_factor is the ceiling division
 (cnt + target - 1) div target, and the top-20 selection orders by
 (cnt DESC, key ASC), a total order. ORDER BY the unique key.
+BIGINT headroom: skew_e6's numerator cnt * n_keys * 1e6 is bounded
+by total * n_keys * 1e6 — fine to ~9e18 (e.g. 1e9 rows over 9k keys);
+past that the product moves to DECIMAL(38,0) in both engines (the
+q136/q150 documented seam, not needed at any test SF).
 
 Scale design (100 TB): ONE map-side-combined count aggregation to the
 key-domain frame (|parts|, corpus-size-independent), a 1-row totals

@@ -395,3 +395,50 @@ def test_q160_decile_frame_cached_for_both_consumers(spark, sf_dir):
     # scan executes once
     assert plan.count("InMemoryTableScan") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_q160_all_train_corpus_nulls_lift(spark, sf_dir, tmp_path):
+    """The t_total = 0 guard (review finding): on a corpus whose every
+    order predates the pivot, lift is undefined — both engines must
+    agree on NULL rather than diverge on a double /0 (inf vs cast
+    error). Built by rewriting orders to the pre-pivot subset and
+    linking the other tables unchanged."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from .oracle import TABLE_NAMES
+
+    d = tmp_path / "all_train"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        if t != "orders":
+            shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{sf_dir}/orders.parquet' "
+        "WHERE o_orderdate < TIMESTAMP '1999-01-01') "
+        f"TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    con.close()
+    got = _run("q160_decile_lift", spark, str(d)).collect()
+    assert got and all(r.lift_e6 is None for r in got)
+    assert all(r.test_cents == 0 for r in got)
+    # Value-level parity, not the driver-hash compare: an ALL-NULL
+    # BIGINT column is the known pandas-dtype canonicalization gap
+    # (DuckDB fetches it as float NaN, Spark as None — the q116
+    # staging precedent). No driver corpus is all-train, so the pin
+    # here is that both engines compute the SAME rows and neither
+    # errors on the guarded /0.
+    duck = duck_connection(str(d))
+    try:
+        orows = duck.execute(
+            STAGED["q160_decile_lift"].oracle).fetchall()
+    finally:
+        duck.close()
+    import math as _math
+
+    assert len(orows) == len(got)
+    for s, o in zip(got, orows):
+        assert (s.decile, s.n_cust, s.train_cents, s.test_cents) == o[:4]
+        assert o[4] is None or _math.isnan(o[4])
