@@ -39,10 +39,14 @@ import pytest
 
 from bucket_to_bigquery_spark.queries import (
     actives,
+    checksums,
+    histogram,
     lift,
     markov_eval,
+    negatives,
     packstats,
     pq_recall,
+    profile_drift,
     rankchurn,
     saltadvisor,
     tpch_ext3,
@@ -131,6 +135,15 @@ _STAGED_MODULES = (
     # custkey order) with a zero-test-spend decile
     tpch_ext3, rankchurn, markov_eval, packstats, saltadvisor,
     pq_recall, lift,
+    # staged r20 batch (q161-q164, GATE_r14.md): q161's empty-string /
+    # whitespace / exact-duplicate docs (the duplicate pair makes
+    # n_rows != n_distinct and checksum_all != checksum_distinct for
+    # 'book'), q162's 4-order cents domain (every edge is one of four
+    # values; ceiling targets hit ties), q163's identical-pair /
+    # all-zero vectors (pos distance 0 with id ties; label sets {0,1}
+    # both present for every query), q164's all-pre-pivot orders...
+    # three of four edge orders predate 1998 -> late side nearly empty
+    checksums, histogram, negatives, profile_drift,
 )
 
 STAGED: dict[str, Query] = {

@@ -413,6 +413,16 @@ MODULE_DEPS: dict[str, list[str]] = {
     # in-window once both register (the receval/cooccur precedent).
     PKG + "queries/pq_recall.py": [PKG + "queries/pq_ann.py"],
     PKG + "queries/lift.py": [],
+    # Staged r20 surface (built r14, GATE_r14.md "Staged r20 surface"):
+    # checksums imports operators/dedup.shingle_hash (the one fold
+    # definition); histogram/negatives restate the q131-q136 segmented
+    # scan / e12 distance DECOMPOSITIONS deliberately edge-free (the
+    # ks/pq_ann precedent — no shared value contract); profile_drift
+    # shares only the q113 fixed-column-list *convention*.
+    PKG + "queries/checksums.py": [PKG + "operators/dedup.py"],
+    PKG + "queries/histogram.py": [],
+    PKG + "queries/negatives.py": [],
+    PKG + "queries/profile_drift.py": [],
 }
 
 # Shared infra: exercised by every entry, exempt from rotation. Exemption
