@@ -16,9 +16,10 @@ only the fold literal, and tests/test_dedup_properties.py already
 pins the fold pair on arbitrary strings).
 
 Reference parity: the reference's only integrity device is the
-`_imported` audit row (BucketToBigQuery.js:320-343 via loader.py's
-A15 port); this is the content-level completion of that idea —
-declared engine surface (SURVEY §2.C extension when registered).
+URI-level `_imported` audit table (BucketToBigQuery.js:386-393,
+index.js:73 — via loader.py's A15 port); this is the content-level
+completion of that idea — declared engine surface (SURVEY §2.C
+extension when registered).
 
 Determinism: counts are exact; each checksum is the sum of exact
 60-bit integers carried in DECIMAL(38,0) (int64 would wrap past
