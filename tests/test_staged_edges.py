@@ -39,14 +39,19 @@ import pytest
 
 from bucket_to_bigquery_spark.queries import (
     actives,
+    apportion,
+    boilerplate,
     checksums,
     histogram,
+    layout_advisor,
     lift,
     markov_eval,
     negatives,
     packstats,
+    postings,
     pq_recall,
     profile_drift,
+    qq,
     rankchurn,
     saltadvisor,
     tpch_ext3,
@@ -144,6 +149,13 @@ _STAGED_MODULES = (
     # both present for every query), q164's all-pre-pivot orders...
     # three of four edge orders predate 1998 -> late side nearly empty
     checksums, histogram, negatives, profile_drift,
+    # second r20 batch (q165-q169, GATE_r14.md): q165 on the
+    # ""/whitespace docs (no shingles) + the duplicate pair (df=2
+    # boilerplate shingles), q166's two-source exact-sum split,
+    # q167's tiny two-term vocabulary, q168's one-late-order QQ
+    # table (late deciles all equal the single order's cents),
+    # q169's sub-64MiB sources (is_small fires everywhere)
+    boilerplate, apportion, postings, qq, layout_advisor,
 )
 
 STAGED: dict[str, Query] = {

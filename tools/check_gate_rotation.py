@@ -423,6 +423,22 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/histogram.py": [],
     PKG + "queries/negatives.py": [],
     PKG + "queries/profile_drift.py": [],
+    # Second staged r20 batch (late r14): boilerplate/postings share
+    # the q47/q49 tokenizer-shingle twins (the overlap/retrieval
+    # pattern); apportion keys on character mass (registry-only, the
+    # temperature.py convention); qq restates the q162 segmented-scan
+    # decomposition edge-free; layout_advisor is registry-only.
+    PKG + "queries/boilerplate.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/apportion.py": [],
+    PKG + "queries/postings.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
+    PKG + "queries/qq.py": [],
+    PKG + "queries/layout_advisor.py": [],
 }
 
 # Shared infra: exercised by every entry, exempt from rotation. Exemption
