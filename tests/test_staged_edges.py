@@ -47,6 +47,7 @@ from bucket_to_bigquery_spark.queries import (
     lift,
     markov_eval,
     negatives,
+    outer_join_stream,
     packstats,
     postings,
     pq_recall,
@@ -156,6 +157,11 @@ _STAGED_MODULES = (
     # table (late deciles all equal the single order's cents),
     # q169's sub-64MiB sources (is_small fires everywhere)
     boilerplate, apportion, postings, qq, layout_advisor,
+    # staged r19 streaming entry: the edge corpus's one click sits
+    # INSIDE the final watermark horizon (click_ts + 1h > wm) and has
+    # no same-user purchase -> withheld, empty-result parity on the
+    # encoded eviction rule
+    outer_join_stream,
 )
 
 STAGED: dict[str, Query] = {

@@ -439,6 +439,17 @@ MODULE_DEPS: dict[str, list[str]] = {
     ],
     PKG + "queries/qq.py": [],
     PKG + "queries/layout_advisor.py": [],
+    # Staged r19 streaming entry (late r14): q170 calls
+    # streaming_queries._events_stream and run_stream_to_memory — map
+    # the full chain directly (the dep map is NOT transitive). It
+    # registers in r19, the round that rotates this family in-window
+    # for the events.py try_to_binary fix anyway.
+    PKG + "queries/outer_join_stream.py": [
+        PKG + "queries/streaming_queries.py",
+        PKG + "streaming/__init__.py",
+        PKG + "ingest/events.py",
+        PKG + "scratch.py",
+    ],
 }
 
 # Shared infra: exercised by every entry, exempt from rotation. Exemption
