@@ -42,6 +42,7 @@ from bucket_to_bigquery_spark.queries import (
     apportion,
     boilerplate,
     checksums,
+    datacard,
     histogram,
     layout_advisor,
     lift,
@@ -54,6 +55,7 @@ from bucket_to_bigquery_spark.queries import (
     profile_drift,
     qq,
     rankchurn,
+    rendezvous,
     saltadvisor,
     tpch_ext3,
     bfs,
@@ -157,6 +159,10 @@ _STAGED_MODULES = (
     # table (late deciles all equal the single order's cents),
     # q169's sub-64MiB sources (is_small fires everywhere)
     boilerplate, apportion, postings, qq, layout_advisor,
+    # third r20 batch: q171's 5-doc corpus (every shard population is
+    # 0 or 1; the movement law holds trivially), q172's ""/whitespace
+    # docs (band 0, token count 1 under the [""]-token convention)
+    rendezvous, datacard,
     # staged r19 streaming entry: the edge corpus's one click sits
     # INSIDE the final watermark horizon (click_ts + 1h > wm) and has
     # no same-user purchase -> withheld, empty-result parity on the

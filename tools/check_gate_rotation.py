@@ -444,6 +444,14 @@ MODULE_DEPS: dict[str, list[str]] = {
     # the full chain directly (the dep map is NOT transitive). It
     # registers in r19, the round that rotates this family in-window
     # for the events.py try_to_binary fix anyway.
+    # Third staged r20 batch (late r14): rendezvous is registry-only
+    # (its md5 fold twins are inline, the pq_ann edge-free choice);
+    # datacard shares the tokenizer twins (dedup + llm_queries).
+    PKG + "queries/rendezvous.py": [],
+    PKG + "queries/datacard.py": [
+        PKG + "operators/dedup.py",
+        PKG + "queries/llm_queries.py",
+    ],
     PKG + "queries/outer_join_stream.py": [
         PKG + "queries/streaming_queries.py",
         PKG + "streaming/__init__.py",
