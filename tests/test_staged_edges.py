@@ -44,6 +44,7 @@ from bucket_to_bigquery_spark.queries import (
     checksums,
     datacard,
     histogram,
+    langeval,
     layout_advisor,
     lift,
     markov_eval,
@@ -163,6 +164,10 @@ _STAGED_MODULES = (
     # 0 or 1; the movement law holds trivially), q172's ""/whitespace
     # docs (band 0, token count 1 under the [""]-token convention)
     rendezvous, datacard,
+    # q173 on the edge docs: ""/whitespace/english words score 0 on
+    # every profile -> predicted 'und' for all five docs, one
+    # ('en','und') row per the corpus's single lang value
+    langeval,
     # staged r19 streaming entry: the edge corpus's one click sits
     # INSIDE the final watermark horizon (click_ts + 1h > wm) and has
     # no same-user purchase -> withheld, empty-result parity on the
