@@ -41,8 +41,10 @@ from bucket_to_bigquery_spark.queries import (
     actives,
     apportion,
     boilerplate,
+    bursts,
     checksums,
     datacard,
+    embedhealth,
     histogram,
     langeval,
     layout_advisor,
@@ -164,6 +166,12 @@ _STAGED_MODULES = (
     # 0 or 1; the movement law holds trivially), q172's ""/whitespace
     # docs (band 0, token count 1 under the [""]-token convention)
     rendezvous, datacard,
+    # fifth r20 batch: q174 on the all-zero edge vector (one dimension
+    # set is fully shared-zero -> zero_share and dead-dim arithmetic
+    # live) and the identical pair; q175 on the SAME-timestamp event
+    # pairs (user 10's two views and user 30's view+purchase share a
+    # bucket -> max_burst 2 fires the flag on a 6-event corpus)
+    embedhealth, bursts,
     # q173 on the edge docs: ""/whitespace/english words score 0 on
     # every profile -> predicted 'und' for all five docs, one
     # ('en','und') row per the corpus's single lang value

@@ -448,6 +448,8 @@ MODULE_DEPS: dict[str, list[str]] = {
     # (its md5 fold twins are inline, the pq_ann edge-free choice);
     # datacard shares the tokenizer twins (dedup + llm_queries).
     PKG + "queries/rendezvous.py": [],
+    PKG + "queries/embedhealth.py": [],
+    PKG + "queries/bursts.py": [],
     # langeval calls q49c's registered builder and pulls its oracle
     # from the registry — a llm_queries.py change must pull the eval
     # in-window once it registers (plus the tokenizer operator).
