@@ -43,6 +43,7 @@ from bucket_to_bigquery_spark.queries import (
     boilerplate,
     bursts,
     checksums,
+    consample,
     datacard,
     embedhealth,
     histogram,
@@ -172,6 +173,9 @@ _STAGED_MODULES = (
     # pairs (user 10's two views and user 30's view+purchase share a
     # bucket -> max_burst 2 fires the flag on a 6-event corpus)
     embedhealth, bursts,
+    # q176 on the 5-doc edge corpus: sample counts are 0-or-1 per
+    # cell and the nesting-violation column is live at zero
+    consample,
     # q173 on the edge docs: ""/whitespace/english words score 0 on
     # every profile -> predicted 'und' for all five docs, one
     # ('en','und') row per the corpus's single lang value

@@ -450,6 +450,7 @@ MODULE_DEPS: dict[str, list[str]] = {
     PKG + "queries/rendezvous.py": [],
     PKG + "queries/embedhealth.py": [],
     PKG + "queries/bursts.py": [],
+    PKG + "queries/consample.py": [],
     # langeval calls q49c's registered builder and pulls its oracle
     # from the registry — a llm_queries.py change must pull the eval
     # in-window once it registers (plus the tokenizer operator).
