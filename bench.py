@@ -297,17 +297,30 @@ def main() -> None:
         # the per-query map omits failed entries; make that machine-visible
         compact["errors"] = len(errors)
 
+    print(_fit_tail_line(compact, timings, codes, collided))
+
+
+def _fit_tail_line(
+    compact: dict,
+    timings: dict[str, float],
+    codes: dict[str, str],
+    collided: set[str],
+) -> str:
+    """Degrade ``compact`` until it fits the driver's tail capture whole.
+
+    The driver captures the last 2000 chars of combined output and parses
+    the final JSON line — the line must fit WHOLE. At 148 entries the r12
+    line measured 1880 chars; the r13 registry (163+) overflows, and the
+    old single fallback would have dropped every per-query row from the
+    driver record. Degrade gracefully instead, cheapest information
+    first: the advisory scalars (still in the committed detail record
+    AND on stderr METRIC lines) go before row precision, and rows go
+    only as the last resort.
+    """
+
     def _line() -> str:
         return json.dumps(compact, separators=(",", ":"))
 
-    # The driver captures the last 2000 chars of combined output and parses
-    # the final JSON line — the line must fit WHOLE. At 148 entries the r12
-    # line measured 1880 chars; the r13 registry (163+) overflows, and the
-    # old single fallback would have dropped every per-query row from the
-    # driver record. Degrade gracefully instead, cheapest information
-    # first: the advisory scalars (still in the committed detail record
-    # AND on stderr METRIC lines) go before row precision, and rows go
-    # only as the last resort.
     line = _line()
     if len(line) >= 1980:
         # 1-decimal rows first: adjudication-grade precision lives in the
@@ -317,6 +330,7 @@ def main() -> None:
             for k, v in timings.items()
         }
         line = _line()
+    advisory = (compact.get("ann_recall_at_5"), compact.get("ivf_scan_frac"))
     if len(line) >= 1980:
         # then the advisory scalars (still in the detail record AND on
         # stderr METRIC lines)
@@ -325,12 +339,54 @@ def main() -> None:
         compact["advisory_omitted"] = 1
         line = _line()
     if len(line) >= 1980:
+        # Bounded per-query footprint (VERDICT r14 #1): at 186+ entries the
+        # full map cannot fit even at 1-decimal precision, and the old
+        # last resort dropped every row — which removed the driver-side
+        # adjudication trigger for perf regressions. Keep magnitude-level
+        # visibility at ANY registry size instead: per-decade subtotals
+        # (complete coverage, ~|registry|/10 keys) plus the top-N slowest
+        # rows (the adjudication candidates), N shrinking until the line
+        # fits. The full row map is always in the committed detail record.
+        def _decade(code: str) -> str:
+            num = "".join(ch for ch in code[1:] if ch.isdigit())
+            return f"{code[0]}{int(num) // 10 if num else 0}x"
+
+        fams: dict[str, float] = {}
+        for k, v in timings.items():
+            f = _decade(codes[k])
+            fams[f] = round(fams.get(f, 0.0) + v, 1)
+        compact.pop("queries", None)
+        compact["families"] = fams
+        slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = 64
+        while True:
+            compact["queries_top"] = {
+                (k if codes[k] in collided else codes[k]): round(v, 1)
+                for k, v in slowest[:n]
+            }
+            line = _line()
+            if len(line) < 1980 or n == 0:
+                break
+            n //= 2
+        if compact.pop("advisory_omitted", None) and len(line) < 1900:
+            # the bounded form is far smaller than the full map — restore
+            # the advisory scalars if they fit back in (they usually do)
+            compact["ann_recall_at_5"] = advisory[0]
+            compact["ivf_scan_frac"] = advisory[1]
+            line = _line()
+            if len(line) >= 1980:
+                compact.pop("ann_recall_at_5", None)
+                compact.pop("ivf_scan_frac", None)
+                compact["advisory_omitted"] = 1
+                line = _line()
+    if len(line) >= 1980:
         # never leave the driver's tail parse without a valid final line:
-        # drop the per-query map before dropping the headline metric
-        compact.pop("queries")
+        # drop the subtotals before dropping the headline metric
+        compact.pop("families", None)
+        compact.pop("queries_top", None)
         compact["queries_omitted"] = "line exceeded driver tail capture"
         line = _line()
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,100 @@
+"""Driver-tail fitting for bench.py's final compact JSON line.
+
+VERDICT r14 "What's wrong" #1: at 186 registered entries even 1-decimal
+per-query rows overflow the driver's 2000-char tail capture, and the old
+last-resort branch dropped the whole map — removing the driver-side
+adjudication trigger. ``bench._fit_tail_line`` must now keep
+magnitude-level per-query visibility (per-decade subtotals + top-N
+slowest rows) at ANY registry size. Pure-python tests — no Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def _mk(n_entries: int):
+    random.seed(7)
+    timings = {}
+    for i in range(1, n_entries + 1):
+        suff = "" if i % 3 else "b"
+        timings[f"q{i:02d}{suff}_some_longish_query_name_{i}"] = round(
+            random.uniform(0.3, 9.5), 4
+        )
+    codes: dict[str, str] = {}
+    collided: set[str] = set()
+    seen: set[str] = set()
+    for k in timings:
+        c = k.split("_", 1)[0]
+        if c in seen:
+            collided.add(c)
+        seen.add(c)
+        codes[k] = c
+    compact = {
+        "metric": "declared_query_set_wall_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "sf": 0.1,
+        "calib_s": [0.3, 0.3],
+        "ann_recall_at_5": {"q48": 1.0, "q48b": 0.98},
+        "ivf_scan_frac": 0.11,
+        "queries": {
+            (k if codes[k] in collided else codes[k]): round(v, 2)
+            for k, v in timings.items()
+        },
+    }
+    return compact, timings, codes, collided
+
+
+def _fit(n_entries: int) -> dict:
+    line = bench._fit_tail_line(*_mk(n_entries))
+    assert len(line) < 1980, f"{n_entries} entries: line {len(line)} chars"
+    return json.loads(line)
+
+
+def test_small_registry_keeps_full_map():
+    d = _fit(90)
+    assert len(d["queries"]) == 90
+    assert "families" not in d
+    assert d["ann_recall_at_5"]["q48"] == 1.0
+
+
+def test_large_registry_keeps_bounded_rows_and_subtotals():
+    # the end-r20 size (233) and well past it
+    for n in (186, 233, 400):
+        d = _fit(n)
+        assert "queries" not in d
+        top = d["queries_top"]
+        fams = d["families"]
+        assert len(top) >= 16, f"{n}: only {len(top)} top rows survived"
+        # the subtotals must cover the whole registry: their sum equals the
+        # headline total (each family is rounded to 0.1, so allow that)
+        assert abs(sum(fams.values()) - d["value"]) < 0.1 * len(fams) + 0.01
+        # the top rows are genuinely the slowest ones
+        floor = max(fams.values()) + 1  # any per-row value is below this
+        assert min(top.values()) <= floor
+        assert d["value"] > 0 and d["metric"] == "declared_query_set_wall_time"
+
+
+def test_advisory_scalars_restored_when_bounded_form_has_slack():
+    d = _fit(233)
+    assert d.get("ann_recall_at_5"), "advisory scalars should fit back in"
+    assert "advisory_omitted" not in d
+
+
+def test_decade_subtotals_are_complete_partition():
+    compact, timings, codes, collided = _mk(233)
+    d = json.loads(bench._fit_tail_line(compact, timings, codes, collided))
+    # rebuild the expected decade keys from the codes and compare
+    expected = set()
+    for c in codes.values():
+        num = "".join(ch for ch in c[1:] if ch.isdigit())
+        expected.add(f"{c[0]}{int(num) // 10}x")
+    assert set(d["families"]) == expected
