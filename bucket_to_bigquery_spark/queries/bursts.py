@@ -14,8 +14,14 @@ Reference parity: n/a — no analytics surface in the reference;
 declared engine surface (SURVEY §2.C extension when registered).
 
 Determinism: buckets are the truncate-toward-zero division of
-unix-microseconds both engines share (the q84/q118 convention,
-tests/test_division_convention.py); counts are exact; the top-20
+unix-microseconds both engines share (the q84/q118 convention).
+This does NOT assume non-negative timestamps: DuckDB's ``//`` binds
+BIGINT // BIGINT here (``epoch_us`` returns BIGINT — type-pinned)
+and integer ``//`` truncates toward zero exactly like Spark's
+``div`` on BOTH signs; it is DOUBLE ``//`` (flooring) and Python
+``//`` that diverge on negatives, and the cross-engine agreement
+incl. pre-1970 timestamps is pinned by
+tests/test_division_convention.py. Counts are exact; the top-20
 orders by (max_burst DESC, n_events DESC, user_id ASC, event_type
 ASC) — a total order. ORDER BY the same order.
 

@@ -63,8 +63,16 @@ _Q170_ORACLE = (
     "SELECT user_id, click_id, purchase_id, click_ts, purchase_ts "
     "FROM j, wm "
     # matched pairs always emit; unmatched clicks emit iff the final
-    # watermark STRICTLY passed their matchable horizon (empirical
-    # boundary pin: equality is withheld)
+    # watermark STRICTLY passed their matchable horizon. The strict `<`
+    # (equality withheld) is an EMPIRICALLY MEASURED boundary, not a
+    # spec-derived rule — at that boundary this oracle validates the
+    # engine's observed eviction behavior, so if Spark's no-data
+    # finalization batch or watermark computation semantics change, the
+    # inequality must be RE-MEASURED, not assumed. The authoritative pin
+    # is the crafted boundary corpus in tests/test_staged_r19b.py
+    # (test_q170_boundary_is_strictly_less_than): it fails first and names the
+    # boundary if the semantics move, so a mismatch here is attributable
+    # to finalization, not to the join.
     "WHERE purchase_id IS NOT NULL "
     "OR click_ts + INTERVAL '1 hour' < w "
     "ORDER BY click_id, purchase_id NULLS FIRST"

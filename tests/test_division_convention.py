@@ -72,3 +72,57 @@ def test_double_division_rounds_across_boundaries(spark):
     ).collect()[0]
     assert row.intd == 2**17 - 1  # exact
     assert row.dbl == 2**17  # the double quotient rounded up — the bug
+
+
+def test_duckdb_epoch_us_binds_integer_intdiv():
+    """ADVICE r14 #2 closure: the `epoch_us(ts) // N` oracle sites
+    (bursts/actives/anomaly/funnel_ttc/latency/rfm/seasonality/trend)
+    truncate like Spark `div` ONLY because `//` binds BIGINT // BIGINT —
+    on DOUBLE operands DuckDB 1.0's `//` is PLAIN DIVISION (measured
+    here), not integer division at all. Pin the type assumption
+    (epoch_us → BIGINT) and the counterexample that makes it
+    load-bearing."""
+    con = duckdb.connect()
+    t = con.execute(
+        "SELECT typeof(epoch_us(TIMESTAMP '1969-12-31 23:59:59.999999'))"
+    ).fetchone()[0]
+    assert t == "BIGINT", t
+    # the guarded divergence: same numerator, DOUBLE operand floors
+    big, dbl = con.execute(
+        f"SELECT CAST(-1 AS BIGINT) // {_US_PER_DAY}, "
+        f"CAST(-1 AS DOUBLE) // {_US_PER_DAY}"
+    ).fetchone()
+    assert big == 0  # truncate toward zero ≡ Spark div
+    # DOUBLE `//` degenerates to plain division — fractional "buckets";
+    # the bug the type pin guards
+    assert dbl != 0 and abs(dbl) < 1, dbl
+    con.close()
+
+
+def test_pre_1970_bucket_parity_end_to_end(spark):
+    """Negative-epoch timestamps bucket identically in both engines:
+    DuckDB `epoch_us(ts) // day` vs Spark `unix_micros(ts) div day`."""
+    stamps = [
+        "1969-12-31 23:59:59.999999",  # -1 us → bucket 0 (trunc), -1 (floor)
+        "1969-12-31 00:00:00",
+        "1969-12-30 23:59:59.999999",
+        "1932-06-15 07:30:00",
+        "1970-01-01 00:00:00",
+        "1970-01-02 00:00:00.000001",
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT epoch_us(TIMESTAMP '{s}') // {_US_PER_DAY}"
+        ).fetchone()[0]
+        for s in stamps
+    ]
+    con.close()
+    df = spark.createDataFrame([(s,) for s in stamps], "s string")
+    got = [
+        r.b
+        for r in df.selectExpr(
+            f"unix_micros(CAST(s AS TIMESTAMP)) div {_US_PER_DAY} AS b"
+        ).collect()
+    ]
+    assert got == duck, (got, duck)
