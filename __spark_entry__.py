@@ -48,46 +48,42 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # precedent: 50 in-window + 38 deferred to r12).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # Round 14 (GATE_r14.md; executes GATE_r13.md's "Round-14" plan):
-    # the 21 booked staged registrations q109-q114, q118-q131, q134
-    # (value-oracled at 2-3 SFs, brute-force replayed, plan-pinned,
-    # edge-corpus-matched, 10x-probed since r13 —
-    # tests/test_staged_r14*.py) plus the stale burn-down: all 15
-    # remaining r10 rows (the q77-q88 families + the r13 evictees
-    # q31c/q66b/q72b), then the 14 oldest r11 rows in name order.
-    # Registration touches only queries/__init__.py (infra) + these
-    # aliases; no behavioral edit to any previously-registered module
-    # this round. q115/q116/q117 + q132/q133 stay staged until after
-    # the r15 llm_queries rotation (GATE_r13.md slot math). Exactly 50.
+    # Round 15 (GATE_r15.md; executes GATE_r13/GATE_r14's "Round-15"
+    # plan): the llm_queries.py rotation as the round's ONLY item —
+    # this round edits llm_queries.py (the _SIMHASH_SQL hoist from
+    # hamming.py, GATE_r13 deferred #5, + the q48b/c/d rows-only
+    # declaration narrowing), so the invariant CHANGED CODE => IN-WINDOW
+    # pulls the module's full 49-entry dependent set (computed from
+    # MODULE_DEPS; the q46-q54 dedup/similarity/text families plus the
+    # tokenizer-contract edges q57/q67/q72/q72b/q75/q83/q89/q89b/q93/
+    # q95/q98/q102/q105). The 1 remaining slot refreshes the oldest
+    # r11 evidence row in name order (q09). q115/q116/q117 + q132/q133
+    # stay staged until r16 (their registration would push this set to
+    # 52 > 50 — GATE_r13 slot math). Exactly 50.
     #
-    # r14 registrations (21)
-    "q109_tpch_q5_shape", "q110_tpch_q10_shape", "q111_promo_share",
-    "q112_market_share", "q113_column_profile", "q114_alpha_sampling",
-    "q118_rolling_active_users", "q119_tpch_q4_shape",
-    "q120_tpch_q7_shape", "q121_tpch_q13_shape", "q122_tpch_q17_shape",
-    "q123_tpch_q18_shape", "q124_tpch_q19_shape", "q125_tpch_q15_shape",
-    "q126_tpch_q22_shape", "q127_embedding_outliers",
-    "q128_hourly_seasonality", "q129_ship_latency_percentiles",
-    "q130_lloyd_step_audit", "q131_peak_concurrency",
-    "q134_funnel_ttc_percentiles",
-    # stale refresh: ALL 15 remaining r10 rows (oldest evidence
-    # anywhere) — the q77-q88 analytics families plus the three r13
-    # eviction survivors q31c/q66b/q72b
-    "q31c_stacked_views", "q66b_key_frequency_histogram",
-    "q72b_split_leakage_audit", "q77_last_touch_attribution",
-    "q78_pagerank", "q78b_triangle_count", "q80_chi2_independence",
-    "q81_time_decay_score", "q82_skyline_orders", "q83_js_divergence",
-    "q84_daily_anomalies", "q85_markov_transitions", "q86_rfm_scores",
-    "q87_weekly_revenue_delta", "q88_gini_concentration",
-    # stale refresh: the 14 oldest r11 rows in name order (the
-    # relational/ingest scan-and-join head of the registry)
-    "q01_parquet_scan", "q02_csv_scan_roundtrip",
-    "q02b_orc_scan_roundtrip", "q02c_xml_scan_roundtrip",
-    "q03_json_extract", "q04_ingest_partitioned_sink",
-    "q04b_imported_audit", "q04c_partition_pruned_scan",
-    "q04d_catalog_sql", "q04e_compaction", "q05_glob_scan",
-    "q06_project_filter", "q07_select_except",
-    "q08_compound_predicates",
+    # the llm_queries.py dependent set (49)
+    "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
+    "q46d_dedup_apply", "q47_ngram_jaccard_pairs",
+    "q47b_minhash_lsh_pairs", "q47c_embedding_neardup",
+    "q47d_benchmark_decontamination", "q47e_containment_pairs",
+    "q47f_embedding_dedup_apply", "q48_cosine_topk", "q48b_ann_lsh_topk",
+    "q48c_ivf_topk", "q48d_ivf_prebuilt", "q48e_signgrid_ann",
+    "q48f_knn_label_audit", "q49_text_stats", "q49b_length_histogram",
+    "q49c_language_id", "q49d_doc_fingerprint", "q49e_quality_filter",
+    "q49f_repetition_ratio", "q49g_stratified_sample",
+    "q49h_shard_assignment", "q49i_bpe_pretokenize", "q49j_pii_redaction",
+    "q49k_tfidf_topterms", "q49l_vocab_coverage", "q49m_bigram_lm_score",
+    "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
+    "q51_repeated_substrings", "q52_sequence_packing",
+    "q53_substring_scrub", "q54_full_pipeline", "q57_bloom_decontamination",
+    "q67_bpe_pair_merge", "q72_leakage_safe_split",
+    "q72b_split_leakage_audit", "q75_bm25_topk", "q83_js_divergence",
+    "q89_source_overlap", "q89b_source_overlap_minhash",
+    "q93_pmi_collocations", "q95_shingle_novelty", "q98_zipf_slope",
+    "q102_source_scorecard", "q105_unigram_entropy",
+    # stale refresh: the oldest r11 row in name order (35 r11 rows
+    # remain after this round; r16 refreshes ~9 more, r17 ~36 slots)
+    "q09_inner_join",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

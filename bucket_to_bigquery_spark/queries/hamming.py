@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import simhash_col, tokens
-from .llm_queries import _TOKHASH_SQL, _TOKS_SQL
+from .llm_queries import _SIMHASH_SQL, _TOKHASH_SQL, _TOKS_SQL
 from .registry import query, tables
 
 _N_BANDS = 4
@@ -64,15 +64,11 @@ _MAX_HAMMING = 3
 assert _MAX_HAMMING <= _N_BANDS - 1, "banding misses true pairs"
 assert _N_BANDS * _BAND_BITS == 32, "bands must tile the fingerprint"
 
-# q46b's fingerprint SQL: the token/normalize twins are IMPORTED from
-# llm_queries (one tokenizer definition, the r9 review rule — a change
-# there pulls this entry in-window via MODULE_DEPS); the 32-bit fold is
-# the q46b oracle's, restated once here (llm_queries inlines it).
-_SIMHASH_SQL = (
-    "CAST(list_sum(list_transform(range(0, 32), j -> "
-    "CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
-    "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
-)
+# q46b's fingerprint SQL: the token/normalize twins AND the 32-bit fold
+# are IMPORTED from llm_queries (one definition each, the r9 review
+# rule — a change there pulls this entry in-window via MODULE_DEPS).
+# The fold was hoisted there in the r15 rotation (GATE_r13 deferred #5);
+# the q46b oracle interpolates the same _SIMHASH_SQL object.
 
 _Q115_ORACLE = (
     "WITH t AS (SELECT doc_id, "

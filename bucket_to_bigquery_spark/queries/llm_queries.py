@@ -44,6 +44,16 @@ _NEAR_TAIL = " zz9 qq8 vv7"
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 _TOKHASH_SQL = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT)"
+# The 32-bit SimHash fold over a token-hash list column ``hs`` — the
+# oracle twin of operators/dedup.simhash_col(bits=32). ONE definition
+# (hoisted here from queries/hamming.py in the r15 rotation, GATE_r13
+# deferred #5): q46b interpolates it and hamming/neardup_cc import it,
+# so the fingerprint contract cannot desync across consumers.
+_SIMHASH_SQL = (
+    "CAST(list_sum(list_transform(range(0, 32), j -> "
+    "CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
+    "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+)
 
 # Planted structure: exact copies (+100000), near copies with a 3-token
 # tail (+200000, jaccard ≈ 0.9), and truncated first-half copies
@@ -142,9 +152,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"list_transform(list_distinct({_TOKS_SQL}), t -> "
         + _TOKHASH_SQL.format(t="t")
         + ") AS hs FROM documents) "
-        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> "
-        "CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
-        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash "
+        f"SELECT doc_id, {_SIMHASH_SQL} AS simhash "
         "FROM t ORDER BY doc_id"
     ),
     description=(
@@ -852,12 +860,16 @@ def q48b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48c_ivf_topk",
-    oracle=None,  # the SEEDED K-MEANS FIT is not SQL-expressible; rows-only +
-    # recall-vs-exact assertion in tests/test_llm_ops.py. Since r12 the
-    # declaration is narrowed: everything downstream of the fit
-    # (assignment, probe selection/order, size aggregation, scan_frac)
-    # is full-value-oracled by q48g_ivf_scan_stats (queries/scan_stats.py)
-    # under injected deterministic centroids.
+    oracle=None,  # rows-only + recall-vs-exact assertion in
+    # tests/test_llm_ops.py. The exemption is NARROW (r14 state): of the
+    # whole IVF pipeline only the SEEDED SAMPLE DRAW and the
+    # convergence/ITERATION-COUNT POLICY of the k-means fit lack a value
+    # oracle. Everything else is hash-verified under injected
+    # deterministic centroids: assignment/probe selection/size
+    # aggregation/scan_frac by q48g_ivf_scan_stats (queries/scan_stats.py),
+    # the probed exact-cosine top-k by q48h (queries/ann_exact.py), and
+    # one full Lloyd update step (assign + recompute, exact e12 integer
+    # matmul) by q130 (queries/lloyd_step.py, registered r14).
     description=(
         "Q48c: IVF-style ANN — sample-fit k-means quantization into "
         "√N corpus-scaled inverted lists; the probe width is calibrated "
@@ -886,9 +898,11 @@ def q48c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q48d_ivf_prebuilt",
-    oracle=None,  # the SEEDED K-MEANS FIT is not SQL-expressible; rows-only +
-    # an exact prebuilt==inline equality assertion in tests/test_llm_ops.py;
-    # the post-fit machinery is full-value-oracled by q48g (see q48c note)
+    oracle=None,  # rows-only + an exact prebuilt==inline equality
+    # assertion in tests/test_llm_ops.py; the exemption covers ONLY the
+    # seeded sample draw + iteration-count policy of the fit — the
+    # post-fit machinery is full-value-oracled by q48g/q48h/q130
+    # (see the q48c note)
     description=(
         "Q48d: ANN against a PREBUILT IVF index — the 100 TB serving "
         "shape: the quantizer fit + full-corpus assignment pass runs once "

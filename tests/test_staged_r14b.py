@@ -121,14 +121,17 @@ def test_staged_oracle_parity(spark, sf_dir):
 
 
 def test_q115_fold_sql_matches_q46b_oracle_verbatim():
-    """hamming._SIMHASH_SQL restates the q46b oracle's inline 32-bit
-    fold (llm_queries.py is window-frozen this round, so the string
-    cannot be hoisted there yet — the llm-rotation round does that;
-    GATE_r13.md deferred items). Until then the two copies are pinned
-    verbatim: an edit to either side that desyncs the fingerprint
-    contract fails here, not in a driver hash three rounds later."""
+    """The r15 rotation hoisted the 32-bit fold into llm_queries
+    (GATE_r13 deferred #5): hamming now IMPORTS _SIMHASH_SQL — the pin
+    direction flips from verbatim-copy-sync to shared-object identity —
+    and the q46b oracle must interpolate that same definition, so a
+    fold edit that desyncs the fingerprint contract still fails here,
+    not in a driver hash three rounds later."""
+    from bucket_to_bigquery_spark.queries import llm_queries
+
+    assert hamming._SIMHASH_SQL is llm_queries._SIMHASH_SQL
     q46b = all_queries()["q46b_simhash_fingerprint"]
-    assert hamming._SIMHASH_SQL in q46b.oracle
+    assert llm_queries._SIMHASH_SQL in q46b.oracle
 
 
 def test_q115_matches_allpairs_bruteforce(spark, sf_dir):
