@@ -387,11 +387,20 @@ def minhash_candidate_pairs(
             ).alias("sh"),
         )
         # three consumers (band-signature explode + both verify sides):
-        # one explicit shuffle on the verify-join key makes the expensive
-        # tokenize→shingle→md5 projection run ONCE and land shuffle-local;
-        # AQE turns the other reads into ReusedExchange (the pattern
-        # ngram_jaccard_pairs proved strictly better than .persist()).
+        # repartition + persist so the expensive tokenize→shingle→md5
+        # projection runs ONCE. Unlike ngram_jaccard_pairs (where every
+        # consumer reads one shuffle exchange on the self-join key and
+        # ReusedExchange alone suffices), the consumers HERE need three
+        # different keys — (band, sig) for the bucket join, id_a/id_b for
+        # the verify sides — and Spark broadcasts the verify sides, and a
+        # BroadcastExchange re-executes its whole subtree rather than
+        # reading the shuffle exchange. Measured at sf0.1 (r15, isolated
+        # 3-rep): repartition-only 6.6 s (the projection materializes 4×),
+        # +persist 1.7 s. MEMORY_AND_DISK default: at warehouse scale the
+        # per-doc shingle-set frame spills instead of OOMing, and either
+        # way beats recomputing the text pipeline four times.
         .repartition("doc_id")
+        .persist()
     )
     sigs = feats.select(
         "doc_id",

@@ -149,18 +149,22 @@ def test_q47_inverted_index_exchange_is_reused(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
-def test_q47b_feature_exchange_is_reused(spark, sf_dir):
+def test_q47b_feature_projection_materializes_once(spark, sf_dir):
     # the tokenize→shingle→md5 feature projection feeds three consumers
-    # (band-signature explode + both verify sides) through ONE explicit
-    # repartition("doc_id"); AQE must dedupe the identical shuffle stages
-    # or the text work silently runs once per consumer again
+    # that need THREE different keys — (band, sig) for the bucket join,
+    # id_a/id_b for the verify sides — and Spark broadcasts the verify
+    # sides, so exchange reuse CANNOT cover them (a BroadcastExchange
+    # re-executes its subtree; the r15 measurement: the projection
+    # materialized 4×, 6.6 s vs 1.7 s isolated at sf0.1). The operator
+    # persists the feature frame instead: every consumer must read the
+    # cache, never re-run the text pipeline.
     from bucket_to_bigquery_spark.queries import all_queries as _aq
 
     df = _aq()["q47b_minhash_lsh_pairs"].builder(spark, sf_dir)
     df.collect()  # finalize the AQE plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan
+    assert "InMemoryTableScan" in plan
 
 
 def test_q49m_count_joins_broadcast_probe_unshuffled_on_prefix(spark, sf_dir):
