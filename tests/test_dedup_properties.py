@@ -158,3 +158,62 @@ def test_shingle_hash_matches_hashlib_fold(spark):
     rows = df.select("sh", shingle_hash(F.col("sh")).alias("h")).collect()
     for r in rows:
         assert r["h"] == _py_fold(r["sh"]), r["sh"]
+
+
+def _simhash32_ref(text: str) -> int:
+    """Pure-python reference of the q46b SimHash contract: distinct
+    whitespace tokens of the normalized text, 32-bit md5-prefix hashes,
+    majority vote per bit (ties clear the bit)."""
+    norm = " ".join(text.split()).strip().lower()
+    toks = set(norm.split(" "))
+    votes = [0] * 32
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for j in range(32):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(32) if votes[j] > 0)
+
+
+def test_simhash_col_matches_reference_and_handles_nulls(spark):
+    """The r15 Arrow rewrite of simhash_col must keep the exact q46b
+    contract — including the degenerate rows the planted corpora never
+    exercise: empty text (tokens('') == ['']), whitespace-only text
+    (normalizes to ''), single token, and NULL text (HOF semantics:
+    null in → null out)."""
+    from bucket_to_bigquery_spark.operators.dedup import simhash_col, tokens
+
+    rows = [
+        (0, "the quick brown fox"),
+        (1, ""),
+        (2, "   \t  "),
+        (3, "solo"),
+        (4, "the the the quick"),  # duplicates collapse to distinct
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash_col(tokens("text"), bits=32).alias("sh")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        if text is None:
+            assert got[doc_id] is None
+        else:
+            assert got[doc_id] == _simhash32_ref(text), (doc_id, text)
+
+
+def test_simhash_col_plan_is_arrow_batched(spark):
+    """Regression pin for the r15 rewrite: the fingerprint must evaluate
+    as ONE Arrow-batched python stage (ArrowEvalPython), not fall back
+    to interpreted Catalyst HOF folds or row-at-a-time PythonUDF."""
+    from bucket_to_bigquery_spark.operators.dedup import simhash_col, tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        df.select(simhash_col(tokens("text")).alias("sh"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan  # the row-at-a-time fallback

@@ -91,9 +91,11 @@ def test_resolution_ignores_deregistered_entries():
 
 
 def test_live_deferral_file_matches_registry_and_window_plan():
-    # The committed r11 file must list exactly the scratch-dependent
-    # entries OUTSIDE the r11 window: llm_queries 32 + pipeline 4 +
-    # incremental 2 = 38, none of them aliased into the gate.
+    # Whatever deferral is live (r11: scratch.py/38 entries; r15:
+    # operators/dedup.py/3 entries), it must name EXACTLY the
+    # registered dependents of its changed files that sit OUTSIDE the
+    # gate window — computed from MODULE_DEPS, not trusted from the
+    # file — and every changed file must be a real package file.
     repo = os.path.join(os.path.dirname(__file__), "..")
     path = os.path.join(repo, DEFERRAL_FILE)
     if not os.path.exists(path):
@@ -101,16 +103,31 @@ def test_live_deferral_file_matches_registry_and_window_plan():
     with open(path) as fh:
         deferral = json.load(fh)
     sys.path.insert(0, repo)
+    import inspect
+
     from __spark_entry__ import GATE_PRIORITY
     from bucket_to_bigquery_spark.queries import all_queries
+    from tools.check_gate_rotation import MODULE_DEPS
 
     entries = set(deferral["entries"])
-    assert len(entries) == 38
+    changed = set(deferral["changed_files"])
+    assert entries and changed
+    for f in changed:
+        assert os.path.exists(os.path.join(repo, f)), f
     assert entries <= set(all_queries())
     assert entries.isdisjoint(GATE_PRIORITY), (
         "a deferred entry is aliased in-window — it should not be listed"
     )
-    assert deferral["changed_files"] == ["bucket_to_bigquery_spark/scratch.py"]
+    expected = set()
+    for name, q in all_queries().items():
+        rel = os.path.relpath(inspect.getmodule(q.builder).__file__, repo)
+        impl = {rel} | set(MODULE_DEPS.get(rel, []))
+        if impl & changed and name not in GATE_PRIORITY:
+            expected.add(name)
+    assert entries == expected, (
+        f"deferral entries != out-of-window dependents of changed files: "
+        f"extra={sorted(entries - expected)} missing={sorted(expected - entries)}"
+    )
 
 
 def test_deferred_entries_replay_off_gate(spark, sf_dir):
