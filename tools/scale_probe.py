@@ -74,7 +74,10 @@ def main() -> int:
 
     from bucket_to_bigquery_spark.operators.dedup import (
         exact_dedup_groups,
+        minhash_candidate_pairs as _minhash_pairs,
         ngram_jaccard_pairs,
+        simhash_col as _simhash_col,
+        tokens as _tokens,
     )
     from bucket_to_bigquery_spark.operators.substring import (
         repeated_substring_spans,
@@ -107,6 +110,17 @@ def main() -> int:
             df, "doc_id", "text", window=8, min_doc_freq=2
         ),
         "q46_exact_dedup": lambda df, s: exact_dedup_groups(df, "doc_id", "text"),
+        # the two r15-changed paths, probed at replica scale: the
+        # persisted minhash feature frame (memory-resident footprint
+        # grows with S — MEMORY_AND_DISK must degrade, not die) and the
+        # Arrow-batched simhash projection
+        "q47b_minhash_pairs": lambda df, s: _minhash_pairs(
+            df, "doc_id", "text", n=3,
+            jaccard_distance_threshold=0.4, num_hash_tables=6,
+        ),
+        "q46b_simhash": lambda df, s: df.select(
+            "doc_id", _simhash_col(_tokens("text"), bits=32).alias("sh")
+        ),
     }
 
     results = []
