@@ -63,12 +63,39 @@ _J_FMT = (
 # p ≈ n²/2⁶¹) collision is mirrored and cross-engine parity holds.
 _SHKEY_SQL = "CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)"
 
-_Q89_ORACLE = (
-    f"WITH tok AS (SELECT source, {_TOKS_SQL} AS t FROM documents), "
+# ONE definition of the per-source distinct-shingle pipeline (tok → raw
+# shingles → folded DISTINCT (source, key) sets → set sizes), shared by
+# q89's symmetric Jaccard and the staged q153 directional containment
+# (GATE_r13 deferred #7, hoisted in r15 — srccontain.py previously
+# copy-adapted these CTEs and the builder frame; the byte-identity pin in
+# tests/test_staged_r18.py now asserts the shared objects instead).
+_SRC_SHINGLE_CTES = (
+    f"tok AS (SELECT source, {_TOKS_SQL} AS t FROM documents), "
     f"raw AS (SELECT source, unnest({_SH5_SQL}) AS sh FROM tok), "
     f"h AS (SELECT DISTINCT source, {_SHKEY_SQL} AS sh FROM raw), "
     "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h "
-    "GROUP BY source), "
+    "GROUP BY source)"
+)
+
+
+def source_shingle_sets(docs: DataFrame) -> DataFrame:
+    """The Spark twin of ``_SRC_SHINGLE_CTES``'s ``h``: the DISTINCT
+    (source, 60-bit folded shingle key) frame, folded BEFORE the
+    distinct so the shuffle dedups (source, int64) pairs, cached for
+    its multiple consumers (sizes + join sides — the q89 shape)."""
+    return (
+        docs.select(
+            "source",
+            F.explode(shingles(tokens(F.col("text")), 5)).alias("raw_sh"),
+        )
+        .select("source", shingle_hash(F.col("raw_sh")).alias("sh"))
+        .distinct()
+        .cache()
+    )
+
+
+_Q89_ORACLE = (
+    f"WITH {_SRC_SHINGLE_CTES}, "
     "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
     "CAST(count(*) AS BIGINT) AS n_shared FROM h a JOIN h b "
     "ON a.sh = b.sh AND a.source < b.source "
@@ -102,19 +129,10 @@ _Q89_DESCRIPTION = (
        description=_Q89_DESCRIPTION, tags=("llm", "governance"))
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
-    h = (
-        docs.select(
-            "source",
-            F.explode(shingles(tokens(F.col("text")), 5)).alias("raw_sh"),
-        )
-        # fold BEFORE the distinct: the shuffle dedups (source, int64)
-        # pairs, not (source, string) — see _SHKEY_SQL note above
-        .select("source", shingle_hash(F.col("raw_sh")).alias("sh"))
-        .distinct()
-        # distinct is a shuffle; three consumers (sizes + both join
-        # sides) — cache the narrow frame (the q80 lesson)
-        .cache()
-    )
+    # the shared helper folds BEFORE the distinct and caches the narrow
+    # frame for its three consumers here (sizes + both join sides — the
+    # q80 lesson); see _SRC_SHINGLE_CTES/_SHKEY_SQL notes above
+    h = source_shingle_sets(docs)
     sizes = (
         h.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
         # |sources| rows, TWO consumers (sa and sb) — uncached, each

@@ -13,10 +13,11 @@ declared engine surface (SURVEY §2.C extension when registered).
 
 Determinism: the q89 contract end to end — the shared tokenizer +
 5-gram shingles, DISTINCT per-source sets keyed on the 60-bit
-md5 fold (overlap._SHKEY_SQL imported, operators.dedup.shingle_hash
-on the Spark side — ONE definition, the q89 twins; MODULE_DEPS
-records the overlap/llm/dedup edges, registers r18 after the r15
-llm rotation); exact integer counts; containment_e6 =
+md5 fold. Since the r15 hoist (GATE_r13 deferred #7) the WHOLE
+tok/raw/h/sizes pipeline is overlap._SRC_SHINGLE_CTES /
+overlap.source_shingle_sets — one definition each side, the q89
+twins; MODULE_DEPS records the overlap/llm/dedup edges, registers
+r18 after the r15 llm rotation; exact integer counts; containment_e6 =
 n_shared·1e6 div n_a (the truncating division the convention pin
 covers). Pairs with zero shared shingles are omitted (the q89
 absent-pair convention). Ordered (source_a, source_b).
@@ -36,19 +37,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import shingle_hash, shingles, tokens
-from .llm_queries import _SH5_SQL, _TOKS_SQL
-from .overlap import _SHKEY_SQL
+from .overlap import _SRC_SHINGLE_CTES, source_shingle_sets
 from .registry import query, tables
 
 _C_FMT = "CAST({i} * 1000000 {div} {na} AS BIGINT)"
 
 _Q153_ORACLE = (
-    f"WITH tok AS (SELECT source, {_TOKS_SQL} AS t FROM documents), "
-    f"raw AS (SELECT source, unnest({_SH5_SQL}) AS sh FROM tok), "
-    f"h AS (SELECT DISTINCT source, {_SHKEY_SQL} AS sh FROM raw), "
-    "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h "
-    "GROUP BY source), "
+    # the tok/raw/h/sizes pipeline is overlap._SRC_SHINGLE_CTES — ONE
+    # definition with q89 (hoisted r15, GATE_r13 deferred #7); only the
+    # pair-orientation CTEs below are q153's own
+    f"WITH {_SRC_SHINGLE_CTES}, "
     "inter AS (SELECT a.source AS sa, b.source AS sb, "
     "CAST(count(*) AS BIGINT) AS n_shared FROM h a JOIN h b "
     "ON a.sh = b.sh AND a.source < b.source "
@@ -78,15 +76,9 @@ _Q153_DESCRIPTION = (
 
 def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
-    h = (
-        docs.select(
-            "source",
-            F.explode(shingles(tokens(F.col("text")), 5)).alias("raw_sh"),
-        )
-        .select("source", shingle_hash(F.col("raw_sh")).alias("sh"))
-        .distinct()
-        .cache()  # three consumers: sizes + both join sides (q89 shape)
-    )
+    # the shared cached frame (three consumers here: sizes + both join
+    # sides) — ONE builder definition with q89 (hoisted r15)
+    h = source_shingle_sets(docs)
     # ONE consumer (za) — no cache (q89 caches its sizes because it
     # has two; the review pass caught the blind copy)
     sizes = h.groupBy("source").agg(

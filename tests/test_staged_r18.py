@@ -424,20 +424,24 @@ def test_q153_matches_bruteforce(spark, sf_dir):
 
 
 def test_q153_fold_is_q89s(spark, sf_dir):
-    """One-definition pins: the containment oracle interpolates q89's
-    _SHKEY_SQL fold (imported, not restated), and the whole
-    tok/raw/h/sizes CTE recipe is byte-identical to q89's — a q89
-    recipe change that bypasses the shared constants trips here
-    (the structural hoist into overlap.py rides that file's next
-    code rotation; GATE_r13.md deferred items)."""
-    import os
+    """One-definition pins, post-hoist (r15, GATE_r13 deferred #7
+    closed): the tok/raw/h/sizes pipeline lives ONCE in overlap.py —
+    both oracles interpolate _SRC_SHINGLE_CTES (which itself embeds
+    _SHKEY_SQL) and both builders call source_shingle_sets, so a q89
+    recipe change cannot desync q153."""
+    import inspect
 
+    from bucket_to_bigquery_spark.queries import srccontain
     from bucket_to_bigquery_spark.queries.overlap import (
         _Q89_ORACLE,
         _SHKEY_SQL,
+        _SRC_SHINGLE_CTES,
+        source_shingle_sets,
     )
     from bucket_to_bigquery_spark.queries.srccontain import _Q153_ORACLE
 
-    assert _SHKEY_SQL in _Q153_ORACLE
-    common = os.path.commonprefix([_Q89_ORACLE, _Q153_ORACLE])
-    assert "GROUP BY source), " in common  # shared through sizes
+    assert _SHKEY_SQL in _SRC_SHINGLE_CTES
+    assert _SRC_SHINGLE_CTES in _Q89_ORACLE
+    assert _SRC_SHINGLE_CTES in _Q153_ORACLE
+    assert srccontain.source_shingle_sets is source_shingle_sets
+    assert "source_shingle_sets(docs)" in inspect.getsource(srccontain.q153)
