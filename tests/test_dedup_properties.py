@@ -217,3 +217,24 @@ def test_simhash_col_plan_is_arrow_batched(spark):
     )
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan  # the row-at-a-time fallback
+
+
+def test_minhash_pairs_survive_repeat_calls_and_cache_sweeps(spark):
+    """The r15 persist inside minhash_candidate_pairs must not make the
+    operator stateful across calls: a second invocation (fresh persist)
+    and an invocation after a session-wide clearCache() must both
+    return the identical pair set — the session-hygiene property
+    bench.py's between-query sweep relies on."""
+    rows = [(i, f"{w} {w} common tail tokens here {i % 3}")
+            for i, w in enumerate(["aa bb cc dd ee", "aa bb cc dd ee",
+                                   "zz yy xx ww vv", "aa bb cc dd ff"] * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got1 = sorted(map(tuple, minhash_candidate_pairs(
+        df, "doc_id", "text").collect()))
+    got2 = sorted(map(tuple, minhash_candidate_pairs(
+        df, "doc_id", "text").collect()))
+    assert got1 == got2 and got1  # non-vacuous
+    spark.catalog.clearCache()
+    got3 = sorted(map(tuple, minhash_candidate_pairs(
+        df, "doc_id", "text").collect()))
+    assert got1 == got3
