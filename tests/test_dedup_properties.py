@@ -238,3 +238,53 @@ def test_minhash_pairs_survive_repeat_calls_and_cache_sweeps(spark):
     got3 = sorted(map(tuple, minhash_candidate_pairs(
         df, "doc_id", "text").collect()))
     assert got1 == got3
+
+
+@given(st.lists(
+    st.text(
+        # caseless-safe draw: exclude upper/title-case letters so the
+        # test pins UTF-8 BYTE parity of the md5 fold, not the engines'
+        # (already independently contracted) unicode case-folding —
+        # CJK/emoji/combining marks are all caseless and stay in scope
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_characters=" \t\r\n\x00\x0b\x0c\x1c\x1d\x1e\x1f\x85",
+            exclude_categories=["Lu", "Lt", "Zs", "Zl", "Zp", "Cc"],
+        ),
+        min_size=1, max_size=8,
+    ).map(lambda t: " ".join(t.split())),
+    min_size=1, max_size=6,
+))
+@settings(max_examples=30, deadline=None)
+def test_simhash_col_utf8_parity_on_arbitrary_tokens(spark, token_pool):
+    """The Arrow simhash hashes token.encode() (UTF-8) where the JVM md5
+    and the DuckDB oracle hash the string's UTF-8 bytes — pin that the
+    three agree beyond ASCII (the planted corpora never exercise
+    multi-byte tokens). Hypothesis draws arbitrary caseless non-space
+    unicode tokens; parity is vs the pure-python reference AND the
+    DuckDB fold."""
+    import duckdb
+
+    from bucket_to_bigquery_spark.operators.dedup import simhash_col, tokens
+    from bucket_to_bigquery_spark.queries.llm_queries import (
+        _SIMHASH_SQL,
+        _TOKHASH_SQL,
+        _TOKS_SQL,
+    )
+
+    text = " ".join(token_pool)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = df.select(
+        simhash_col(tokens("text"), bits=32).alias("sh")
+    ).collect()[0].sh
+    assert got == _simhash32_ref(text)
+    con = duckdb.connect()
+    oracle = con.execute(
+        "WITH d AS (SELECT ? AS text), t AS (SELECT "
+        f"list_transform(list_distinct({_TOKS_SQL}), t -> "
+        + _TOKHASH_SQL.format(t="t")
+        + f") AS hs FROM d) SELECT {_SIMHASH_SQL} FROM t",
+        [text],
+    ).fetchone()[0]
+    con.close()
+    assert got == oracle, (text, got, oracle)
