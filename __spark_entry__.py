@@ -25,7 +25,9 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # Correctness-gate rotation.
 #
 # The driver records at most the FIRST 50 entries in name-sorted order; the
-# registry has 143. Entries named here are aliased (leading ``q`` -> ``a``)
+# registry is larger (186 as of r15 — count it from ``all_queries()``, do
+# not trust a literal here). Entries named here are aliased (leading
+# ``q`` -> ``a``)
 # so they sort into the window. The set is chosen per round under the
 # invariant CHANGED CODE MUST BE IN-WINDOW (mechanized by
 # tools/check_gate_rotation.py, run as tests/test_gate_rotation.py):

@@ -268,9 +268,29 @@ def main() -> None:
     # (full names, per-query gc/heap/leak stats, errors) goes to stderr and
     # is committed as BENCH_local_r{N}.json.
     print(json.dumps(detail), file=sys.stderr)
-    # Short codes are unique today (q<NN>[v] prefixes); if a future
-    # collision appears, disambiguate ONLY the colliding entries with
-    # their full names instead of failing or silently merging.
+    compact, codes, collided = _build_compact(
+        timings, total, sf_val, [calib_pre, calib_post], recall,
+        ivf.get("scan_frac"), errors,
+    )
+    print(_fit_tail_line(compact, timings, codes, collided))
+
+
+def _build_compact(
+    timings: dict[str, float],
+    total: float,
+    sf_val,
+    calib: list[float],
+    recall,
+    ivf_scan_frac,
+    errors: dict,
+) -> tuple[dict, dict[str, str], set[str]]:
+    """The driver-tail payload + the short-code map, shared with
+    tests/test_bench_tail.py so the tail tests exercise the REAL
+    production shape (a copy-pasted builder would let the two drift).
+
+    Short codes are unique today (q<NN>[v] prefixes); if a future
+    collision appears, disambiguate ONLY the colliding entries with
+    their full names instead of failing or silently merging."""
     codes: dict[str, str] = {}
     collided: set[str] = set()
     seen: set[str] = set()
@@ -285,9 +305,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
-        "calib_s": [calib_pre, calib_post],
+        "calib_s": calib,
         "ann_recall_at_5": recall,
-        "ivf_scan_frac": ivf.get("scan_frac"),
+        "ivf_scan_frac": ivf_scan_frac,
         "queries": {
             (k if codes[k] in collided else codes[k]): round(v, 2)
             for k, v in timings.items()
@@ -296,8 +316,7 @@ def main() -> None:
     if errors:
         # the per-query map omits failed entries; make that machine-visible
         compact["errors"] = len(errors)
-
-    print(_fit_tail_line(compact, timings, codes, collided))
+    return compact, codes, collided
 
 
 def _fit_tail_line(
@@ -347,17 +366,28 @@ def _fit_tail_line(
         # (complete coverage, ~|registry|/10 keys) plus the top-N slowest
         # rows (the adjudication candidates), N shrinking until the line
         # fits. The full row map is always in the committed detail record.
-        def _decade(code: str) -> str:
+        def _bucket(code: str, width: int) -> str:
+            # "q4x" = q40-q49; "q1xx" = q100-q199; one x per dropped digit
             num = "".join(ch for ch in code[1:] if ch.isdigit())
-            return f"{code[0]}{int(num) // 10 if num else 0}x"
+            xs = "x" * len(str(width)[1:])
+            return f"{code[0]}{int(num) // width if num else 0}{xs}"
 
-        fams: dict[str, float] = {}
-        for k, v in timings.items():
-            f = _decade(codes[k])
-            fams[f] = round(fams.get(f, 0.0) + v, 1)
-        compact.pop("queries", None)
-        compact["families"] = fams
         slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        # the subtotals must themselves stay bounded: a decade map grows
+        # with registry size (at ~1500 entries it alone overflows the
+        # tail — review catch, r15), so widen the bucket until the
+        # families-only line fits, THEN add as many top rows as fit
+        compact.pop("queries", None)
+        for width in (10, 100, 1000, 10000):
+            fams = {}
+            for k, v in timings.items():
+                f = _bucket(codes[k], width)
+                fams[f] = round(fams.get(f, 0.0) + v, 1)
+            compact["families"] = fams
+            compact.pop("queries_top", None)
+            line = _line()
+            if len(line) < 1800:  # headroom for top rows
+                break
         n = 64
         while True:
             compact["queries_top"] = {
@@ -368,9 +398,12 @@ def _fit_tail_line(
             if len(line) < 1980 or n == 0:
                 break
             n //= 2
-        if compact.pop("advisory_omitted", None) and len(line) < 1900:
+        if compact.get("advisory_omitted") and len(line) < 1900:
             # the bounded form is far smaller than the full map — restore
-            # the advisory scalars if they fit back in (they usually do)
+            # the advisory scalars if they fit back in (they usually do).
+            # Check without popping: if the restore doesn't fit, the
+            # omission marker must SURVIVE on the line (review catch, r15)
+            compact.pop("advisory_omitted")
             compact["ann_recall_at_5"] = advisory[0]
             compact["ivf_scan_frac"] = advisory[1]
             line = _line()

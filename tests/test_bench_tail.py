@@ -3,9 +3,12 @@
 VERDICT r14 "What's wrong" #1: at 186 registered entries even 1-decimal
 per-query rows overflow the driver's 2000-char tail capture, and the old
 last-resort branch dropped the whole map — removing the driver-side
-adjudication trigger. ``bench._fit_tail_line`` must now keep
-magnitude-level per-query visibility (per-decade subtotals + top-N
-slowest rows) at ANY registry size. Pure-python tests — no Spark.
+adjudication trigger. ``bench._fit_tail_line`` must keep magnitude-level
+per-query visibility (family subtotals + top-N slowest rows) at ANY
+registry size. The payload comes from ``bench._build_compact`` — the
+SAME builder main() uses (r15 review catch: a copy-pasted test builder
+would let the tested shape drift from production). Pure-python tests —
+no Spark.
 """
 
 from __future__ import annotations
@@ -28,28 +31,15 @@ def _mk(n_entries: int):
         timings[f"q{i:02d}{suff}_some_longish_query_name_{i}"] = round(
             random.uniform(0.3, 9.5), 4
         )
-    codes: dict[str, str] = {}
-    collided: set[str] = set()
-    seen: set[str] = set()
-    for k in timings:
-        c = k.split("_", 1)[0]
-        if c in seen:
-            collided.add(c)
-        seen.add(c)
-        codes[k] = c
-    compact = {
-        "metric": "declared_query_set_wall_time",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "sf": 0.1,
-        "calib_s": [0.3, 0.3],
-        "ann_recall_at_5": {"q48": 1.0, "q48b": 0.98},
-        "ivf_scan_frac": 0.11,
-        "queries": {
-            (k if codes[k] in collided else codes[k]): round(v, 2)
-            for k, v in timings.items()
-        },
-    }
+    compact, codes, collided = bench._build_compact(
+        timings,
+        round(sum(timings.values()), 4),
+        0.1,
+        [0.3, 0.3],
+        {"q48": 1.0, "q48b": 0.98},
+        0.11,
+        {},
+    )
     return compact, timings, codes, collided
 
 
@@ -83,10 +73,36 @@ def test_large_registry_keeps_bounded_rows_and_subtotals():
         assert d["value"] > 0 and d["metric"] == "declared_query_set_wall_time"
 
 
+def test_huge_registry_coarsens_buckets_instead_of_dropping(
+):
+    """The r15 review catch: at ~1500+ entries a DECADE map alone
+    overflows the tail — the ladder must widen the bucket (q1xx =
+    q100–q199), not abandon per-query visibility."""
+    for n in (1500, 5000):
+        d = _fit(n)
+        assert "queries_omitted" not in d, n
+        fams = d["families"]
+        assert fams and len(json.dumps(fams)) < 1800
+        assert abs(sum(fams.values()) - d["value"]) < 0.1 * len(fams) + 0.01
+        assert d["queries_top"], n  # at least some slowest rows survive
+        # advisory state must be explicit one way or the other
+        assert ("ann_recall_at_5" in d) or d.get("advisory_omitted") == 1
+
+
 def test_advisory_scalars_restored_when_bounded_form_has_slack():
     d = _fit(233)
     assert d.get("ann_recall_at_5"), "advisory scalars should fit back in"
     assert "advisory_omitted" not in d
+
+
+def test_advisory_omission_marker_never_silently_lost():
+    """If the advisory scalars cannot be restored, the line must still
+    say so (the r15 review catch: popping the marker as a side effect
+    of the restore attempt lost both the data and the flag)."""
+    compact, timings, codes, collided = _mk(5000)
+    d = json.loads(bench._fit_tail_line(compact, timings, codes, collided))
+    has_advisory = "ann_recall_at_5" in d and "ivf_scan_frac" in d
+    assert has_advisory or d.get("advisory_omitted") == 1
 
 
 def test_decade_subtotals_are_complete_partition():
