@@ -70,6 +70,33 @@ def test_carried_a_second_round_fails():
     assert any("very next round" in p for p in problems)
 
 
+def test_boundary_commit_is_not_a_carry():
+    # ADVICE r15 #1: the driver's "round N:" boundary commit resolves as
+    # its own base ref, so at the START of round N+1 the file exists at
+    # both base and HEAD with zero work done — that is the pending
+    # obligation, not a carried deferral. It must not fail until
+    # behavioral package work begins without resolving it.
+    d = dict(_deferral(["q1_a"]), created_round=15)
+    # pristine start of the resolution round: no behavioral change yet
+    problems, exempt = evaluate_deferral(
+        d, d, REG, set(), lambda n: False, {}, base_round_n=15)
+    assert problems == [] and exempt == set()
+    # work has begun (changed non-empty) but the file is still alive
+    problems, _ = evaluate_deferral(
+        d, d, REG, {"pkg/other.py"}, lambda n: False, {}, base_round_n=15)
+    assert any("due THIS round" in p for p in problems)
+    # a deferral created BEFORE the base round is a genuine carry even at
+    # a pristine boundary
+    old = dict(_deferral(["q1_a"]), created_round=14)
+    problems, _ = evaluate_deferral(
+        old, old, REG, set(), lambda n: False, {}, base_round_n=15)
+    assert any("very next round" in p for p in problems)
+    # unknown base round number keeps the conservative carry semantics
+    problems, _ = evaluate_deferral(
+        d, d, REG, set(), lambda n: False, {}, base_round_n=None)
+    assert any("very next round" in p for p in problems)
+
+
 def test_resolution_round_requires_listed_entries_in_window():
     d = _deferral(["q1_a", "q2_b"])
     # resolved correctly: file deleted, everything in-window

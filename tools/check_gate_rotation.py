@@ -502,6 +502,14 @@ INFRA_FILES = {
 #   in-window (its window plan is written around them). If the file
 #   survives into a second round, the check fails; if it is deleted
 #   without the listed entries in-window, the check fails.
+# - Boundary quirk (ADVICE r15 #1): the driver's ``round N:`` commit is
+#   its own base ref, so at the start of round N+1 the file exists at
+#   BOTH base and HEAD even though nothing has slipped yet. When the
+#   deferral's ``created_round`` equals the base commit's round number,
+#   the carry error is therefore deferred until behavioral package work
+#   has actually begun this round without resolving the obligation —
+#   the round still cannot end green with the file alive, because any
+#   rotation work is itself a behavioral change.
 DEFERRAL_FILE = "tools/deferred_rotation.json"
 
 # Result-AFFECTING infra: session config (AQE/ANSI/timezone) can change
@@ -569,10 +577,17 @@ def evaluate_deferral(
     changed: set[str],
     in_window,
     impl_changed: dict[str, set[str]],
+    base_round_n: int | None = None,
 ) -> tuple[list[str], set[str]]:
     """Apply the DEFERRAL_FILE rules. Returns (problems, exempt entries).
 
-    - file at base AND at HEAD: carried a second round → problem;
+    - file at base AND at HEAD: carried a second round → problem, UNLESS
+      the deferral's ``created_round`` equals ``base_round_n`` (the base
+      ref is the boundary commit of the round that created the deferral,
+      so HEAD is the resolution round itself, not a second-round carry —
+      ADVICE r15 #1). In that case the obligation trips only once
+      behavioral package work exists this round (``changed`` non-empty)
+      without the file having been deleted;
     - file at base, deleted at HEAD: this round resolves it — every
       listed entry must be in-window, else problem;
     - file created at HEAD: listed entries are exempt from the in-window
@@ -584,11 +599,22 @@ def evaluate_deferral(
     problems: list[str] = []
     exempt: set[str] = set()
     if base_deferral is not None and head_deferral is not None:
-        problems.append(
-            f"{DEFERRAL_FILE} existed at the base round AND still exists "
-            "at HEAD — a deferred rotation must be resolved (file deleted, "
-            "entries in-window) in the very next round, not carried"
-        )
+        created = base_deferral.get("created_round")
+        if (base_round_n is not None and created == base_round_n):
+            if changed:
+                problems.append(
+                    f"{DEFERRAL_FILE} (created round {created}) is due "
+                    "THIS round: behavioral package changes exist but the "
+                    "deferral is unresolved — delete the file and rotate "
+                    f"{sorted(base_deferral.get('entries', []))} in-window"
+                )
+        else:
+            problems.append(
+                f"{DEFERRAL_FILE} existed at the base round AND still "
+                "exists at HEAD — a deferred rotation must be resolved "
+                "(file deleted, entries in-window) in the very next "
+                "round, not carried"
+            )
     elif base_deferral is not None:
         # an entry deregistered/renamed since the deferral was written
         # is satisfied trivially (its code is gone — there is nothing
@@ -651,6 +677,20 @@ def default_base_ref() -> str | None:
         if re.match(r"round \d+:", subject):
             return sha
     return None
+
+
+def base_round_number(base: str) -> int | None:
+    """The N of the ``round N:`` subject at ``base``, else None.
+
+    None (an explicit BASE_REF that is not a boundary commit, or an
+    unreadable ref) keeps the conservative carry semantics in
+    evaluate_deferral."""
+    try:
+        subject = _git("log", "-1", "--format=%s", base).strip()
+    except subprocess.CalledProcessError:
+        return None
+    m = re.match(r"round (\d+):", subject)
+    return int(m.group(1)) if m else None
 
 
 def check(base_ref: str | None = None) -> list[str]:
@@ -733,6 +773,7 @@ def check(base_ref: str | None = None) -> list[str]:
         dproblems, exempt = evaluate_deferral(
             base_deferral, head_deferral, set(reg), changed,
             lambda n: _gate_name(n) in window, impl_changed,
+            base_round_n=base_round_number(base),
         )
         problems.extend(dproblems)
     if exempt:
