@@ -50,42 +50,50 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # precedent: 50 in-window + 38 deferred to r12).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # Round 15 (GATE_r15.md; executes GATE_r13/GATE_r14's "Round-15"
-    # plan): the llm_queries.py rotation as the round's ONLY item —
-    # this round edits llm_queries.py (the _SIMHASH_SQL hoist from
-    # hamming.py, GATE_r13 deferred #5, + the q48b/c/d rows-only
-    # declaration narrowing), so the invariant CHANGED CODE => IN-WINDOW
-    # pulls the module's full 49-entry dependent set (computed from
-    # MODULE_DEPS; the q46-q54 dedup/similarity/text families plus the
-    # tokenizer-contract edges q57/q67/q72/q72b/q75/q83/q89/q89b/q93/
-    # q95/q98/q102/q105). The 1 remaining slot refreshes the oldest
-    # r11 evidence row in name order (q09). q115/q116/q117 + q132/q133
-    # stay staged until r16 (their registration would push this set to
-    # 52 > 50 — GATE_r13 slot math). Exactly 50.
+    # Round 16 (GATE_r16.md; executes GATE_r15's booked plan,
+    # tools/r16_similarity_rotation_plan.md): the similarity.py
+    # rotation — this round edits operators/similarity.py (ADVICE r12
+    # #1's v4 error message + the shared e12 assignment generator
+    # folded in from queries/ann_exact.py), so CHANGED CODE =>
+    # IN-WINDOW pulls its full 36-entry dependent set (q130, the
+    # llm_queries surface q46–q50c, q62). Plus: the 5 registrations
+    # held back from r15 (q115/q116/q117 hamming family, q132/q133
+    # neardup-CC — staged modules unchanged at registration), the 3
+    # entries of the r15 dedup.py deferral RESOLVED this round
+    # (tools/deferred_rotation.json deleted; q49n/q55/q55b rotate in
+    # for the r15 minhash-persist + Arrow-simhash fixes' out-of-window
+    # dependents), and 6 stale refreshes — the oldest r11 evidence
+    # rows in name order (q11b carries r13 evidence, so q15 fills the
+    # sixth slot). Exactly 50.
     #
-    # the llm_queries.py dependent set (49)
-    "q46_exact_dedup", "q46b_simhash_fingerprint", "q46c_dedup_clusters",
+    # the operators/similarity.py dependent set (36)
+    "q130_lloyd_step_audit", "q46_exact_dedup",
+    "q46b_simhash_fingerprint", "q46c_dedup_clusters",
     "q46d_dedup_apply", "q47_ngram_jaccard_pairs",
     "q47b_minhash_lsh_pairs", "q47c_embedding_neardup",
     "q47d_benchmark_decontamination", "q47e_containment_pairs",
     "q47f_embedding_dedup_apply", "q48_cosine_topk", "q48b_ann_lsh_topk",
     "q48c_ivf_topk", "q48d_ivf_prebuilt", "q48e_signgrid_ann",
-    "q48f_knn_label_audit", "q49_text_stats", "q49b_length_histogram",
-    "q49c_language_id", "q49d_doc_fingerprint", "q49e_quality_filter",
-    "q49f_repetition_ratio", "q49g_stratified_sample",
-    "q49h_shard_assignment", "q49i_bpe_pretokenize", "q49j_pii_redaction",
-    "q49k_tfidf_topterms", "q49l_vocab_coverage", "q49m_bigram_lm_score",
-    "q50_multimodal_bytes", "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
-    "q51_repeated_substrings", "q52_sequence_packing",
-    "q53_substring_scrub", "q54_full_pipeline", "q57_bloom_decontamination",
-    "q67_bpe_pair_merge", "q72_leakage_safe_split",
-    "q72b_split_leakage_audit", "q75_bm25_topk", "q83_js_divergence",
-    "q89_source_overlap", "q89b_source_overlap_minhash",
-    "q93_pmi_collocations", "q95_shingle_novelty", "q98_zipf_slope",
-    "q102_source_scorecard", "q105_unigram_entropy",
-    # stale refresh: the oldest r11 row in name order (35 r11 rows
-    # remain after this round; r16 refreshes ~9 more, r17 ~36 slots)
-    "q09_inner_join",
+    "q48f_knn_label_audit", "q48g_ivf_scan_stats",
+    "q48h_ivf_topk_exact_centroids", "q49_text_stats",
+    "q49b_length_histogram", "q49c_language_id", "q49d_doc_fingerprint",
+    "q49e_quality_filter", "q49f_repetition_ratio",
+    "q49g_stratified_sample", "q49h_shard_assignment",
+    "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
+    "q49l_vocab_coverage", "q49m_bigram_lm_score", "q50_multimodal_bytes",
+    "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
+    "q62_jl_sign_projection",
+    # the r16 registrations (5)
+    "q115_simhash_hamming_pairs", "q116_dup_inflation",
+    "q117_ngram_coverage", "q132_neardup_components", "q133_neardup_apply",
+    # the r15 deferral, resolved this round (3)
+    "q49n_heavy_hitters_cms", "q55_incremental_dedup",
+    "q55b_incremental_dedup_apply",
+    # stale refreshes: the 6 oldest r11 evidence rows in name order
+    # (29 r11 rows remain after this round; r17's refresh slots burn
+    # them down per the standing schedule)
+    "q10_broadcast_join_agg", "q11_left_outer_join", "q12_semi_join",
+    "q13_anti_join", "q14_range_join", "q15_asof_join",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")

@@ -202,6 +202,19 @@ from . import temperature  # noqa: F401, E402
 from . import tpch_ext  # noqa: F401, E402
 from . import tpch_ext2  # noqa: F401, E402
 
+# r16 registration (GATE_r15.md "Held back" / the r16 similarity
+# rotation plan): the q115/q116/q117 simhash-adjacency family and the
+# q132/q133 near-dup connected-components pair, staged since r13/r14
+# (tests/test_staged_r14b/f) and held back from r15 because their
+# llm_queries/dedup MODULE_DEPS edges would have pushed that round's
+# 49-entry window to 52. Registration touches only this file (INFRA)
+# + the GATE_PRIORITY aliases — no behavioral edit to any staged
+# module; all five entries are budgeted in-window this round.
+from . import coverage  # noqa: F401, E402
+from . import hamming  # noqa: F401, E402
+from . import inflation  # noqa: F401, E402
+from . import neardup_cc  # noqa: F401, E402
+
 for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 bloom, hll, layout, projections, sampling_ext, snapshot,
                 ab, paths, pit, sketch_overlap,
@@ -210,7 +223,8 @@ for _staged in (incremental, joins_ext, maintenance, mixture, sketches,
                 scorecard, separation, zipf,
                 actives, concurrency, embed_outliers, funnel_ttc, latency,
                 lloyd_step, profiling, seasonality, temperature, tpch_ext,
-                tpch_ext2):
+                tpch_ext2,
+                coverage, hamming, inflation, neardup_cc):
     _staged.register()
 del _staged
 

@@ -78,14 +78,15 @@ def _simhash32(text: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-_REGISTERED_NOW = {'q118_rolling_active_users'}
+_REGISTERED_NOW = {'q118_rolling_active_users', 'q115_simhash_hamming_pairs',
+                   'q116_dup_inflation', 'q117_ngram_coverage'}
 
 
 def test_registration_split_matches_gate_accounting():
-    """Round-14 wiring (GATE_r14.md): q118 (actives) registered this
-    round; q115/q116/q117 (hamming/inflation/coverage) stay STAGED until after the r15 llm_queries
-    rotation (their tokenizer/fold MODULE_DEPS would grow that window
-    past 50 — GATE_r13.md slot math)."""
+    """Round-14 wiring registered q118 (actives); round 16 registered
+    q115/q116/q117 (hamming/inflation/coverage) per the GATE_r15.md
+    held-back plan, after the r15 llm_queries rotation freed the window
+    their tokenizer/fold MODULE_DEPS edges would have overgrown."""
     reg = all_queries()
     assert STAGED
     for name, q in STAGED.items():

@@ -99,14 +99,15 @@ def _brute_peaks(rows):
     return day_peak, day_starts, len(intervals)
 
 
-_REGISTERED_NOW = {'q131_peak_concurrency'}
+_REGISTERED_NOW = {'q131_peak_concurrency', 'q132_neardup_components',
+                   'q133_neardup_apply'}
 
 
 def test_registration_split_matches_gate_accounting():
-    """Round-14 wiring (GATE_r14.md): q131 (concurrency) registered this
-    round; q132/q133 (neardup_cc) stay STAGED until after the r15 llm_queries
-    rotation (their tokenizer/fold MODULE_DEPS would grow that window
-    past 50 — GATE_r13.md slot math)."""
+    """Round-14 wiring (GATE_r14.md) registered q131 (concurrency);
+    round 16 registered q132/q133 (neardup_cc) per the GATE_r15.md
+    held-back plan, after the r15 llm_queries rotation freed the window
+    their tokenizer/fold MODULE_DEPS edges would have overgrown."""
     reg = all_queries()
     assert STAGED
     for name, q in STAGED.items():
