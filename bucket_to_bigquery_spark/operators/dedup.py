@@ -376,6 +376,18 @@ def minhash_candidate_pairs(
     (k identical docs legitimately emit k² candidate pairs — that IS the
     answer); AQE skew-join splits any residual hot bucket. Returns
     (id_a, id_b, jaccard_dist) with id_a < id_b.
+
+    Cache contract (ADVICE r15 #2): the per-doc shingle-set feature frame
+    is ``persist()``-ed inside the returned plan (three consumers on
+    three different keys; a BroadcastExchange re-executes its subtree —
+    the r15 measured fix, 6.6 → 1.7 s isolated at sf0.1) and is NOT
+    unpersisted here — it must stay alive for the lazy result to be
+    consumed any number of times. Spark's CacheManager holds the entry
+    until an explicit sweep, so a long-lived session calling this
+    repeatedly must clear consumed entries itself
+    (``spark.catalog.clearCache()`` or an explicit sweep between calls —
+    bench.py's ``_sweep_state`` is the in-repo example). MEMORY_AND_DISK
+    means an unswept entry degrades to disk spill, not an OOM.
     """
     p = MINHASH_PRIME
     feats = (

@@ -298,6 +298,9 @@ def signgrid_ann_topk(
     10×6, exact (r5 default)    0.40-class             ~0.14
     9×7, probe_hamming=1 (q48e) 0.78 / 0.78 / 0.84     ~0.44
     16×4, exact                 0.88 / 0.92 / 0.92     ~0.65
+    9×6, probe_hamming=1        – / 0.92 / 0.96        ~0.65
+    10×6, probe_hamming=1       – / 0.94 / 0.96        ~0.69
+    11×5, probe_hamming=1       – / 1.00 / 1.00        ~0.90
     ==========================  =====================  ==================
 
     The parameter default trades ~3.4× less scoring than brute force for
@@ -305,6 +308,21 @@ def signgrid_ann_topk(
     candidate) and is what the registered q48e entry ships since r7
     (VERDICT r6 item #5) — higher recall worth 1.5× the default's
     scoring, still 2.3× cheaper than brute force.
+
+    **q48e's DECLARED recall floor (r16, VERDICT r15 #4): recall@5 ≥
+    0.78 across the testdata SFs, measured 0.84 at sf0.1** — pinned
+    with the same standing as the q48c/q48d 0.98 recall gates (all ride
+    every bench as ``ann_recall_at_5``; pytest floor:
+    tests/test_llm_ops.py::test_q48e_signgrid_recall_vs_exact). The r16
+    corner sweep (tools/sweep_signgrid.py, rows above) shows what
+    lifting q48e to ≥ 0.95 would cost: the cheapest such points
+    (9×6/10×6 probed) scan 0.65–0.69 of all query–corpus pairs —
+    barely sub-brute-force, defeating the operator's purpose. q48e's
+    role in the family is EVIDENCE, not peak recall: it is the one ANN
+    member whose end-to-end result the driver hash-verifies (no RNG,
+    no fit), while the IVF members (q48c/d) own the high-recall role
+    at genuinely sub-linear scan cost. A recall regression therefore
+    fails pytest; a silent operating-point degradation cannot hide.
 
     The evidence-grade member of the ANN family: no RNG, no fit — the
     blocking (and the Hamming-1 probe ring, a closed-form XOR per bit)
@@ -838,11 +856,13 @@ def ivf_probe_prebuilt(
                 spark.read.parquet(f"{path}/params").head()["n_probe"]
             )
         except Exception as e:  # noqa: BLE001 — pre-v4 index layouts
+            # version 4 INTRODUCED the params table (calibrated n_probe);
+            # name it, not the current IVF_INDEX_VERSION — ADVICE r12 #1
             raise ValueError(
                 f"IVF index at {path!r} has no readable params table — "
-                f"it predates IVF_INDEX_VERSION={IVF_INDEX_VERSION} "
-                f"(calibrated n_probe). Rebuild with ivf_build_index or "
-                f"pass n_probe explicitly."
+                f"it predates index version 4 (calibrated n_probe; "
+                f"current IVF_INDEX_VERSION={IVF_INDEX_VERSION}). Rebuild "
+                f"with ivf_build_index or pass n_probe explicitly."
             ) from e
     assigned = spark.read.parquet(f"{path}/assigned")
     centroids = spark.read.parquet(f"{path}/centroids")
@@ -976,6 +996,50 @@ def _d2_e12_rows(x, cent):
     return out
 
 
+def assign_lists_e12(
+    frame: DataFrame,
+    cent,
+    vec_col: str = "n_vec",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ONE Arrow corpus pass appending ``list_id`` — the exact-e12
+    nearest-centroid assignment recipe (``_d2_e12_rows`` argmin, ties →
+    lowest list id) shared by the value-oracle twins q48g
+    (ivf_scan_stats_exact), q48h (queries/ann_exact.py) and q130
+    (queries/lloyd_step.py), folded here per the r16 rotation plan so
+    the contract their DuckDB oracles replicate has exactly one
+    definition. ``cent`` is the in-task (L, d) float64 centroid matrix
+    (injected centroids are bounded: L ≤ ivf_operating_point(N) ≤ 4096,
+    so it broadcasts inside the serialized closure); ``keep_cols`` ride
+    through unchanged with their existing Spark types. Vectors other
+    than ``keep_cols`` never shuffle — the output is keep_cols +
+    ``list_id long``."""
+    keep = list(keep_cols)
+    fields = {f.name: f for f in frame.schema.fields}
+    ddl = ", ".join(
+        [f"{c} {fields[c].dataType.simpleString()}" for c in keep]
+        + ["list_id long"]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            if not len(pdf):
+                out["list_id"] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            out["list_id"] = _d2_e12_rows(x, cent).argmin(axis=1)
+            yield out
+
+    return frame.mapInPandas(assign, ddl)
+
+
 def ivf_scan_stats_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1060,24 +1124,8 @@ def ivf_scan_stats_exact(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
 
-    def assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame({"n_id": pd.Series([], dtype="int64"),
-                                    "list_id": pd.Series([], dtype="int64")})
-                continue
-            x = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
-            )
-            yield pd.DataFrame({
-                "n_id": pdf["n_id"].to_numpy(),
-                "list_id": _d2_e12_rows(x, cent).argmin(axis=1),
-            })
-
     sizes = (
-        feats.mapInPandas(assign, "n_id long, list_id long")
+        assign_lists_e12(feats, cent, keep_cols=("n_id",))
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

@@ -155,6 +155,7 @@ def ivf_topk_injected_centroids(
     from ..operators.similarity import (
         _MAX_EXACT_QUERIES,
         _d2_e12_rows,
+        assign_lists_e12,
         cosine_from_e12,
         dot_e12,
         ivf_operating_point,
@@ -196,27 +197,7 @@ def ivf_topk_injected_centroids(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
 
-    def assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame({
-                    "n_id": pd.Series([], dtype="int64"),
-                    "n_vec": pd.Series([], dtype="object"),
-                    "list_id": pd.Series([], dtype="int64"),
-                })
-                continue
-            x = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
-            )
-            out = pdf[["n_id", "n_vec"]].copy()
-            out["list_id"] = _d2_e12_rows(x, cent).argmin(axis=1)
-            yield out
-
-    assigned = feats.mapInPandas(
-        assign, "n_id long, n_vec array<float>, list_id long"
-    )
+    assigned = assign_lists_e12(feats, cent, keep_cols=("n_id", "n_vec"))
 
     # probe selection: driver-side on the bounded query set (Q x n_lists
     # exact e12 d2; lexsort's last key is primary -> d2 asc, list_id asc)

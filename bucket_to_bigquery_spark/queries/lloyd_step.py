@@ -114,7 +114,7 @@ _Q130_DESCRIPTION = (
 def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from ..operators.similarity import _d2_e12_rows, ivf_operating_point
+    from ..operators.similarity import assign_lists_e12, ivf_operating_point
 
     emb = tables(spark, sf_dir)["embeddings"]
     n = emb.count()
@@ -129,26 +129,11 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_lists = len(cent)
 
-    # one Arrow corpus pass: exact e12 d2 argmin (ties -> lowest list)
-    def assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame({
-                    "n_vec": pd.Series([], dtype="object"),
-                    "list_id": pd.Series([], dtype="int64"),
-                })
-                continue
-            x = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
-            )
-            out = pdf[["n_vec"]].copy()
-            out["list_id"] = _d2_e12_rows(x, cent).argmin(axis=1)
-            yield out
-
-    assigned = emb.select(F.col("embedding").alias("n_vec")).mapInPandas(
-        assign, "n_vec array<float>, list_id long"
+    # one Arrow corpus pass: exact e12 d2 argmin (ties -> lowest list),
+    # the shared assignment recipe (operators/similarity.assign_lists_e12)
+    assigned = assign_lists_e12(
+        emb.select(F.col("embedding").alias("n_vec")), cent,
+        keep_cols=("n_vec",),
     ).cache()  # two consumers (pop + sums): uncached, each replays the
     #            corpus assignment pass (q80 lesson)
 

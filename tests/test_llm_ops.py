@@ -48,7 +48,12 @@ def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
     # the driver certifies exactness of the RESULT, this pins the quality
     # of the blocking: recall@5 vs brute force at the 9-band × 7-bit
     # Hamming-1 multi-probe operating point promoted in r7 (r6 sweep:
-    # 0.78/0.78/0.84 measured at sf0.001/0.01/0.1, ~44% candidate volume)
+    # 0.78/0.78/0.84 measured at sf0.001/0.01/0.1, ~44% candidate volume).
+    # r16 (VERDICT r15 #4): 0.84-at-sf0.1 is the DECLARED floor, pinned
+    # with the q48c/d-gate prominence — the corner sweep showed >=0.95
+    # costs 0.65-0.69 candidate fraction (near-brute-force; the
+    # frontier table + rationale live in signgrid_ann_topk's docstring
+    # and tools/sweep_signgrid.py). This assert is the enforcement.
     qs = all_queries()
     exact = qs["q48_cosine_topk"].builder(spark, sf_dir).collect()
     grid = qs["q48e_signgrid_ann"].builder(spark, sf_dir).collect()

@@ -38,6 +38,14 @@ CONFIGS = [
     (9, 7, 1),    # multi-probe sweet spot: ~0.8 recall at ~44%
     (13, 4, 0),
     (16, 4, 0),   # high-recall exact point the probe configs dominate
+    # r16 corners (VERDICT r15 #4 — what does recall >= 0.95 COST?):
+    # the cheapest >=0.95 points scan ~0.65-0.69 of all pairs — barely
+    # sub-brute-force, so q48e PINS 0.84 as its declared floor instead
+    # of buying recall with candidates (the q48c/d IVF members own the
+    # high-recall role at real sub-linear cost).
+    (9, 6, 1),    # 0.92@0.64 / 0.96@0.65 (sf0.01 / sf0.1)
+    (10, 6, 1),   # 0.94@0.68 / 0.96@0.69
+    (11, 5, 1),   # 1.00@0.90 / 1.00@0.90
 ]
 
 
