@@ -11,21 +11,27 @@ n_probe, candidates, scan_frac) trajectory itself:
 
 - the three testdata SFs (N = 500 / 500 / 2000), and
 - synthetic 10× / 100× expansions of the sf0.1 embeddings (N = 20,000 /
-  200,000): copy c gets vec_id += c·N₀ and a deterministic per-element
-  jitter of ≤ ~5e-3 (integer hash of (vec_id, element, copy) — no RNG,
-  reproducible), copy 0 stays byte-identical so the query set
-  (vec_id < 10) is the real one. Each original therefore seeds a tight
-  local cluster of 10/100 near-copies — adversarially CLUSTERED growth,
-  not uniform dilution, so a falling fraction here is conservative
-  evidence.
+  200,000) in TWO growth shapes, both deterministic (integer hash of
+  (vec_id, element, copy) — no RNG; copy 0 stays byte-identical so the
+  query set vec_id < 10 is the real one):
+
+  * ``near`` — per-element jitter ≤ ~5e-3 on unit-norm vectors: each
+    original seeds a tight cluster of near-copies, the shape a
+    dedup-bound corpus actually has. Here the probe calibration is
+    expected to COLLAPSE (a query's true top-5 are its own near-copies,
+    all in one list) — scan_frac falls steeply, but that is the easy
+    case, not general evidence.
+  * ``diffuse`` — jitter at the element-std scale (~±0.125 per element,
+    cosine(copy, original) ≈ 0.87): growth spreads mass instead of
+    stacking it, the adversarial-for-IVF shape. The trajectory to watch.
 
 Usage::
 
     python tools/probe_ivf_scanfrac_r16.py [factor ...]
 
 defaults to the committed trajectory (sf dirs + factors 10 and 100 on
-sf0.1). Prints one row per corpus and a JSON line; the committed result
-table lives in BASELINE.md (round-16 measurements).
+sf0.1, both shapes). Prints one row per corpus and a JSON line; the
+committed result table lives in BASELINE.md (round-16 measurements).
 """
 
 from __future__ import annotations
@@ -49,16 +55,20 @@ from bucket_to_bigquery_spark.session import get_spark  # noqa: E402
 SF01 = "/root/testdata/sf0.1"
 
 
-def expanded(spark, sf_dir: str, factor: int):
-    """factor near-copies per vector, deterministic jitter, copy 0 exact."""
+def expanded(spark, sf_dir: str, factor: int, scale: float = 1e-4):
+    """factor copies per vector, deterministic jitter, copy 0 exact.
+
+    ``scale`` = 1e-4 → ``near`` shape (max per-element shift ~5e-3);
+    2.6e-3 → ``diffuse`` shape (~±0.125, the element std of the
+    unit-norm testdata embeddings)."""
     emb = tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
     n0 = emb.count()
     copies = spark.range(factor).select(F.col("id").alias("c"))
     jitter = (
-        # integer hash -> [-48, 48] * 1e-4; element index i is 0-based
+        # integer hash -> [-48, 48] * scale; element index i is 0-based
         lambda x, i: x + (
             (F.col("vec_id") * 31 + i * 7 + F.col("c") * 13) % 97 - 48
-        ).cast("double") * F.lit(1e-4)
+        ).cast("double") * F.lit(scale)
     )
     return emb.crossJoin(copies).select(
         (F.col("vec_id") + F.col("c") * F.lit(n0)).alias("vec_id"),
@@ -90,10 +100,11 @@ def main() -> None:
         sf_dir = f"/root/testdata/sf{sf}"
         rows.append(probe(spark, f"sf{sf}", tables(spark, sf_dir)["embeddings"]))
     for f in factors:
-        big = expanded(spark, SF01, f).cache()
-        big.count()  # materialize once so the fit/assign passes reuse it
-        rows.append(probe(spark, f"sf0.1 x{f}", big))
-        big.unpersist()
+        for shape, scale in (("near", 1e-4), ("diffuse", 2.6e-3)):
+            big = expanded(spark, SF01, f, scale).cache()
+            big.count()  # materialize once; fit/assign passes reuse it
+            rows.append(probe(spark, f"sf0.1 x{f} {shape}", big))
+            big.unpersist()
     print(json.dumps({"probe": "ivf_scanfrac_r16", "rows": rows}))
 
 
