@@ -208,3 +208,41 @@ def test_lloyd_and_calibrate_peak_memory_bounded_at_v5_caps():
     # usable probe width (guards against a vacuous pass on early-exit)
     assert len(cent) == 4096
     assert 1 <= n_probe <= 4096
+
+
+def test_assign_lists_e12_contract(spark):
+    # the ONE shared exact-e12 assignment recipe (r16 fold): argmin of
+    # _d2_e12_rows, ties -> lowest list id; keep_cols ride through with
+    # their Spark types; empty input yields an empty, correctly-typed
+    # frame. Reference = plain numpy over the same integer contract.
+    import pandas as pd  # noqa: F401 — exercised inside the Arrow UDF
+
+    from bucket_to_bigquery_spark.operators.similarity import (
+        _d2_e12_rows,
+        assign_lists_e12,
+    )
+
+    cent = np.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])  # 0 == 2: tie
+    rows = [
+        (1, [0.9, 0.1]),   # nearest cent 0 (and 2) -> tie -> list 0
+        (2, [0.1, 0.9]),   # nearest cent 1
+        (3, [0.5, 0.5]),   # equidistant to ALL -> lowest list id 0
+    ]
+    frame = spark.createDataFrame(rows, "n_id long, n_vec array<float>")
+    got = assign_lists_e12(frame, cent, keep_cols=("n_id", "n_vec"))
+    assert [f.simpleString() for f in got.schema.fields] == [
+        "n_id:bigint", "n_vec:array<float>", "list_id:bigint"]
+    out = {r["n_id"]: r["list_id"] for r in got.collect()}
+    x = np.asarray([np.asarray(v, dtype="float64") for _, v in rows])
+    want = _d2_e12_rows(x, cent).argmin(axis=1)
+    assert out == {1: int(want[0]), 2: int(want[1]), 3: int(want[2])}
+    assert out[1] == 0 and out[3] == 0  # ties resolved to the lowest list
+    # no keep_cols: output is just list_id
+    only = assign_lists_e12(frame, cent)
+    assert [f.name for f in only.schema.fields] == ["list_id"]
+    assert sorted(r["list_id"] for r in only.collect()) == sorted(out.values())
+    # empty input: empty result, same schema (the Arrow empty-batch path)
+    empty = assign_lists_e12(frame.where("n_id < 0"), cent,
+                             keep_cols=("n_id", "n_vec"))
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["n_id", "n_vec", "list_id"]
