@@ -85,6 +85,13 @@ def test_boundary_commit_is_not_a_carry():
     problems, _ = evaluate_deferral(
         d, d, REG, {"pkg/other.py"}, lambda n: False, {}, base_round_n=15)
     assert any("due THIS round" in p for p in problems)
+    # the gate file alone counts as work begun (review finding r16: a
+    # rotation starts with a GATE_PRIORITY rewrite even when no package
+    # file changes behaviorally — the obligation must not stay silent)
+    problems, _ = evaluate_deferral(
+        d, d, REG, set(), lambda n: False, {}, base_round_n=15,
+        gate_file_changed=True)
+    assert any("due THIS round" in p for p in problems)
     # a deferral created BEFORE the base round is a genuine carry even at
     # a pristine boundary
     old = dict(_deferral(["q1_a"]), created_round=14)

@@ -53,7 +53,12 @@ def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
     # with the q48c/d-gate prominence — the corner sweep showed >=0.95
     # costs 0.65-0.69 candidate fraction (near-brute-force; the
     # frontier table + rationale live in signgrid_ann_topk's docstring
-    # and tools/sweep_signgrid.py). This assert is the enforcement.
+    # and tools/sweep_signgrid.py). The assert below is SF-aware so the
+    # declared number is what an sf0.1 run actually enforces (review
+    # finding r16: a flat 0.78 floor left the 0.84 pin unenforced);
+    # q48e is RNG-free, so the per-SF recall is a deterministic
+    # constant, safe to pin exactly (r16 sweep: 0.82/0.78/0.84 at
+    # sf0.001/0.01/0.1).
     qs = all_queries()
     exact = qs["q48_cosine_topk"].builder(spark, sf_dir).collect()
     grid = qs["q48e_signgrid_ann"].builder(spark, sf_dir).collect()
@@ -65,7 +70,10 @@ def test_q48e_signgrid_recall_vs_exact(spark, sf_dir):
     assert set(grid_sets) == set(exact_sets)  # every query answered
     hits = sum(len(exact_sets[q] & grid_sets.get(q, set())) for q in exact_sets)
     recall = hits / sum(len(s) for s in exact_sets.values())
-    assert recall >= 0.78, f"sign-grid recall@5 = {recall:.2f}"
+    floor = 0.84 if sf_dir.rstrip("/").endswith("sf0.1") else 0.78
+    assert recall >= floor, (
+        f"sign-grid recall@5 = {recall:.2f} < declared floor {floor} "
+        f"at {sf_dir}")
 
 
 def test_signgrid_multiprobe_dominates_exact_blocking(spark, sf_dir):

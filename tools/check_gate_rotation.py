@@ -578,6 +578,7 @@ def evaluate_deferral(
     in_window,
     impl_changed: dict[str, set[str]],
     base_round_n: int | None = None,
+    gate_file_changed: bool = False,
 ) -> tuple[list[str], set[str]]:
     """Apply the DEFERRAL_FILE rules. Returns (problems, exempt entries).
 
@@ -585,9 +586,15 @@ def evaluate_deferral(
       the deferral's ``created_round`` equals ``base_round_n`` (the base
       ref is the boundary commit of the round that created the deferral,
       so HEAD is the resolution round itself, not a second-round carry —
-      ADVICE r15 #1). In that case the obligation trips only once
-      behavioral package work exists this round (``changed`` non-empty)
-      without the file having been deleted;
+      ADVICE r15 #1). In that case the obligation trips once gate work
+      exists this round without the file having been deleted: behavioral
+      package changes (``changed`` non-empty) OR an edit to the gate
+      file itself (``gate_file_changed`` — every rotation starts with a
+      GATE_PRIORITY rewrite, so a resolution round cannot do its window
+      bookkeeping while leaving the obligation silent). Residual gap,
+      accepted: a round that touches neither the package nor the gate
+      file stays green with the file alive — such a round did no
+      gate-relevant work, and the next boundary still hard-fails it;
     - file at base, deleted at HEAD: this round resolves it — every
       listed entry must be in-window, else problem;
     - file created at HEAD: listed entries are exempt from the in-window
@@ -601,11 +608,12 @@ def evaluate_deferral(
     if base_deferral is not None and head_deferral is not None:
         created = base_deferral.get("created_round")
         if (base_round_n is not None and created == base_round_n):
-            if changed:
+            if changed or gate_file_changed:
                 problems.append(
                     f"{DEFERRAL_FILE} (created round {created}) is due "
-                    "THIS round: behavioral package changes exist but the "
-                    "deferral is unresolved — delete the file and rotate "
+                    "THIS round: gate work exists (behavioral package "
+                    "changes or a gate-file edit) but the deferral is "
+                    "unresolved — delete the file and rotate "
                     f"{sorted(base_deferral.get('entries', []))} in-window"
                 )
         else:
@@ -718,11 +726,14 @@ def check(base_ref: str | None = None) -> list[str]:
         print("check_gate_rotation: no 'round N:' commit found; "
               "nothing to diff against (fresh repo) — skipping diff check")
         changed: set[str] = set()
+        gate_file_changed = False
     else:
+        diff_names = _git("diff", "--name-only", f"{base}..HEAD").splitlines()
         touched = {
-            f for f in _git("diff", "--name-only", f"{base}..HEAD").splitlines()
+            f for f in diff_names
             if f.startswith(PKG) and f.endswith(".py")
         }
+        gate_file_changed = "__spark_entry__.py" in diff_names
         changed = {f for f in touched if _behavior_changed(f, base)}
         doc_only = touched - changed
         if doc_only:
@@ -774,6 +785,7 @@ def check(base_ref: str | None = None) -> list[str]:
             base_deferral, head_deferral, set(reg), changed,
             lambda n: _gate_name(n) in window, impl_changed,
             base_round_n=base_round_number(base),
+            gate_file_changed=gate_file_changed,
         )
         problems.extend(dproblems)
     if exempt:
