@@ -307,6 +307,10 @@ MODULE_DEPS: dict[str, list[str]] = {
     # ann_exact precedent) — the edge pulls it into any similarity.py
     # rotation (r16 per the GATE_r13 plan).
     PKG + "queries/lloyd_step.py": [PKG + "operators/similarity.py"],
+    # STAGED r16 (registers with the r18 dedup round,
+    # tools/r18_dedup_round_plan.md): q48i reuses similarity primitives
+    # READ-ONLY — same edge discipline as lloyd_step/ann_exact.
+    PKG + "queries/ivf_fit.py": [PKG + "operators/similarity.py"],
     # concurrency restates the q63 sessionization contract — a
     # sessions.py contract change must pull it in-window.
     PKG + "queries/concurrency.py": [PKG + "queries/sessions.py"],
