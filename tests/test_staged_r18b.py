@@ -233,6 +233,59 @@ def test_empty_query_set_short_circuits(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# the top-M draw regime: fit sample strictly smaller than the corpus
+# ---------------------------------------------------------------------------
+
+
+def test_q48i_oracle_parity_when_sample_lt_corpus(spark, sf_dir):
+    """At every testdata SF the corpus fits inside the 4096-vector fit
+    sample, so plain parity runs never exercise the top-M draw path
+    (ORDER BY hash LIMIT M with M < N). Expand the fixture's own
+    embeddings deterministically just past the cap and hash-compare
+    there too. (A 10x sf0.1 expansion — N=20,000, sample 4,096,
+    n_lists=141 — passed the same comparison in the r16 continuation
+    session, 143.9 s; this standing version is sized to stay cheap at
+    any suite SF.)"""
+    import os
+    import shutil
+
+    import duckdb
+
+    big = "/tmp/b2bqs/ivf_fit_bigsf_test"
+    shutil.rmtree(big, ignore_errors=True)
+    os.makedirs(big)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{big}/{t}.parquet")
+    con = duckdb.connect()
+    n0 = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    factor = 4097 // n0 + 1  # smallest expansion past the sample cap
+    con.execute(
+        "COPY (SELECT e.vec_id + c.c * "
+        f"{n0} AS vec_id, "
+        "CASE WHEN c.c = 0 THEN e.embedding ELSE "
+        "list_transform(list_zip(e.embedding, "
+        "range(1, len(e.embedding) + 1)), z -> CAST(z[1] + "
+        "((e.vec_id * 31 + z[2] * 7 + c.c * 13) % 97 - 48) * 2.6e-3 "
+        "AS FLOAT)) END AS embedding "
+        f"FROM '{sf_dir}/embeddings.parquet' e CROSS JOIN "
+        f"(SELECT unnest(range({factor})) AS c) c) "
+        f"TO '{big}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    duck = duck_connection(big)
+    try:
+        problems = compare(_NAME, spark, duck, big, STAGED)
+        assert not problems, f"{_NAME} @ N={n0 * factor}: " + "; ".join(
+            problems)
+    finally:
+        duck.close()
+        shutil.rmtree(big, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # plan pins
 # ---------------------------------------------------------------------------
 
