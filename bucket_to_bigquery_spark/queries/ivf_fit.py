@@ -249,9 +249,9 @@ def ivf_fit_deterministic(
     )
     n_lists = min(n_lists, len(x))
     cent = x[:n_lists].copy()
+    e6 = _round_nearest_ties_away_e12(x * 1e6)  # loop-invariant
     for _ in range(n_iters):
         assign = _d2_e12_rows(x, cent).argmin(axis=1)  # ties -> lowest
-        e6 = _round_nearest_ties_away_e12(x * 1e6)
         sums = np.zeros((len(cent), x.shape[1]), dtype="int64")
         np.add.at(sums, assign, e6)
         counts = np.bincount(assign, minlength=len(cent))

@@ -25,7 +25,7 @@ from bucket_to_bigquery_spark.queries.registry import (
     tables,
 )
 
-from .oracle import compare, duck_connection, round_half_away
+from .oracle import compare, duck_connection
 
 STAGED: dict[str, Query] = {
     name: Query(name, _with_tuning(fn), oracle, desc, tags)
@@ -63,18 +63,33 @@ def test_staged_oracle_parity(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _round_engine(v: float) -> int:
+    """Engine-exact ROUND on a double: nearest, ties away from zero —
+    the semantics both Spark and DuckDB apply. Implemented WITHOUT the
+    floor(x+0.5) idiom (oracle.round_half_away), whose add flips
+    values one ulp below a .5 boundary; this battery asserts cosine
+    BIT-equality, so the replay must round exactly as the engines do.
+    Python round() is nearest-ties-to-even with no pre-arithmetic
+    (exact, like np.rint); representable .5 fractions are binary, so
+    the explicit tie branch is exact too."""
+    t = math.trunc(v)
+    if abs(v - t) == 0.5:
+        return int(t) + (1 if v > 0 else -1)
+    return round(v)
+
+
 def _d2_e12(a, b) -> int:
     return sum(
-        round_half_away((x - y) * (x - y) * 1e12) for x, y in zip(a, b)
+        _round_engine((x - y) * (x - y) * 1e12) for x, y in zip(a, b)
     )
 
 
 def _dot_e12(a, b) -> int:
-    return sum(round_half_away(x * y * 1e12) for x, y in zip(a, b))
+    return sum(_round_engine(x * y * 1e12) for x, y in zip(a, b))
 
 
 def _norm_e12(a) -> int:
-    return sum(round_half_away(x * x * 1e12) for x in a)
+    return sum(_round_engine(x * x * 1e12) for x in a)
 
 
 def _replay(rows, n_iters=3, k=5, n_probe=8, n_queries=10):
@@ -83,7 +98,7 @@ def _replay(rows, n_iters=3, k=5, n_probe=8, n_queries=10):
     independent of BOTH engines' md5 — so it cross-checks the draw
     policy itself, not just the arithmetic."""
     n = len(rows)
-    n_lists = max(8, min(round_half_away(math.sqrt(n)), 4096))
+    n_lists = max(8, min(_round_engine(math.sqrt(n)), 4096))
     sample_sz = min(max(4096, 32 * n_lists), 65536)
     order = sorted(
         rows,
@@ -102,7 +117,7 @@ def _replay(rows, n_iters=3, k=5, n_probe=8, n_queries=10):
             )
             counts[best] += 1
             for j in range(dim):
-                sums[best][j] += round_half_away(v[j] * 1e6)
+                sums[best][j] += _round_engine(v[j] * 1e6)
         for li in range(n_lists):
             if counts[li]:
                 cent[li] = [
@@ -248,40 +263,45 @@ def test_q48i_oracle_parity_when_sample_lt_corpus(spark, sf_dir):
     any suite SF.)"""
     import os
     import shutil
+    import tempfile
 
     import duckdb
 
-    big = "/tmp/b2bqs/ivf_fit_bigsf_test"
-    shutil.rmtree(big, ignore_errors=True)
-    os.makedirs(big)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents"):
-        shutil.copy(f"{sf_dir}/{t}.parquet", f"{big}/{t}.parquet")
-    con = duckdb.connect()
-    n0 = con.execute(
-        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
-    ).fetchone()[0]
-    factor = 4097 // n0 + 1  # smallest expansion past the sample cap
-    con.execute(
-        "COPY (SELECT e.vec_id + c.c * "
-        f"{n0} AS vec_id, "
-        "CASE WHEN c.c = 0 THEN e.embedding ELSE "
-        "list_transform(list_zip(e.embedding, "
-        "range(1, len(e.embedding) + 1)), z -> CAST(z[1] + "
-        "((e.vec_id * 31 + z[2] * 7 + c.c * 13) % 97 - 48) * 2.6e-3 "
-        "AS FLOAT)) END AS embedding "
-        f"FROM '{sf_dir}/embeddings.parquet' e CROSS JOIN "
-        f"(SELECT unnest(range({factor})) AS c) c) "
-        f"TO '{big}/embeddings.parquet' (FORMAT PARQUET)"
-    )
-    con.close()
-    duck = duck_connection(big)
+    os.makedirs("/tmp/b2bqs", exist_ok=True)
+    # unique per run: two concurrent sessions must not share the dir
+    big = tempfile.mkdtemp(prefix="ivf_fit_bigsf_", dir="/tmp/b2bqs")
     try:
-        problems = compare(_NAME, spark, duck, big, STAGED)
-        assert not problems, f"{_NAME} @ N={n0 * factor}: " + "; ".join(
-            problems)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"):
+            shutil.copy(f"{sf_dir}/{t}.parquet", f"{big}/{t}.parquet")
+        con = duckdb.connect()
+        try:
+            n0 = con.execute(
+                f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+            ).fetchone()[0]
+            factor = 4097 // n0 + 1  # smallest expansion past the cap
+            con.execute(
+                "COPY (SELECT e.vec_id + c.c * "
+                f"{n0} AS vec_id, "
+                "CASE WHEN c.c = 0 THEN e.embedding ELSE "
+                "list_transform(list_zip(e.embedding, "
+                "range(1, len(e.embedding) + 1)), z -> CAST(z[1] + "
+                "((e.vec_id * 31 + z[2] * 7 + c.c * 13) % 97 - 48) "
+                "* 2.6e-3 AS FLOAT)) END AS embedding "
+                f"FROM '{sf_dir}/embeddings.parquet' e CROSS JOIN "
+                f"(SELECT unnest(range({factor})) AS c) c) "
+                f"TO '{big}/embeddings.parquet' (FORMAT PARQUET)"
+            )
+        finally:
+            con.close()
+        duck = duck_connection(big)
+        try:
+            problems = compare(_NAME, spark, duck, big, STAGED)
+            assert not problems, (
+                f"{_NAME} @ N={n0 * factor}: " + "; ".join(problems))
+        finally:
+            duck.close()
     finally:
-        duck.close()
         shutil.rmtree(big, ignore_errors=True)
 
 
