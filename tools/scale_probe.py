@@ -129,9 +129,13 @@ def main() -> int:
         corpus = spark.read.parquet(path)
         # plant per-replica duplicates the same way the q46/q47 corpus
         # does (exact copies of every 10th doc) so dedup output is
-        # non-vacuous at every scale
+        # non-vacuous at every scale. Offset 1e9, NOT 1e8: the replica
+        # stride is 1e7, so a 1e8 dup offset equals 10 strides and the
+        # planted copies of replica k COLLIDE with replica k+10's
+        # originals at S >= 11 (caught at the first S=16 run — pair
+        # counts went DOWN; all committed S<=8 records were unaffected)
         dup = corpus.where(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
         )
         corpus = corpus.unionAll(dup)
         for name, build in ops.items():
