@@ -247,6 +247,34 @@ def test_empty_query_set_short_circuits(spark, sf_dir):
     assert out.collect() == []
 
 
+def test_round_engine_matches_duckdb_on_adversarial_values():
+    """The replay's _round_engine claims engine semantics (nearest,
+    ties away from zero, no pre-arithmetic). Validate against a REAL
+    engine on the adversarial corpus: exact .5 ties (positive and
+    negative), values one ulp below/above a .5 boundary (where the
+    floor(x+0.5) idiom flips), and plain values."""
+    import duckdb
+
+    cases = [
+        0.5, 1.5, 2.5, -0.5, -1.5, -2.5,
+        0.49999999999999994, -0.49999999999999994,
+        1.4999999999999998, -1.4999999999999998,
+        0.5000000000000001, -0.5000000000000001,
+        3.0, -3.0, 0.0, 2.4, -2.4, 2.6, -2.6,
+        123456789.5, -123456789.5,
+    ]
+    con = duckdb.connect()
+    try:
+        for v in cases:
+            got = _round_engine(v)
+            want = con.execute(
+                "SELECT CAST(round(CAST(? AS DOUBLE)) AS BIGINT)", [v]
+            ).fetchone()[0]
+            assert got == want, f"round({v!r}): replay {got}, duckdb {want}"
+    finally:
+        con.close()
+
+
 # ---------------------------------------------------------------------------
 # the top-M draw regime: fit sample strictly smaller than the corpus
 # ---------------------------------------------------------------------------
