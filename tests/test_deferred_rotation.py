@@ -104,6 +104,46 @@ def test_boundary_commit_is_not_a_carry():
     assert any("very next round" in p for p in problems)
 
 
+def test_resolve_and_create_in_one_round():
+    # r16 shape: the round resolves the prior deferral (entries rotated
+    # in-window) AND creates a new one for its own wide-fan-in change.
+    old = dict(_deferral(["q1_a"]), created_round=15)
+    new = dict(
+        _deferral(["q2_b"], files=("pkg/wide2.py",)), created_round=16)
+    impl_changed = {"q2_b": {"pkg/wide2.py"}}
+    # legal: old entry in-window, new file behaviorally changed
+    problems, exempt = evaluate_deferral(
+        old, new, REG, {"pkg/wide2.py"}, lambda n: n == "q1_a",
+        impl_changed, base_round_n=15)
+    assert problems == []
+    assert exempt == {"q2_b"}
+    # the old deferral's entries must STILL rotate in-window this round
+    problems, exempt = evaluate_deferral(
+        old, new, REG, {"pkg/wide2.py"}, lambda n: False,
+        impl_changed, base_round_n=15)
+    assert any("q1_a" in p for p in problems)
+    assert exempt == {"q2_b"}  # the new deferral still applies
+    # a head file with the SAME created_round is the carried base file,
+    # not a new deferral — conservative carry semantics hold
+    same = dict(_deferral(["q1_a"]), created_round=15)
+    problems, _ = evaluate_deferral(
+        same, same, REG, {"pkg/wide.py"}, lambda n: True, {},
+        base_round_n=15)
+    assert any("due THIS round" in p for p in problems)
+    # a head created_round that is not base+1 cannot claim the
+    # resolve-and-create path: once work exists, the unresolved base
+    # obligation fires exactly as if no head file had been written
+    stale = dict(_deferral(["q2_b"]), created_round=17)
+    problems, _ = evaluate_deferral(
+        old, stale, REG, {"pkg/wide.py"}, lambda n: True, {},
+        base_round_n=15)
+    assert any("due THIS round" in p for p in problems)
+    # unknown base round: conservative carry even with a head file
+    problems, _ = evaluate_deferral(
+        old, new, REG, set(), lambda n: True, {}, base_round_n=None)
+    assert any("very next round" in p for p in problems)
+
+
 def test_resolution_round_requires_listed_entries_in_window():
     d = _deferral(["q1_a", "q2_b"])
     # resolved correctly: file deleted, everything in-window

@@ -586,7 +586,16 @@ def evaluate_deferral(
 ) -> tuple[list[str], set[str]]:
     """Apply the DEFERRAL_FILE rules. Returns (problems, exempt entries).
 
-    - file at base AND at HEAD: carried a second round → problem, UNLESS
+    - file at base AND at HEAD with a HEAD ``created_round`` equal to
+      ``base_round_n + 1`` (and different from the base file's): the
+      current round resolved the old deferral and created a NEW one —
+      legal exactly when the old file's listed entries are in-window
+      this round (the deleted-at-HEAD rule) and the new file passes the
+      created-at-HEAD rules below (r16: the optimization round resolves
+      the r15 dedup deferral in its booked window AND needs its own
+      deferral for the llm-surface optimization split);
+    - file at base AND at HEAD otherwise: carried a second round →
+      problem, UNLESS
       the deferral's ``created_round`` equals ``base_round_n`` (the base
       ref is the boundary commit of the round that created the deferral,
       so HEAD is the resolution round itself, not a second-round carry —
@@ -609,6 +618,32 @@ def evaluate_deferral(
     """
     problems: list[str] = []
     exempt: set[str] = set()
+    if (
+        base_deferral is not None
+        and head_deferral is not None
+        and base_round_n is not None
+        and head_deferral.get("created_round") == base_round_n + 1
+        and base_deferral.get("created_round") != head_deferral.get("created_round")
+    ):
+        # The head file is a NEW deferral created by the current round
+        # (created_round == base round + 1), not the base one carried:
+        # the base deferral is resolved THIS round exactly as if its
+        # file had been deleted (every listed entry in-window), and the
+        # new deferral applies with the created-at-HEAD rules below.
+        # Anything else (same created_round, missing/wrong round
+        # numbers) keeps the conservative carry semantics.
+        overdue = [
+            n for n in base_deferral.get("entries", [])
+            if n in registry and not in_window(n)
+        ]
+        if overdue:
+            problems.append(
+                f"{DEFERRAL_FILE} was replaced by a round-"
+                f"{base_round_n + 1} deferral but these round-"
+                f"{base_deferral.get('created_round')} deferred entries "
+                f"are not in the gate window: {sorted(overdue)}"
+            )
+        base_deferral = None  # fall through to the created-at-HEAD rules
     if base_deferral is not None and head_deferral is not None:
         created = base_deferral.get("created_round")
         if (base_round_n is not None and created == base_round_n):
