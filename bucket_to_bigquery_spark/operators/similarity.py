@@ -75,6 +75,25 @@ def _round_nearest_ties_away_e12(p):
 _MAX_EXACT_QUERIES = 4096  # same bounded-collect contract as the IVF fit
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow input out to ``defaultParallelism`` when the
+    scan produced fewer splits than the cluster has cores.
+
+    The Arrow scoring passes downstream are CPU-heavy numpy; a small
+    parquet input (one ~1 MB split at sf0.1) would otherwise run the
+    whole pass on a single core while the other 31 idle (r16
+    measurement: q48h 43.9 s / q130 28.3 s isolated medians with the
+    pass single-task). At warehouse scale the scan already has ≥ cores
+    splits and this is a no-op — scale-adaptive, not a local tuning
+    constant (the dedup._inverted_index_common precedent). Results are
+    unchanged: every downstream aggregate/score is row-local or
+    order-independent by the exact-integer contract."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def cosine_topk_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,11 +183,12 @@ def cosine_topk_exact(
                     }
                 )
 
+    feats = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    feats = _spread_small_input(feats)
     scored = (
-        corpus.select(
-            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-        )
-        .mapInPandas(score, "q_id long, n_id long, cosine double")
+        feats.mapInPandas(score, "q_id long, n_id long, cosine double")
         .where(F.col("n_id") != F.col("q_id"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
@@ -1001,6 +1021,7 @@ def assign_lists_e12(
     cent,
     vec_col: str = "n_vec",
     keep_cols: tuple[str, ...] = (),
+    norm_col: str | None = None,
 ) -> DataFrame:
     """ONE Arrow corpus pass appending ``list_id`` — the exact-e12
     nearest-centroid assignment recipe (``_d2_e12_rows`` argmin, ties →
@@ -1013,12 +1034,18 @@ def assign_lists_e12(
     so it broadcasts inside the serialized closure); ``keep_cols`` ride
     through unchanged with their existing Spark types. Vectors other
     than ``keep_cols`` never shuffle — the output is keep_cols +
-    ``list_id long``."""
+    ``list_id long``. ``norm_col`` (r16) additionally emits each
+    vector's exact e12 norm Σ round(xᵢ²·1e12) as an int64 column —
+    numerically identical to :func:`norm_e12` (same per-element
+    rint-ties-away rule on the same float→double widenings), computed
+    in this pass so downstream scoring never re-evaluates the
+    interpreted higher-order norm per candidate row."""
     keep = list(keep_cols)
     fields = {f.name: f for f in frame.schema.fields}
     ddl = ", ".join(
         [f"{c} {fields[c].dataType.simpleString()}" for c in keep]
         + ["list_id long"]
+        + ([f"{norm_col} long"] if norm_col else [])
     )
 
     def assign(batches):
@@ -1029,15 +1056,21 @@ def assign_lists_e12(
             out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
             if not len(pdf):
                 out["list_id"] = pd.Series([], dtype="int64")
+                if norm_col:
+                    out[norm_col] = pd.Series([], dtype="int64")
                 yield out
                 continue
             x = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
             out["list_id"] = _d2_e12_rows(x, cent).argmin(axis=1)
+            if norm_col:
+                out[norm_col] = _round_nearest_ties_away_e12(
+                    x * x * 1e12
+                ).sum(axis=1)
             yield out
 
-    return frame.mapInPandas(assign, ddl)
+    return _spread_small_input(frame).mapInPandas(assign, ddl)
 
 
 def ivf_scan_stats_exact(

@@ -155,11 +155,11 @@ def ivf_topk_injected_centroids(
     from ..operators.similarity import (
         _MAX_EXACT_QUERIES,
         _d2_e12_rows,
+        _round_nearest_ties_away_e12,
         assign_lists_e12,
         cosine_from_e12,
         dot_e12,
         ivf_operating_point,
-        norm_e12,
     )
 
     spark = corpus.sparkSession
@@ -197,28 +197,38 @@ def ivf_topk_injected_centroids(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
 
-    assigned = assign_lists_e12(feats, cent, keep_cols=("n_id", "n_vec"))
+    # the corpus pass also emits each vector's exact e12 norm (r16:
+    # numerically identical to norm_e12, computed vectorized once per
+    # row instead of as an interpreted higher-order fold per CANDIDATE)
+    assigned = assign_lists_e12(
+        feats, cent, keep_cols=("n_id", "n_vec"), norm_col="n_norm"
+    )
 
     # probe selection: driver-side on the bounded query set (Q x n_lists
-    # exact e12 d2; lexsort's last key is primary -> d2 asc, list_id asc)
+    # exact e12 d2; lexsort's last key is primary -> d2 asc, list_id asc).
+    # Each probe row carries the query's e12 norm — a per-query constant
+    # the old plan re-folded per candidate row.
     q_mat = np.asarray(
         [np.asarray(r["q_vec"], dtype="float64") for r in qrows]
     )
     qd2 = _d2_e12_rows(q_mat, cent)
+    q_norm = _round_nearest_ties_away_e12(q_mat * q_mat * 1e12).sum(axis=1)
     probe_rows = []
     for row, r in enumerate(qrows):
         order = np.lexsort((np.arange(n_lists), qd2[row]))
         probe_rows.extend(
-            (int(r["q_id"]), list(map(float, r["q_vec"])), int(order[rank]))
+            (int(r["q_id"]), list(map(float, r["q_vec"])),
+             int(q_norm[row]), int(order[rank]))
             for rank in range(min(n_probe, n_lists))
         )
     probes = spark.createDataFrame(
-        probe_rows, "q_id long, q_vec array<float>, list_id long"
+        probe_rows, "q_id long, q_vec array<float>, q_norm long, list_id long"
     )
 
     # the IVF candidate join: tiny probe frame BROADCAST against the
     # assignments — map-side, the corpus never shuffles; then the q48
-    # e12 cosine contract and the per-query top-k window
+    # e12 cosine contract (dot is the only remaining per-candidate fold)
+    # and the per-query top-k window
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("n_id") != F.col("q_id"))
@@ -227,8 +237,8 @@ def ivf_topk_injected_centroids(
             "n_id",
             cosine_from_e12(
                 dot_e12(F.col("q_vec"), F.col("n_vec")),
-                norm_e12(F.col("q_vec")),
-                norm_e12(F.col("n_vec")),
+                F.col("q_norm"),
+                F.col("n_norm"),
             ).alias("cosine"),
         )
     )

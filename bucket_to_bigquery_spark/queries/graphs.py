@@ -127,6 +127,36 @@ def _cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q78_pagerank", oracle=_pagerank_oracle(),
        description=_Q78_DESCRIPTION, tags=("graph", "analytics"))
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 iteration shape: each round's rank frame materializes as a
+    # localCheckpoint instead of staying a lazy subtree. The old unroll
+    # was ONE plan whose five nested BroadcastExchanges re-planned and
+    # re-executed the whole iteration chain sequentially inside a single
+    # action (the q47b BroadcastExchange-subtree lesson) — plan size and
+    # codegen grew with the iteration count. Now each round's broadcast
+    # reads the previous round's materialized |nodes| rows, the per-round
+    # plan is constant-size (standard Pregel practice), and n_nodes is a
+    # driver scalar (one bounded count) folded into the integer
+    # expressions as a literal — dropping the per-iteration 1-row
+    # crossJoin broadcasts (the "6 BNLJs" of the r15 plan audit).
+    # Intermediate checkpoint blocks are freed as soon as the next round
+    # materializes; the final round's blocks back the returned frame
+    # (the CC operator's retain="checkpoint" mode — bench sweeps and
+    # session clearCache/unpersist reclaim them).
+    sc = spark.sparkContext
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        after = sc._jsc.getPersistentRDDs().keySet().toArray()
+        return out, [i for i in after if i not in before]
+
+    def _free(ids: list[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
     pairs = _cooccurrence_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
@@ -139,11 +169,15 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .cache()  # one row per node, re-read every iteration
     )
-    n = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_nodes = deg.count()  # bounded scalar (parts dimension); also
+    #                        eagerly fills the edge + degree caches
+    if n_nodes == 0:
+        return spark.createDataFrame([], "part long, deg long, pr_e12 long")
 
-    ranks = deg.crossJoin(F.broadcast(n)).selectExpr(
-        "node", "deg", f"CAST({_S} div n_nodes AS BIGINT) AS r"
-    )
+    ranks, rank_ids = _ckpt(deg.selectExpr(
+        "node", "deg", f"CAST({_S // n_nodes} AS BIGINT) AS r"
+    ))
+    base = (15 * _S) // (100 * n_nodes)
     for _ in range(_ITERS):
         contrib = (
             edges.join(
@@ -155,15 +189,15 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            deg.crossJoin(F.broadcast(n))
-            .join(F.broadcast(contrib), deg.node == contrib.dst, "left")
+        nxt, nxt_ids = _ckpt(
+            deg.join(F.broadcast(contrib), deg.node == contrib.dst, "left")
             .selectExpr(
                 "node", "deg",
-                f"CAST((15 * {_S}) div (100 * n_nodes) "
-                "+ (85 * coalesce(s, 0)) div 100 AS BIGINT) AS r",
+                f"CAST({base} + (85 * coalesce(s, 0)) div 100 AS BIGINT) AS r",
             )
         )
+        _free(rank_ids)
+        ranks, rank_ids = nxt, nxt_ids
     return (
         ranks.select(F.col("node").alias("part"), "deg",
                      F.col("r").alias("pr_e12"))

@@ -159,18 +159,23 @@ def adjacency(cl: DataFrame) -> DataFrame:
         F.col("rep").alias("rep_b"), F.col("sh").alias("sh_b"),
         F.col("sz").alias("n_docs_b"), "band_idx", "band_val",
     )
-    cand = (
-        left.join(right, ["band_idx", "band_val"])
-        .where(F.col("rep_a") < F.col("rep_b"))
-        .select("rep_a", "rep_b", "sh_a", "sh_b", "n_docs_a", "n_docs_b")
-        .dropDuplicates(["rep_a", "rep_b"])
-    )
     hamming = F.bit_count(
         F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ).cast("long")
+    # r16 optimization (guide §2.3, shuffle fewer bytes): verify the
+    # exact hamming distance BEFORE the dropDuplicates exchange. The
+    # distance is a pure function of the pair (rep ↔ sh is 1:1), so
+    # filter-then-dedup ≡ dedup-then-filter — but the banded candidate
+    # fan-out is ~F²/1024 rows while the true adjacency is ~40× smaller
+    # at sf0.1, and every dropped row previously crossed the dedup
+    # exchange with both fingerprints and sizes aboard.
     return (
-        cand.withColumn("hamming", hamming)
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= _MAX_HAMMING)
+        .select("rep_a", "rep_b", "hamming", "n_docs_a", "n_docs_b")
+        .dropDuplicates(["rep_a", "rep_b"])
         .select(
             "rep_a", "rep_b", "hamming", "n_docs_a", "n_docs_b",
             (F.col("n_docs_a") * F.col("n_docs_b")).cast("long")

@@ -114,7 +114,11 @@ _Q130_DESCRIPTION = (
 def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from ..operators.similarity import assign_lists_e12, ivf_operating_point
+    from ..operators.similarity import (
+        _d2_e12_rows,
+        _round_nearest_ties_away_e12,
+        ivf_operating_point,
+    )
 
     emb = tables(spark, sf_dir)["embeddings"]
     n = emb.count()
@@ -127,58 +131,81 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = np.asarray(
         [np.asarray(r["embedding"], dtype="float64") for r in cent_rows]
     )
-    n_lists = len(cent)
+    n_lists, dim = cent.shape
+    # engine-exact old-centroid e6 rendering, computed ONCE on the
+    # driver with the pinned ROUND replica (rint + ties-away — the same
+    # helper the e12 contract rides); previously this was a 9k-row
+    # createDataFrame + two broadcast joins per run
+    old_e6 = _round_nearest_ties_away_e12(cent * 1e6).astype("float64")
 
-    # one Arrow corpus pass: exact e12 d2 argmin (ties -> lowest list),
-    # the shared assignment recipe (operators/similarity.assign_lists_e12)
-    assigned = assign_lists_e12(
-        emb.select(F.col("embedding").alias("n_vec")), cent,
-        keep_cols=("n_vec",),
-    ).cache()  # two consumers (pop + sums): uncached, each replays the
-    #            corpus assignment pass (q80 lesson)
+    # r16 optimization (guide §2.3/§4.2): ONE fused Arrow pass emits
+    # per-task (list_id, j) PARTIAL e6 component sums and counts — the
+    # map-side combine happens in numpy, so the shuffle carries
+    # tasks·L·d partial rows instead of N·d posexploded component rows,
+    # and the cache/pop/posexplode/createDataFrame/broadcast chain (7
+    # jobs) collapses to count + collect + one noop execution. Every
+    # (list, j) cell is emitted by every task (zeros included), so empty
+    # lists surface with n=0/shift=0 without a driver-built list frame.
+    # Exactness is unchanged: per-element e6 rounding BEFORE any sum,
+    # integer partials, integer merge — associativity is exact.
+    def partials(batches):
+        import pandas as pd
 
-    pop = assigned.groupBy("list_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_assigned"))
-    sums = (
-        assigned.select(
-            "list_id", F.posexplode(F.col("n_vec")).alias("j0", "x"))
-        .select(
-            "list_id", (F.col("j0") + 1).alias("j"),
-            F.round(F.col("x").cast("double") * F.lit(1e6)).cast("long")
-            .alias("c"),
+        grid_list = np.repeat(np.arange(n_lists, dtype="int64"), dim)
+        grid_j = np.tile(np.arange(1, dim + 1, dtype="int64"), n_lists)
+        grid_old = old_e6.reshape(-1)
+        s = np.zeros((n_lists, dim), dtype="int64")
+        cnt = np.zeros(n_lists, dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["n_vec"]]
+            )
+            asg = _d2_e12_rows(x, cent).argmin(axis=1)
+            cnt += np.bincount(asg, minlength=n_lists)
+            np.add.at(s, asg, _round_nearest_ties_away_e12(x * 1e6))
+        yield pd.DataFrame(
+            {
+                "list_id": grid_list,
+                "j": grid_j,
+                "old_e6": grid_old,
+                "s": s.reshape(-1),
+                "cnt": np.repeat(cnt, dim),
+            }
         )
-        .groupBy("list_id", "j")
-        .agg(F.sum("c").cast("long").alias("s"))
-    )
-    # broadcast the raw old-centroid components; the e6 rounding happens
-    # ENGINE-side on both sides (python round is banker's — never used)
-    cent_comp = spark.createDataFrame(
-        [(int(r0), j + 1, float(cent[r0, j]))
-         for r0 in range(n_lists) for j in range(cent.shape[1])],
-        "list_id long, j long, c_raw double",
+
+    vecs = emb.select(F.col("embedding").alias("n_vec"))
+    sc = spark.sparkContext
+    if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
+        # the corpus pass is CPU-heavy numpy; a small input (one parquet
+        # split at sf0.1) would otherwise run it on a single core. At
+        # warehouse scale the scan already has >= cores splits and this
+        # branch is a no-op — the repartition is scale-adaptive, not a
+        # local tuning constant (the _inverted_index_common precedent).
+        vecs = vecs.repartition(sc.defaultParallelism)
+    per = (
+        vecs.mapInPandas(
+            partials, "list_id long, j long, old_e6 double, s long, cnt long"
+        )
+        .groupBy("list_id", "j", "old_e6")
+        .agg(
+            F.sum("s").cast("long").alias("s"),
+            F.sum("cnt").cast("long").alias("n_assigned"),
+        )
     )
     mean = F.col("s").cast("double") / F.col("n_assigned")
-    old_e6 = F.round(F.col("c_raw") * F.lit(1e6))
-    term = F.round((mean - old_e6) * (mean - old_e6)).cast("long")
-    shift = (
-        sums.join(F.broadcast(pop), "list_id")
-        .join(F.broadcast(cent_comp), ["list_id", "j"])
-        .select("list_id", term.alias("t"))
-        .groupBy("list_id")
-        .agg(F.sum("t").cast("long").alias("shift_sq_e12"))
-    )
-    all_lists = spark.createDataFrame(
-        [(i,) for i in range(n_lists)], "list_id long")
+    term = F.round(
+        (mean - F.col("old_e6")) * (mean - F.col("old_e6"))
+    ).cast("long")
     return (
-        all_lists
-        .join(F.broadcast(pop), "list_id", "left")
-        .join(F.broadcast(shift), "list_id", "left")
-        .select(
-            "list_id",
-            F.coalesce(F.col("n_assigned"), F.lit(0).cast("long"))
-            .cast("long").alias("n_assigned"),
-            F.coalesce(F.col("shift_sq_e12"), F.lit(0).cast("long"))
-            .cast("long").alias("shift_sq_e12"),
+        per.groupBy("list_id")
+        .agg(
+            F.max("n_assigned").cast("long").alias("n_assigned"),
+            F.sum(
+                F.when(F.col("n_assigned") > 0, term)
+                .otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("shift_sq_e12"),
         )
         .orderBy("list_id")
     )

@@ -75,26 +75,32 @@ _Q95_DESCRIPTION = (
 
 def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
-    x = (
-        docs.select(
-            "doc_id",
-            F.explode(shingles(tokens(F.col("text")), 5)).alias("shingle"),
-        )
-        .distinct()
-        .cache()  # two consumers: per-doc counts + first-seen frame
+    # r16 (guide §2.4, remove shuffles outright): the (doc_id, shingle)
+    # distinctness this query needs is PER-DOCUMENT only — a row-local
+    # array_distinct inside the shingle array replaces the old global
+    # `.distinct()` exchange over the exploded string pairs (which
+    # shuffled every ~40-byte shingle once just to dedup within its own
+    # doc). Per-doc set sizes then come straight off the array
+    # (size(shs), no explode, no aggregate, no join for ns) — the only
+    # remaining shuffles are the first-seen min per shingle and its
+    # per-doc count. 4 exchanges + a cache -> 2 exchanges.
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")), 5)).alias("shs"),
     )
-    ns = x.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    fs = x.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    fs = (
+        sh.select("doc_id", F.explode("shs").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
     nv = (
         fs.groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_nov"))
     )
-    n_sh = F.coalesce(F.col("n_sh"), F.lit(0)).cast("long")
+    n_sh = F.size("shs").cast("long")
     n_nov = F.coalesce(F.col("n_nov"), F.lit(0)).cast("long")
     return (
-        docs.select("doc_id")
-        .join(ns, "doc_id", "left")
-        .join(nv, "doc_id", "left")
+        sh.join(nv, "doc_id", "left")
         .select(
             "doc_id",
             n_sh.alias("n_shingles"),
