@@ -215,46 +215,40 @@ def connected_components(
         )
         # new label = min(own, neighbors') — one shuffle on node id with
         # map-side partial min
-        stepped = (
+        stepped, stepped_ids = _checkpoint(
             labels.unionAll(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         )
+        # convergence check BEFORE the pointer jump: if the min-propagate
+        # step changed nothing, the jump can't either (it only reads
+        # labels the step just produced), so the final confirming round
+        # skips the jump join entirely. isEmpty short-circuits at the
+        # first differing row instead of counting them all.
+        converged = (
+            stepped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .isEmpty()
+        )
+        _free(labels, labels_ids)  # stepped is materialized; old round safe
+        if converged:
+            labels, labels_ids = stepped, stepped_ids
+            break
         # pointer jumping: lbl(v) ← min(lbl(v), lbl(lbl(v))). Plain
         # propagation moves the component minimum ONE hop per round
         # (O(diameter) rounds — a 30-node chain needs 30 shuffles); the
         # jump halves every label-chain each round, making total rounds
         # O(log diameter). Every label value is itself a node id, so the
-        # self-join is total. r16: the step and the jump materialize as
-        # ONE checkpoint (the step's aggregation exchange is shared by
-        # both join sides as a ReusedExchange), so each round runs 2
-        # driver actions (checkpoint + convergence probe) instead of 3 —
-        # the iteration-scheduling plateau BASELINE.md r15(b) measured
-        # was one action per round wider than it needed to be.
+        # self-join is total.
         jump = stepped.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        nxt, nxt_ids = _checkpoint(
+        labels, labels_ids = _checkpoint(
             stepped.join(jump, "lbl")
             .select("node", F.least("lbl", "lbl2").alias("lbl"))
         )
-        # convergence: labels only ever decrease, and jumped ≤ stepped ≤
-        # previous pointwise — so jumped == previous iff stepped ==
-        # previous (the old pre-jump check), and one comparison decides
-        # the round. On the confirming round the jump join is identity
-        # work the old shape skipped; every earlier round saves a whole
-        # checkpoint materialization. isEmpty short-circuits at the
-        # first differing row instead of counting them all.
-        converged = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .isEmpty()
-        )
-        _free(labels, labels_ids)  # nxt is materialized; old round safe
-        labels, labels_ids = nxt, nxt_ids
-        if converged:
-            break
+        _free(stepped, stepped_ids)
     if not converged:
         logger.warning(
             "connected_components: max_iterations=%d exhausted before "

@@ -112,7 +112,20 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import materialize_once, scratch_path
 
     def _write(path: str) -> None:
-        _build_dedup_corpus(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # r16 (guide §6, file layout): the 4-way-union build plan writes
+        # 4 part files, and every file is a single row group — so every
+        # consumer scan (q46-q57/q89 family) ran at most 4 tasks wide,
+        # including the tokenize-heavy predicates Catalyst pushes down
+        # to the scan (q51/q53/q54 measured 4-way on a 32-core local).
+        # Round-robin to defaultParallelism at write time: one extra
+        # exchange on the once-per-sf_dir build, and consumer scans get
+        # cluster-width splits. Scale-adaptive — at warehouse scale
+        # defaultParallelism tracks the cluster, and Spark's split
+        # bin-packing (maxSplitBytes) still coalesces if files are tiny.
+        par = spark.sparkContext.defaultParallelism
+        _build_dedup_corpus(spark, sf_dir).repartition(par).write.mode(
+            "overwrite"
+        ).parquet(path)
 
     path = materialize_once(scratch_path("dedup_corpus", sf_dir), _write)
     return spark.read.parquet(path)

@@ -67,29 +67,58 @@ _Q95_DESCRIPTION = (
     "corpus), the crawl-frontier / curriculum signal. Novel counts "
     "come off the first-seen frame by grouping on its min (no join "
     "back to the pair frame); zero-shingle docs kept at novelty 0. "
-    "Exact BIGINT counts, e6 novelty. Three linear map-side-combined "
-    "aggregations over the cached q47-shape inverted index; no "
-    "pairwise candidates anywhere."
+    "Exact BIGINT counts, e6 novelty. Row-local per-doc set sizes plus "
+    "two map-side-combined aggregations over the exploded shingles; "
+    "the join ships only narrow per-doc counts; no pairwise candidates "
+    "anywhere."
 )
 
 
 def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
+    # r16: the documents parquet is a single row-group at test scale, so
+    # the scan yields ONE split and the whole tokenize→shingle→explode
+    # map phase ran single-task (phase probe: 6.2 s tokenize + 19.2 s
+    # explode/partial-agg on one core). Round-robin the narrow raw rows
+    # out to the cluster width BEFORE the CPU-heavy projection — at
+    # warehouse scale the scan already has >= cores splits and this is
+    # a no-op (the operators/similarity._spread_small_input recipe,
+    # inlined to keep this module's dependency set unchanged).
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     # r16 (guide §2.4, remove shuffles outright): the (doc_id, shingle)
     # distinctness this query needs is PER-DOCUMENT only — a row-local
-    # array_distinct inside the shingle array replaces the old global
-    # `.distinct()` exchange over the exploded string pairs (which
-    # shuffled every ~40-byte shingle once just to dedup within its own
-    # doc). Per-doc set sizes then come straight off the array
-    # (size(shs), no explode, no aggregate, no join for ns) — the only
-    # remaining shuffles are the first-seen min per shingle and its
-    # per-doc count. 4 exchanges + a cache -> 2 exchanges.
+    # array_distinct replaces the old global `.distinct()` exchange over
+    # the exploded string pairs. Per-doc set sizes come straight off the
+    # array (size(array_distinct(shs)) — no explode, no aggregate); the
+    # first-seen branch explodes the RAW shingle array (in-doc
+    # duplicates collapse in the map-side partial min, so pre-dedup
+    # there is wasted work). The final join ships only the narrow
+    # (doc_id, n_shingles) projection — NOT the shingle arrays (the
+    # r16e lesson: joining the array-carrying frame shuffled every
+    # shingle through the doc_id exchange and tripled the query).
+    # 4 exchanges + a cache -> 2 aggregation exchanges + 1 narrow join.
     sh = docs.select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), 5)).alias("shs"),
+        "doc_id", shingles(tokens(F.col("text")), 5).alias("shs")
     )
+    ns = sh.select(
+        "doc_id",
+        F.size(F.array_distinct("shs")).cast("long").alias("n_sh"),
+    )
+    # explode_outer + isNotNull instead of plain explode: Catalyst's
+    # InferFiltersFromGenerate synthesizes `size(shs)>0 AND
+    # isnotnull(shs)` below an INNER Generate and pushes it to the scan
+    # with the whole tokenize→shingle HOF chain substituted in — the
+    # chain then evaluates 2× per row on the pre-spread single-split
+    # scan (measured: 8-9 s of the old 10.5 s total; 1.0 s with the
+    # inference suppressed). outer Generate infers nothing; the explicit
+    # null filter restores inner semantics exactly (shingles() elements
+    # are concat_ws products, never null — only the empty/null-array
+    # placeholder rows are dropped).
     fs = (
-        sh.select("doc_id", F.explode("shs").alias("shingle"))
+        sh.select("doc_id", F.explode_outer("shs").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
         .groupBy("shingle")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -97,10 +126,10 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs.groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_nov"))
     )
-    n_sh = F.size("shs").cast("long")
+    n_sh = F.col("n_sh")
     n_nov = F.coalesce(F.col("n_nov"), F.lit(0)).cast("long")
     return (
-        sh.join(nv, "doc_id", "left")
+        ns.join(nv, "doc_id", "left")
         .select(
             "doc_id",
             n_sh.alias("n_shingles"),
