@@ -227,14 +227,22 @@ def test_q95_matches_bruteforce(spark, sf_dir):
     del saw_zero  # zero-shingle docs may not exist at every sf — not pinned
 
 
-def test_q95_inverted_index_cached_no_pairs(spark, sf_dir):
-    """Both consumers read the CACHED distinct (doc, shingle) frame;
-    the plan never forms doc-pair candidates (no cartesian, no
-    self-join of the pair frame)."""
+def test_q95_narrow_join_no_pairs_no_hof_filters(spark, sf_dir):
+    """r16 shape: still no doc-pair candidates (no cartesian, no
+    nested-loop join), but the cached inverted index is GONE — per-doc
+    set sizes are row-local (size(array_distinct)), so nothing needs a
+    cache. Also pins the InferFiltersFromGenerate guard: explode_outer
+    + isNotNull keeps the tokenize->shingle HOF chain out of every
+    Filter condition and scan pushdown, where an inferred
+    size(chain)>0 filter would re-evaluate the whole chain per row."""
     plan = _plan(spark, sf_dir, "q95_shingle_novelty")
-    assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" not in plan
+    for line in plan.splitlines():
+        if line.lstrip().startswith("Condition") or "PushedFilters" in line:
+            assert "regexp_replace" not in line, line
+            assert "split(" not in line, line
 
 
 # ---------------------------------------------------------------------------

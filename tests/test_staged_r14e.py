@@ -133,11 +133,14 @@ def test_q130_population_and_fixed_points(spark, sf_dir):
 
 
 def test_q130_plan_arrow_pass_and_broadcasts(spark, sf_dir):
-    """The fit-audit shape: one Arrow (mapInPandas) corpus pass, the
-    small frames broadcast, no cartesian, and the assignment frame
-    cached for its two consumers."""
+    """The r16 fused fit-audit shape: ONE Arrow (mapInPandas) corpus
+    pass emitting per-task partial component sums/counts, reduced by a
+    plain aggregation — the old cache/posexplode/broadcast-join chain
+    is gone, so the plan is join-free and cache-free, and the corpus
+    scan reads ONLY the embedding column."""
     plan = _plan(spark, sf_dir, "q130_lloyd_step_audit")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
-    assert "InMemoryTableScan" in plan
+    assert "Join" not in plan
+    assert "InMemoryTableScan" not in plan
+    assert "struct<embedding:array<float>>" in plan
