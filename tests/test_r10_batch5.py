@@ -98,15 +98,18 @@ def test_q78_mass_conservation_bound(spark, sf_dir):
     assert all(r.pr_e12 >= base for r in got)
 
 
-def test_q78_iteration_reuses_cached_edges(spark, sf_dir):
-    """The iterative loop must re-read the CACHED edge set (InMemory
-    scans), never re-run the per-basket self-join per iteration, and
-    the rank joins stay broadcast (no SMJ) at the vocabulary-bounded
-    node count."""
+def test_q78_iteration_constant_size_plan(spark, sf_dir):
+    """r16 shape: each iteration localCheckpoints its ranks, so the
+    returned frame is a CONSTANT-SIZE read of the final checkpoint
+    (Scan ExistingRDD) instead of the old 5-deep unrolled
+    nested-broadcast plan — no per-iteration self-join re-run, no
+    cartesian, no SMJ can appear in the final plan by construction."""
     plan = _plan(spark, sf_dir, "q78_pagerank")
-    assert plan.count("InMemoryTableScan") >= 5
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    # constant-size: one scan + order-by, nothing iterative left
+    assert plan.count("Exchange") <= 2
 
 
 # ---------------------------------------------------------------------------
