@@ -63,27 +63,39 @@ def repeated_substring_ranges(
     tokens are skipped (they carry no window).
     """
     sc = df.sparkSession.sparkContext
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
-        .where(F.size("t") >= window)
-    )
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
     # One row per window position; the hash is computed INSIDE the array
     # before the explode so every downstream exchange moves 8-byte longs
     # (the q47 inverted-index discipline). posexplode is 0-based → +1 to
     # the 1-based positions the oracle's range(1, …) produces.
+    #
+    # The shorter-than-window guard is the WHEN below, not a .where() on
+    # size(t): a filter over the token projection gets pushed into the
+    # parquet scan with the tokenize chain substituted, so every input
+    # row paid size(split(...)) at the scan AND split(...) again in the
+    # projection (the q95 pushed-HOF-filter disease, its non-Generate
+    # form). posexplode_outer turns the guard's NULL array into one
+    # (NULL, NULL) row, dropped by the whash filter — whash is never
+    # NULL otherwise (md5 of concat_ws), so inner semantics are exact —
+    # and an OUTER Generate also blocks InferFiltersFromGenerate from
+    # synthesizing a pushable size(chain)>0 filter.
     wins = (
         toks.select(
             "doc_id",
             F.size("t").alias("n_tokens"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (window - 1)),
-                    lambda i: shingle_hash(
-                        F.concat_ws(" ", F.slice(F.col("t"), i, window))
+            F.posexplode_outer(
+                F.when(
+                    F.size("t") >= window,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (window - 1)),
+                        lambda i: shingle_hash(
+                            F.concat_ws(" ", F.slice(F.col("t"), i, window))
+                        ),
                     ),
                 )
             ).alias("pos0", "whash"),
         )
+        .where(F.col("whash").isNotNull())
         .select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "whash")
         # Explicit width pin: without it the window/md5 compute runs at
         # input-split parallelism (~4 tasks at sf0.1) and everything

@@ -24,13 +24,18 @@ intersection appear (the equi-join produces exactly those — absent
 pair = 0 overlap, documented). Counts exact; J is one double division
 scaled to round(x·1e6).
 
-Scale design (100 TB): one shuffle to the distinct (source, key)
-frame (map-side combined; cached — three consumers); the pair
-enumeration is an equi-join ON THE SHINGLE KEY — each shingle fans out
-only across the sources actually containing it (worst case |sources|²
-per shingle, never a cross of corpora), and the per-source set sizes
-broadcast back over the |sources|²-bounded pair frame. Documents never
-shuffle — and since r12 only 8-byte md5-folded shingle KEYS move
+Scale design (100 TB, r16 shape): ONE corpus-sized shuffle — the raw
+exploded (source, 8-byte key) rows group by key with a map-side-
+combined collect_set (the set dedups, so the old separate DISTINCT
+pass and its corpus-sized .cache() are gone), then the corpus
+collapses to one row per DISTINCT SOURCE SET (≤ 2^|sources| rows)
+behind an eager localCheckpoint barrier; pair counts and set sizes
+are row-local expansions of that tiny frame (n_shared(a,b) = Σ cnt
+over sets containing both — exactly |Sₐ ∩ S_b|). The old shape's
+sh-keyed self-join (two further corpus-sized exchanges + sort-merge
+fan-out rows) is gone; the worst-case |sources|² fan-out survives
+only as in-row array math over the tiny set frame. Documents never
+shuffle on a key — only 8-byte md5-folded shingle KEYS move
 (VERDICT r10 #5: the q47b shingle_hash fold, identical in both
 engines, shrinking every exchange vs the ~25-byte shingle strings).
 Cost note: on a corpus where most shingles are common to most sources
@@ -117,11 +122,14 @@ _Q89_DESCRIPTION = (
     "instrument). Jaccard of each source pair's DISTINCT 5-gram "
     "shingle sets (the q47d contract), keyed on the 60-bit md5 "
     "shingle_hash fold (VERDICT r10 #5: 8-byte join/distinct keys, "
-    "identical fold both engines). One shuffle to the distinct "
-    "(source, key) frame (cached, three consumers); the pair join "
-    "fans out per shingle only across sources containing it; set "
-    "sizes broadcast; documents never shuffle. Absent pair = zero "
-    "overlap. Counts exact; Jaccard one double division scaled to e6."
+    "identical fold both engines). r16 shape: ONE corpus-sized "
+    "shuffle (groupBy(key) with map-side-combined collect_set — the "
+    "set dedups, replacing the distinct+cache), collapsed to a "
+    "<=2^|sources|-row source-set frame behind a localCheckpoint "
+    "barrier; pair counts and set sizes are row-local expansions of "
+    "that tiny frame. Documents never shuffle on a key. Absent pair "
+    "= zero overlap. Counts exact; Jaccard one double division "
+    "scaled to e6."
 )
 
 
@@ -129,22 +137,74 @@ _Q89_DESCRIPTION = (
        description=_Q89_DESCRIPTION, tags=("llm", "governance"))
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
-    # the shared helper folds BEFORE the distinct and caches the narrow
-    # frame for its three consumers here (sizes + both join sides — the
-    # q80 lesson); see _SRC_SHINGLE_CTES/_SHKEY_SQL notes above
-    h = source_shingle_sets(docs)
-    sizes = (
-        h.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-        # |sources| rows, TWO consumers (sa and sb) — uncached, each
-        # branch would re-aggregate the big shingle frame
-        .cache()
+    # r16 (guide §2.4 remove shuffles / §2.3 aggregate before you
+    # shuffle): the old shape was distinct→cache→self-join on sh — the
+    # cached (source, sh) frame was hash-partitioned by BOTH columns, so
+    # EACH join side re-exchanged it by sh (two more corpus-sized
+    # shuffles) and the sort-merge self-join materialized the per-
+    # shingle source×source fan-out as join rows. Same numbers, one
+    # exchange: group the RAW exploded (source, 8-byte key) rows by key
+    # with a map-side-combined collect_set (min/idempotent-style: the
+    # set dedups, so the separate .distinct() pass is free), collapse
+    # the corpus to one row per DISTINCT SOURCE SET (≤ 2^|sources| rows
+    # after the map-side-combined count), and enumerate ordered pairs
+    # ROW-LOCALLY from each set. n_shared(a,b) = Σ over sets containing
+    # both of the set's shingle count — exactly |Sₐ ∩ S_b|; sizes fall
+    # out of the same tiny frame. Documents still never shuffle, and the
+    # worst-case pair fan-out is unchanged (it just no longer rides
+    # through a join's sort machinery).
+    # q95's two scan lessons apply verbatim (novelty.py r16): round-robin
+    # the single-row-group test-scale scan to cluster width BEFORE the
+    # tokenize-heavy projection (no-op at warehouse scale), and
+    # explode_outer an ATTRIBUTE + isNotNull so InferFiltersFromGenerate
+    # cannot push a size(tokenize-chain)>0 filter into the scan (shingle
+    # elements are concat_ws products, never null — only the empty-array
+    # placeholder rows drop, which is exactly inner-explode semantics).
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    sh_arr = docs.select(
+        "source", shingles(tokens(F.col("text")), 5).alias("shs")
     )
-    a = h.select(F.col("source").alias("source_a"), "sh")
-    b = h.select(F.col("source").alias("source_b"), "sh")
+    sets = (
+        sh_arr.select("source", F.explode_outer("shs").alias("raw_sh"))
+        .where(F.col("raw_sh").isNotNull())
+        .select("source", shingle_hash(F.col("raw_sh")).alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    )
+    setc = sets.groupBy("srcs").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # setc is tiny (≤ 2^|sources| rows) but feeds TWO consumers (pair
+    # counts + set sizes) — without a barrier each consumer re-ran the
+    # whole corpus-sized shingle pipeline (2 full copies in the plan).
+    # An eager localCheckpoint of the tiny frame runs it ONCE (the old
+    # shape paid a corpus-sized .cache() for the same sharing).
+    setc = setc.localCheckpoint(eager=True)
+    sizes = (
+        setc.select(F.explode("srcs").alias("source"), "cnt")
+        .groupBy("source")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    # ordered pairs (srcs[i], srcs[j]) with i < j, in-row: srcs is
+    # sort_array'd, so a < b holds pairwise by construction
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, on=[a.sh == b.sh, a.source_a < b.source_b])
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        setc.where(F.size("srcs") >= 2)
+        .select(F.explode(pair_arr).alias("p"), "cnt")
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.sum("cnt").cast("long").alias("n_shared"))
     )
     sa = sizes.select(F.col("source").alias("source_a"),
                       F.col("n").alias("n_a"))

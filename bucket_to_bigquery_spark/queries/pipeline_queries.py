@@ -368,6 +368,17 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_surv = clean.join(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
     )
+    # r16 (guide §3.3 plan truncation / §5 lineage): the exact-survivor
+    # frame feeds FIVE subtrees — the pair miner, the CC node set, the
+    # survivor join, and the scrub's window-index and token-count
+    # branches — and as one lazy lineage each consumer re-ran the
+    # gates→sha256-dedup chain from the corpus scan (3 full copies in
+    # the final plan, every one re-paying the tokenize-heavy gate
+    # projection). One eager localCheckpoint materializes it once;
+    # row content is unchanged (the frame is deterministic), so the
+    # oracle is untouched. Block cleanup is the bench's documented
+    # sweep contract (same as connected_components' iteration blocks).
+    exact_surv = exact_surv.localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(
         exact_surv, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
     )

@@ -93,7 +93,11 @@ _Q89B_DESCRIPTION = (
     "the q89 escalation path): shingles explode into a 64-expression "
     "codegen MIN "
     "aggregate (no distinct, no higher-order lambdas, map-side-"
-    "combined |sources|-row partials as the only shuffle), pair "
+    "combined |sources|-row partials as the only key shuffle; r16: "
+    "the aggregate output localCheckpoints so both self-join sides "
+    "read the tiny frame instead of re-running the corpus pass, and "
+    "a conditional test-scale round-robin spread precedes tokenize), "
+    "pair "
     "comparison |sources|^2*k — independent of corpus size. "
     "Deterministic, so fully value-oracled; the estimate-vs-exact band "
     "is pinned in pytest (q19/q65 pattern)."
@@ -106,10 +110,22 @@ def q89b(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so duplicates need no distinct, and every expression below is a
     # plain column op (the r11 rework — the original per-document
     # nested-lambda form evaluated 64 md5s per shingle, interpreted)
+    # q95's two scan lessons (novelty.py r16): spread the single-row-
+    # group test-scale scan to cluster width before the tokenize-heavy
+    # projection (no-op at warehouse scale), and explode_outer an
+    # ATTRIBUTE + isNotNull so InferFiltersFromGenerate cannot push a
+    # size(tokenize-chain)>0 filter into the scan — shingles() elements
+    # are concat_ws products (never null), so only the empty-array
+    # placeholder rows drop: exactly the inner-explode semantics, and
+    # exactly the oracle's unnest([]) behaviour.
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     base = docs.select(
-        "source",
-        F.explode(shingles(tokens(F.col("text")), 5)).alias("sh"),
+        "source", shingles(tokens(F.col("text")), 5).alias("shs")
     ).select(
+        "source", F.explode_outer("shs").alias("sh")
+    ).where(F.col("sh").isNotNull()).select(
         # md5 materializes ONCE (multi-use non-trivial alias survives
         # CollapseProject); the two halves feed every component mix
         "source", F.md5("sh").alias("m"),
@@ -126,6 +142,12 @@ def q89b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"m{i}")
         for i in range(_K)
     ])
+    # comp_wide is |sources| rows × 65 columns but feeds BOTH self-join
+    # sides — without a barrier each side re-ran the corpus-sized
+    # shingle→md5→64-min aggregate (2 full copies in the plan, the
+    # dominant cost). An eager localCheckpoint of the tiny frame runs
+    # it once (r16; the q54/q89 barrier rationale).
+    comp_wide = comp_wide.localCheckpoint(eager=True)
     comp = comp_wide.select(
         "source",
         F.posexplode(F.array(*[f"m{i}" for i in range(_K)]))

@@ -103,14 +103,24 @@ def test_q89_matches_bruteforce(spark, sf_dir):
 
 
 def test_q89_text_never_shuffles_shingle_frame_cached(spark, sf_dir):
-    """Documents never move: the distinct (source, shingle) frame is
-    cached for its consumers (shingle STRINGS on this readable corpus;
-    the documented scale path md5-folds them first), the pair join
-    carries no text column, and the size joins broadcast."""
+    """Documents never move on a key exchange, r16 shape: the shingle
+    self-join (distinct → corpus-sized .cache() → two more sh-keyed
+    exchanges) was replaced by ONE groupBy(sh)/collect_set exchange,
+    collapsed to a ≤2^|sources|-row source-set frame behind an eager
+    localCheckpoint barrier — the final plan reads the tiny
+    checkpointed frame (Scan ExistingRDD), carries no text column
+    through any hash exchange, and still joins nothing cartesian."""
     plan = _plan(spark, sf_dir, "q89_source_overlap")
-    assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan
-    # no exchange moves the raw text column (hashing precedes shuffles)
+    # the barrier: everything downstream reads the checkpointed
+    # source-set frame, not a re-derived corpus subtree
+    assert "Scan ExistingRDD" in plan
+    # the corpus-sized deserialized row cache is GONE (r16: the sharing
+    # it paid for now costs one tiny checkpoint)
+    assert "InMemoryTableScan" not in plan
+    # no hash exchange moves the raw text column (hashing precedes
+    # every key shuffle; the only text-carrying exchange is the
+    # conditional test-scale round-robin spread before tokenize)
     for line in plan.splitlines():
-        if "Exchange" in line:
+        if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
