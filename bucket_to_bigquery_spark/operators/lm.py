@@ -36,20 +36,29 @@ def bigram_lm_scores(
     model artifact) and reuses it across scoring runs.
     """
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    # r16 (the operators/substring.py lesson): `.where(size(t) >= 2)`
+    # plants `size(<tokenize chain>) >= 2` as a Filter directly above the
+    # scan with the chain substituted — every row then pays split(...) in
+    # the Filter AND again in the projection, on BOTH corpus passes
+    # (count build + probe stream; isolated cpu 5.92 -> 4.35 s at sf0.1).
+    # A when()-guard keeps the predicate out of the Filter entirely:
+    # short docs yield a NULL bigram array, the OUTER Generate
+    # emits their one placeholder row (and, being outer, also blocks
+    # InferFiltersFromGenerate), and the explicit null filter drops them
+    # — exact inner semantics, since real bigram structs are never null.
+    bg_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.struct(
+                F.get("t", i).alias("a"),
+                F.get("t", i + 1).alias("b"),
+            ),
+        ),
+    )
     big = (
-        toks.where(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.struct(
-                        F.get("t", i).alias("a"),
-                        F.get("t", i + 1).alias("b"),
-                    ),
-                )
-            ).alias("bg"),
-        )
+        toks.select("doc_id", F.explode_outer(bg_arr).alias("bg"))
+        .where(F.col("bg").isNotNull())
         .select("doc_id", "bg.a", "bg.b")
     )
     cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))

@@ -1689,8 +1689,16 @@ def q49k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49l(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)["documents"]
     toks = t.select("doc_id", tokens("text").alias("t"))
+    # explode_outer + isNotNull (the q95 lesson): an INNER Generate over
+    # the lazy tokens() chain makes InferFiltersFromGenerate synthesize
+    # `size(t)>0 AND isnotnull(t)` with the whole split chain substituted
+    # — evaluated per row ON TOP of the projection's own evaluation. The
+    # outer Generate infers nothing; the explicit null filter restores
+    # inner semantics exactly (split() elements are never null — only
+    # the empty/null-array placeholder rows drop).
     vocab = (
-        toks.select(F.explode("t").alias("tok"))
+        toks.select(F.explode_outer("t").alias("tok"))
+        .where(F.col("tok").isNotNull())
         .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(100)

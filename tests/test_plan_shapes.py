@@ -228,6 +228,29 @@ def test_q49l_vocab_is_takeordered_and_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["q49l_vocab_coverage", "q49m_bigram_lm_score"]
+)
+def test_q49l_q49m_filters_are_tokenize_chain_free(spark, sf_dir, name):
+    # r16 optimization pin: the tokenize chain must appear ONLY in the
+    # projections that produce the token array — never substituted into
+    # a Filter condition. Before the fix, q49m's own `size(t) >= 2`
+    # predicate and q49l's InferFiltersFromGenerate-synthesized
+    # `size(t) > 0` both reached Filters with the whole
+    # split(lower(trim(regexp_replace(...)))) chain inlined, so every
+    # corpus row paid the chain once in the Filter and again in the
+    # Project (isolated cpu: q49l 3.42 -> 2.82 s, q49m 5.92 -> 4.35 s
+    # at sf0.1). The when()-guard + explode_outer + isNotNull shape
+    # keeps every Filter chain-free; this pins it.
+    df = all_queries()[name].builder(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("Condition :") or s.startswith("PushedFilters:"):
+            assert "split(" not in s and "regexp_replace" not in s, s
+
+
 def test_q48d_prebuilt_index_scan_prunes_partitions(spark, sf_dir):
     # The prebuilt-IVF serving path must read ONLY the probed inverted
     # lists: the assignments table is written partitioned BY list_id, and
