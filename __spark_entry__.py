@@ -50,50 +50,50 @@ from bucket_to_bigquery_spark.queries import all_queries  # noqa: E402
 # precedent: 50 in-window + 38 deferred to r12).
 # ---------------------------------------------------------------------------
 GATE_PRIORITY = frozenset({
-    # Round 16 (GATE_r16.md; executes GATE_r15's booked plan,
-    # tools/r16_similarity_rotation_plan.md): the similarity.py
-    # rotation — this round edits operators/similarity.py (ADVICE r12
-    # #1's v4 error message + the shared e12 assignment generator
-    # folded in from queries/ann_exact.py), so CHANGED CODE =>
-    # IN-WINDOW pulls its full 36-entry dependent set (q130, the
-    # llm_queries surface q46–q50c, q62). Plus: the 5 registrations
-    # held back from r15 (q115/q116/q117 hamming family, q132/q133
-    # neardup-CC — staged modules unchanged at registration), the 3
-    # entries of the r15 dedup.py deferral RESOLVED this round
-    # (tools/deferred_rotation.json deleted; q49n/q55/q55b rotate in
-    # for the r15 minhash-persist + Arrow-simhash fixes' out-of-window
-    # dependents), and 6 stale refreshes — the oldest r11 evidence
-    # rows in name order (q11b carries r13 evidence, so q15 fills the
-    # sixth slot). Exactly 50.
+    # Round 17 (optimization round 2 of 2; VERDICT r16 "Next round" #1):
+    # resolves the r16 deferral — tools/deferred_rotation.json is
+    # DELETED this round and all 19 listed entries rotate in-window.
+    # Their implementing files (pipeline_queries/substring, tokenstats,
+    # retrieval, overlap, sketch_overlap, graphs, novelty, bloom,
+    # splits, collocations, zipf, scorecard, entropy, shift) are exactly
+    # this round's optimization surface (q54 corpus-scan barrier,
+    # q67/q75 chain-filter fixes, q89 source-cardinality guard), so
+    # CHANGED CODE => IN-WINDOW holds with zero extra slots. Plus: the
+    # streaming family q36-q41c (9) — in the refresh tail anyway AND
+    # in-window cover for any streaming_queries.py optimization this
+    # round books (VERDICT r16 #7). Remaining slots: the r11 evidence
+    # tail finished (20 relational rows q15b-q29b) and the 2 oldest r12
+    # rows (q30/q31), per the standing freshness schedule
+    # (tools/r17_registration_plan.md's accounting, registrations
+    # themselves excluded — this is an optimization round, no new
+    # features). Exactly 50.
     #
-    # the operators/similarity.py dependent set (36)
-    "q130_lloyd_step_audit", "q46_exact_dedup",
-    "q46b_simhash_fingerprint", "q46c_dedup_clusters",
-    "q46d_dedup_apply", "q47_ngram_jaccard_pairs",
-    "q47b_minhash_lsh_pairs", "q47c_embedding_neardup",
-    "q47d_benchmark_decontamination", "q47e_containment_pairs",
-    "q47f_embedding_dedup_apply", "q48_cosine_topk", "q48b_ann_lsh_topk",
-    "q48c_ivf_topk", "q48d_ivf_prebuilt", "q48e_signgrid_ann",
-    "q48f_knn_label_audit", "q48g_ivf_scan_stats",
-    "q48h_ivf_topk_exact_centroids", "q49_text_stats",
-    "q49b_length_histogram", "q49c_language_id", "q49d_doc_fingerprint",
-    "q49e_quality_filter", "q49f_repetition_ratio",
-    "q49g_stratified_sample", "q49h_shard_assignment",
-    "q49i_bpe_pretokenize", "q49j_pii_redaction", "q49k_tfidf_topterms",
-    "q49l_vocab_coverage", "q49m_bigram_lm_score", "q50_multimodal_bytes",
-    "q50b_frame_sampling", "q50c_cdc_chunk_dedup",
-    "q62_jl_sign_projection",
-    # the r16 registrations (5)
-    "q115_simhash_hamming_pairs", "q116_dup_inflation",
-    "q117_ngram_coverage", "q132_neardup_components", "q133_neardup_apply",
-    # the r15 deferral, resolved this round (3)
-    "q49n_heavy_hitters_cms", "q55_incremental_dedup",
-    "q55b_incremental_dedup_apply",
-    # stale refreshes: the 6 oldest r11 evidence rows in name order
-    # (29 r11 rows remain after this round; r17's refresh slots burn
-    # them down per the standing schedule)
-    "q10_broadcast_join_agg", "q11_left_outer_join", "q12_semi_join",
-    "q13_anti_join", "q14_range_join", "q15_asof_join",
+    # the r16 deferral, resolved this round (19)
+    "q51_repeated_substrings", "q52_sequence_packing",
+    "q53_substring_scrub", "q54_full_pipeline",
+    "q57_bloom_decontamination", "q67_bpe_pair_merge",
+    "q72_leakage_safe_split", "q72b_split_leakage_audit",
+    "q75_bm25_topk", "q78_pagerank", "q78b_triangle_count",
+    "q83_js_divergence", "q89_source_overlap",
+    "q89b_source_overlap_minhash", "q93_pmi_collocations",
+    "q95_shingle_novelty", "q98_zipf_slope", "q102_source_scorecard",
+    "q105_unigram_entropy",
+    # the streaming family (9; refresh tail + r17 optimization cover)
+    "q36_tumbling_window", "q37_sliding_window", "q38_session_window",
+    "q38b_custom_stateful_sessions", "q39_watermark_append",
+    "q40_stream_dedup", "q41_exactly_once_file_ingest",
+    "q41b_stream_static_enrich", "q41c_stream_stream_join",
+    # the r11 evidence tail, finished (20)
+    "q15b_asof_join_tolerance", "q16_tpch_q3_shape",
+    "q17_tpch_q1_shape", "q18_count_distinct",
+    "q19_approx_count_distinct", "q20_rollup", "q20b_cube",
+    "q20c_pivot", "q20d_grouping_sets", "q21_filtered_agg",
+    "q22_having", "q23_ranking_windows", "q24_lag_lead",
+    "q25_window_frames", "q26_topk_per_group", "q27_global_sort_limit",
+    "q28_union_all", "q28b_union_distinct", "q29_intersect",
+    "q29b_except",
+    # the 2 oldest r12 evidence rows
+    "q30_string_funcs", "q31_datetime_funcs",
 })
 
 _NAME_RE = re.compile(r"^q\d+[a-z]?_")
