@@ -56,9 +56,60 @@ def test_small_registry_keeps_full_map():
     assert d["ann_recall_at_5"]["q48"] == 1.0
 
 
+def test_driver_scale_registry_keeps_full_ds_map():
+    """VERDICT r16 #1: at the r16/r17 registry size the families
+    fallback left PERF.per_query empty — the ladder must now emit the
+    FULL map at integer deciseconds (marked ``q_unit: ds``) before
+    degrading to families."""
+    d = _fit(186)
+    assert d.get("q_unit") == "ds"
+    assert len(d["queries"]) == 186
+    # values are int(round(sec * 10)) — magnitude-faithful deciseconds
+    assert all(isinstance(v, int) for v in d["queries"].values())
+    # advisory state must be explicit one way or the other
+    assert ("ann_recall_at_5" in d) or d.get("advisory_omitted") == 1
+
+
+def test_real_registry_codes_fit_full_ds_map():
+    """The production pin: the ACTUAL 191-entry registry's short codes
+    must fit the ds full map (the driver's 2000-char tail) with the
+    advisory scalars restored — this is the exact shape PERF_r17 needs."""
+    from bucket_to_bigquery_spark.queries import all_queries
+
+    # value distribution from a committed full-bench record (a slow-band
+    # run — its per-row magnitudes are an upper bound on a clean run's),
+    # reassigned to the live registry names so registry growth keeps
+    # being exercised
+    real = json.load(open(Path(__file__).resolve().parent.parent
+                          / "BENCH_local_r17b.json"))["queries"]
+    vals = sorted(real.values(), reverse=True)
+    random.seed(11)
+    names = list(all_queries())
+    random.shuffle(names)
+    timings = {
+        k: vals[i] if i < len(vals) else round(random.uniform(0.3, 3.0), 4)
+        for i, k in enumerate(names)
+    }
+    compact, codes, collided = bench._build_compact(
+        timings, round(sum(timings.values()), 4), 0.1, [0.3, 0.3],
+        {"q48b": 1.0, "q48c": 0.98, "q48d": 0.98, "q48e": 0.84}, 0.6091, {},
+    )
+    line = bench._fit_tail_line(compact, timings, codes, collided)
+    assert len(line) < 1980, f"real registry line {len(line)} chars"
+    d = json.loads(line)
+    assert d.get("q_unit") == "ds"
+    assert len(d["queries"]) == len(timings)
+    assert d["ann_recall_at_5"]["q48e"] == 0.84
+    # ds values reconstruct the committed seconds to the 0.1 s grain
+    code_of = {k: (k if codes[k] in collided else codes[k]) for k in timings}
+    for k, v in timings.items():
+        assert d["queries"][code_of[k]] == int(round(v * 10))
+
+
 def test_large_registry_keeps_bounded_rows_and_subtotals():
-    # the end-r20 size (233) and well past it
-    for n in (186, 233, 400):
+    # past the ds-map capacity (the end-r20 size 233 and well beyond):
+    # the bounded families+top form takes over
+    for n in (233, 400):
         d = _fit(n)
         assert "queries" not in d
         top = d["queries_top"]
