@@ -127,7 +127,16 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("long").alias("total_dl"),
     )
     tf = (
-        dlen.select("doc_id", "dl", F.explode("toks").alias("term"))
+        # r17 (the q95/q49l lesson, guide §2.4): an INNER explode over the
+        # tokens() attribute lets InferFiltersFromGenerate synthesize
+        # `size(chain)>0 AND isnotnull(chain)` with the whole tokenize
+        # chain substituted into a Filter above BOTH corpus scans — the
+        # chain then evaluated twice per row per pass. explode_outer
+        # blocks the inference; its one NULL placeholder row per empty
+        # array is dropped by the existing vocabulary isin filter (NULL
+        # isin(...) is not TRUE), so inner semantics are exact — real
+        # tokens are split() products and never null.
+        dlen.select("doc_id", "dl", F.explode_outer("toks").alias("term"))
         .where(F.col("term").isin(all_terms))
         .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))

@@ -57,18 +57,30 @@ _Q67_DESCRIPTION = (
        description=_Q67_DESCRIPTION, tags=("llm",))
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
-    toks = docs.select(tokens(F.col("text")).alias("t")).where(F.size("t") >= 2)
-    pairs = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("t"), i),
-                    F.element_at(F.col("t"), i + 1),
-                ),
-            )
-        ).alias("pair")
+    toks = docs.select(tokens(F.col("text")).alias("t"))
+    # r17 (the q49m/substring.py lesson, guide §2.4/§6): `.where(size(t)
+    # >= 2)` planted `size(<tokenize chain>) >= 2` as a Filter directly
+    # above the scan with the chain substituted — every row paid
+    # split(...) in the Filter AND again in the pair projection. The
+    # when()-guard keeps the predicate out of the Filter: short docs
+    # yield a NULL pair array, the OUTER Generate emits their one
+    # placeholder row (and blocks InferFiltersFromGenerate), and the
+    # explicit null filter drops them — exact inner semantics, since
+    # real pairs are concat_ws products (never null).
+    pair_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+            ),
+        ),
+    )
+    pairs = (
+        toks.select(F.explode_outer(pair_arr).alias("pair"))
+        .where(F.col("pair").isNotNull())
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
     top = counted.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(_TOPK)

@@ -288,3 +288,32 @@ def test_simhash_col_utf8_parity_on_arbitrary_tokens(spark, token_pool):
     ).fetchone()[0]
     con.close()
     assert got == oracle, (text, got, oracle)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="utf-8",
+                           blacklist_categories=("Cs",)),
+    min_size=0, max_size=40), min_size=1, max_size=6))
+def test_tokens_never_yields_null_elements(spark, texts):
+    """Invariant several query shapes depend on (ADVICE r16 #2/#3):
+    ``tokens()`` — split over the normalized text — can yield EMPTY
+    string elements but never NULL elements, and never a NULL array for
+    non-null input. q49l/q49m/q67/q75 replace inner explodes with
+    explode_outer + isNotNull (and lm.py's bigram transform builds
+    structs from element_at over it), all of which silently change
+    results if a null element ever appears. Arbitrary unicode input,
+    including whitespace-only and empty strings."""
+    from pyspark.sql import functions as F
+
+    from bucket_to_bigquery_spark.operators.dedup import tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bad = df.select(
+        tokens("text").alias("t")
+    ).where(
+        F.col("t").isNull() | F.exists("t", lambda x: x.isNull())
+    ).count()
+    assert bad == 0

@@ -229,26 +229,34 @@ def test_q49l_vocab_is_takeordered_and_broadcast(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["q49l_vocab_coverage", "q49m_bigram_lm_score"]
+    "name", ["q49l_vocab_coverage", "q49m_bigram_lm_score",
+             "q67_bpe_pair_merge", "q75_bm25_topk"]
 )
-def test_q49l_q49m_filters_are_tokenize_chain_free(spark, sf_dir, name):
-    # r16 optimization pin: the tokenize chain must appear ONLY in the
-    # projections that produce the token array — never substituted into
-    # a Filter condition. Before the fix, q49m's own `size(t) >= 2`
-    # predicate and q49l's InferFiltersFromGenerate-synthesized
-    # `size(t) > 0` both reached Filters with the whole
-    # split(lower(trim(regexp_replace(...)))) chain inlined, so every
-    # corpus row paid the chain once in the Filter and again in the
-    # Project (isolated cpu: q49l 3.42 -> 2.82 s, q49m 5.92 -> 4.35 s
-    # at sf0.1). The when()-guard + explode_outer + isNotNull shape
-    # keeps every Filter chain-free; this pins it.
+def test_tokenize_chain_never_reaches_a_filter(spark, sf_dir, name):
+    # r16/r17 optimization pin: the tokenize chain must appear ONLY in
+    # the projections that produce the token array — never substituted
+    # into a Filter condition. Before the fixes, q49m's and q67's own
+    # `size(t) >= 2` predicates and the InferFiltersFromGenerate-
+    # synthesized `size(t) > 0` of q49l/q75's inner explodes all reached
+    # Filters with the whole split(lower(trim(regexp_replace(...))))
+    # chain inlined, so every corpus row paid the chain once in the
+    # Filter and again in the Project (isolated cpu: q49l 3.42 -> 2.82,
+    # q49m 5.92 -> 4.35; interleaved-median cpu: q67 1.52 -> 0.98,
+    # q75 3.36 -> 2.47 s at sf0.1). The when()-guard + explode_outer +
+    # isNotNull shape keeps every Filter chain-free; this pins it.
     df = all_queries()[name].builder(spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
+    cond_lines = 0
     for line in plan.splitlines():
         s = line.strip()
         if s.startswith("Condition :") or s.startswith("PushedFilters:"):
+            cond_lines += 1
             assert "split(" not in s and "regexp_replace" not in s, s
+    # every pinned query is known to carry at least one Filter; if the
+    # explain format ever drifts so the prefixes above match nothing,
+    # fail loudly instead of passing vacuously (ADVICE r16 #1)
+    assert cond_lines >= 1, plan
 
 
 def test_q48d_prebuilt_index_scan_prunes_partitions(spark, sf_dir):
