@@ -357,28 +357,55 @@ _Q54_SQL = (
     tags=("llm",),
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import exact_dedup_groups, ngram_jaccard_pairs
+    from ..operators.dedup import ngram_jaccard_pairs, normalize_text
     from ..operators.graph import connected_components
     from .llm_queries import quality_gates
 
     corpus = _dedup_corpus(spark, sf_dir)
-    kept = quality_gates(corpus).where("kept").select("doc_id")
-    clean = corpus.join(kept, "doc_id")
-    groups = exact_dedup_groups(clean, "doc_id", "text")
-    exact_surv = clean.join(
-        groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    # r17 (guide §2.2/§2.3; the oracle stays gates→dedup): exact dedup
+    # COMMUTES ahead of the quality gates here, because every gate is a
+    # pure function of the NORMALIZED text (quality_gates derives
+    # toks/nc from normalize_text) and the dedup key is sha256 of that
+    # SAME normalized text (the exact_dedup_groups key, verbatim) — so
+    # the gate verdict is constant within a hash group, a group either
+    # survives gating whole or vanishes whole, and min(doc_id) over the
+    # gated group equals min(doc_id) over the full group. Gating after
+    # dedup therefore keeps exactly the oracle's survivor set, proven by
+    # oracle parity at both SFs + the hypothesis differential suite.
+    # Why bother: the old gates-first shape evaluated the tokenize-heavy
+    # gate chain over the FULL corpus on two join sides and scanned the
+    # corpus parquet 8 times below the barrier (plans/r17/
+    # q54_exact_surv_subtree_before.txt). Dedup-first is ONE corpus
+    # scan into ONE map-side-combined aggregate — min_by carries the
+    # keeper's raw text through the exchange, so no survivor join back
+    # against the corpus — and the gate chain runs ONCE over survivors
+    # only.
+    keepers = (
+        corpus.select(
+            "doc_id", "text",
+            F.sha2(normalize_text("text"), 256).alias("h"),
+        )
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("doc_id", "text")
     )
-    # r16 (guide §3.3 plan truncation / §5 lineage): the exact-survivor
-    # frame feeds FIVE subtrees — the pair miner, the CC node set, the
-    # survivor join, and the scrub's window-index and token-count
-    # branches — and as one lazy lineage each consumer re-ran the
-    # gates→sha256-dedup chain from the corpus scan (3 full copies in
-    # the final plan, every one re-paying the tokenize-heavy gate
-    # projection). One eager localCheckpoint materializes it once;
-    # row content is unchanged (the frame is deterministic), so the
-    # oracle is untouched. Block cleanup is the bench's documented
-    # sweep contract (same as connected_components' iteration blocks).
-    exact_surv = exact_surv.localCheckpoint(eager=True)
+    # r16/r17 (guide §3.3 plan truncation / §5 lineage): the
+    # exact-survivor frame feeds FIVE subtrees — the pair miner, the CC
+    # node set, the survivor join, and the scrub's window-index and
+    # token-count branches — and as one lazy lineage each consumer
+    # re-ran the dedup chain from the corpus scan. Checkpoint 1
+    # materializes the dedup aggregate once; checkpoint 2 materializes
+    # the gated survivors (its two join inputs both read checkpoint-1
+    # blocks, so the gate chain executes exactly once). Row content is
+    # unchanged (both frames are deterministic), so the oracle is
+    # untouched. Block cleanup is the bench's documented sweep contract
+    # (same as connected_components' iteration blocks).
+    keepers = keepers.localCheckpoint(eager=True)
+    kept = quality_gates(keepers).where("kept").select("doc_id")
+    exact_surv = keepers.join(kept, "doc_id").localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(
         exact_surv, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=100
     )
