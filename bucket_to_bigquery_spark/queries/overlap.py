@@ -133,10 +133,21 @@ _Q89_DESCRIPTION = (
 )
 
 
-@query("q89_source_overlap", oracle=_Q89_ORACLE,
-       description=_Q89_DESCRIPTION, tags=("llm", "governance"))
-def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tables(spark, sf_dir)["documents"]
+# The source-set collapse is data-dependent (VERDICT r16 #4): the
+# checkpointed frame holds ≤ 2^|sources| rows whose pair expansion is
+# |srcs|² in-row structs. At ≤ _SET_SHAPE_MAX_SOURCES both stay trivially
+# bounded (≤ 2016 pairs/row at 64); with hundreds of sources the frame
+# and the expansion blow up where the per-shingle join degrades smoothly
+# — so q89 dispatches on a cheap distinct-source count (one
+# column-pruned scan, early-stopped by the limit; the strategy pick a
+# cost-based planner would make from a table statistic) and falls back
+# to the pre-r16 sh-keyed join shape. Both shapes compute identical
+# results (test_q89_set_and_join_shapes_agree, adversarial source count
+# included).
+_SET_SHAPE_MAX_SOURCES = 64
+
+
+def _overlap_via_source_sets(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # r16 (guide §2.4 remove shuffles / §2.3 aggregate before you
     # shuffle): the old shape was distinct→cache→self-join on sh — the
     # cached (source, sh) frame was hash-partitioned by BOTH columns, so
@@ -160,9 +171,6 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot push a size(tokenize-chain)>0 filter into the scan (shingle
     # elements are concat_ws products, never null — only the empty-array
     # placeholder rows drop, which is exactly inner-explode semantics).
-    sc = spark.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
     sh_arr = docs.select(
         "source", shingles(tokens(F.col("text")), 5).alias("shs")
     )
@@ -220,3 +228,61 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def _overlap_via_shingle_join(docs: DataFrame) -> DataFrame:
+    """The pre-r16 sh-keyed join shape — the documented fallback above
+    _SET_SHAPE_MAX_SOURCES sources: per-shingle pair fan-out rides the
+    join machinery and degrades smoothly with source count instead of
+    collapsing to a source-set frame whose rows and in-row pair
+    expansion grow with 2^|sources| and |srcs|²."""
+    h = source_shingle_sets(docs)
+    sizes = (
+        h.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # |sources| rows, TWO consumers (sa and sb) — uncached, each
+        # branch would re-aggregate the big shingle frame
+        .cache()
+    )
+    a = h.select(F.col("source").alias("source_a"), "sh")
+    b = h.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, on=[a.sh == b.sh, a.source_a < b.source_b])
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_shared",
+            F.expr(_J_FMT.format(i="n_shared", na="n_a", nb="n_b"))
+            .alias("jaccard_e6"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query("q89_source_overlap", oracle=_Q89_ORACLE,
+       description=_Q89_DESCRIPTION, tags=("llm", "governance"))
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    # Strategy dispatch (see _SET_SHAPE_MAX_SOURCES): one column-pruned
+    # distinct-count job over the raw scan, early-stopped by the limit —
+    # never a corpus materialization on the driver.
+    n_sources = (
+        docs.select("source").distinct()
+        .limit(_SET_SHAPE_MAX_SOURCES + 1).count()
+    )
+    # q95's pre-spread lesson applies to both shapes (novelty.py r16):
+    # round-robin the single-row-group test-scale scan to cluster width
+    # BEFORE the tokenize-heavy projection (no-op at warehouse scale).
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    if n_sources <= _SET_SHAPE_MAX_SOURCES:
+        return _overlap_via_source_sets(spark, docs)
+    return _overlap_via_shingle_join(docs)

@@ -124,3 +124,39 @@ def test_q89_text_never_shuffles_shingle_frame_cached(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_q89_set_and_join_shapes_agree(spark):
+    """r17 guard (VERDICT r16 #4): the source-set collapse and the
+    pre-r16 sh-keyed join fallback must compute IDENTICAL results — at
+    a small source count AND at an adversarial one past the dispatch
+    bound, where q89 itself would pick the join shape. 70 sources
+    sharing a rotating window of a common token stream gives dense
+    non-trivial overlap (every adjacent source pair shares shingles)."""
+    from bucket_to_bigquery_spark.queries.overlap import (
+        _SET_SHAPE_MAX_SOURCES,
+        _overlap_via_shingle_join,
+        _overlap_via_source_sets,
+    )
+
+    base = [f"tok{i}" for i in range(30)]
+    n_sources = _SET_SHAPE_MAX_SOURCES + 6
+    rows = [
+        (f"src{s:03d}", " ".join(base[s % 10: s % 10 + 12]))
+        for s in range(n_sources)
+    ]
+    # plus one source with no shingles at all (4 tokens < 5-gram window)
+    rows.append(("src_tiny", "a b c d"))
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    def key(frame):
+        return {
+            (r.source_a, r.source_b):
+                (r.n_a, r.n_b, r.n_shared, r.jaccard_e6)
+            for r in frame.collect()
+        }
+
+    got_set = key(_overlap_via_source_sets(spark, df))
+    got_join = key(_overlap_via_shingle_join(df))
+    assert got_set == got_join
+    assert got_set  # rotating windows must overlap
