@@ -21,6 +21,44 @@ from ..scratch import materialize_once, scratch_path
 from ..streaming import ingest_stream, run_stream_to_memory
 from .registry import dsum, dsum_sql, query
 
+# r17 (guide §2.1 partitioning is a per-operator decision, VERDICT r16
+# "streaming family" item): a stateful stream's state-partition count is
+# fixed by spark.sql.shuffle.partitions at FIRST checkpoint, and every
+# micro-batch then pays per-INSTANCE state-store costs (instances =
+# partitions × stores-per-operator — 4 for a stream-stream join — each
+# with its own map versioning, delta commit and maintenance). These
+# declared streams carry tiny state (q41c peaks at ~40k join rows at
+# sf0.1, the aggs far less), so 32 cores × 4 stores was pure overhead:
+# q41c measured addBatch ~12 s/batch with 128 instances vs ~4 s wall
+# total at 8 partitions — interleaved A/B: wall median 10.16 → 4.05 s,
+# process-tree cpu 51.8 → 9.0 s, identical 371 output rows. Partition
+# count cannot change any query's RESULT (all sinks are re-sorted, and
+# the sf0.001/sf0.01 oracle parity suite pins the values).
+# Scale contract: this is a state-VOLUME-derived setting, not a core
+# count — rows-per-state-partition should stay near ~1M before adding
+# partitions pays for its commit overhead. B2BQS_STREAM_STATE_PARTITIONS
+# overrides for big-state production topologies; the default stays
+# comparable across the driver's SPARK_GRAFT_CPUS settings.
+_STATE_PARTITIONS_ENV = "B2BQS_STREAM_STATE_PARTITIONS"
+
+
+def _sized_stream_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """run_stream_to_memory with the stream's state partition count sized
+    to its state volume (see the module note above) — set for the
+    lifetime of the (synchronous, AvailableNow) run, restored after."""
+    import os as _os
+
+    spark = sdf.sparkSession
+    raw = _os.environ.get(_STATE_PARTITIONS_ENV)
+    parts = (max(1, int(raw)) if raw
+             else min(spark.sparkContext.defaultParallelism, 8))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return run_stream_to_memory(sdf, output_mode)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A streaming view of ``events``: the table split into 8 parquet files
@@ -66,7 +104,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
     )
     return (
-        run_stream_to_memory(agg, "complete")
+        _sized_stream_to_memory(agg, "complete")
         .select(*_win_cols(), "event_type", "n", "total")
         .orderBy("w_start", "event_type")
     )
@@ -94,7 +132,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
     )
     return (
-        run_stream_to_memory(agg, "complete")
+        _sized_stream_to_memory(agg, "complete")
         .select(*_win_cols(), "n", "total")
         .orderBy("w_start")
     )
@@ -130,7 +168,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
     )
     return (
-        run_stream_to_memory(agg, "complete")
+        _sized_stream_to_memory(agg, "complete")
         .select(
             "user_id",
             F.col("session_window.start").alias("s_start"),
@@ -209,7 +247,7 @@ def q38b(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_stream_to_memory(out, "append").orderBy("user_id", "session_no")
+    return _sized_stream_to_memory(out, "append").orderBy("user_id", "session_no")
 
 
 @query(
@@ -241,7 +279,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
-        run_stream_to_memory(agg, "append")
+        _sized_stream_to_memory(agg, "append")
         .select(*_win_cols(), "n")
         .orderBy("w_start")
     )
@@ -270,7 +308,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return run_stream_to_memory(deduped, "append").orderBy("event_id")
+    return _sized_stream_to_memory(deduped, "append").orderBy("event_id")
 
 
 @query(
@@ -366,7 +404,7 @@ def q41b(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = s.join(cust, s["user_id"] == cust["c_custkey"]).select(
         "event_id", "user_id", "c_name", "c_mktsegment", "value"
     )
-    return run_stream_to_memory(joined, "append").orderBy("event_id")
+    return _sized_stream_to_memory(joined, "append").orderBy("event_id")
 
 
 @query(
@@ -417,7 +455,7 @@ def q41c(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
-    return run_stream_to_memory(joined, "append").orderBy("click_id", "purchase_id")
+    return _sized_stream_to_memory(joined, "append").orderBy("click_id", "purchase_id")
 
 
 __all__ = ["q36", "q37", "q38", "q39", "q40", "q41", "q41b", "q41c"]
