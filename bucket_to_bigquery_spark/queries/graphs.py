@@ -110,18 +110,80 @@ def _cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q78-family graph: canonical (pa < pb) part pairs co-ordered
     in >= _MIN_COOC distinct orders. ONE Spark-side definition shared by
     q78 and q78b (the oracle side already shares _EDGES_SQL) so the two
-    builders cannot drift apart."""
+    builders cannot drift apart.
+
+    r17 shape (guide §2.2/§2.3, the q89 in-row pair enumeration): ONE
+    map-side-combined collect_set aggregate builds each order's distinct
+    part basket, and the canonical pairs are enumerated ROW-LOCALLY from
+    the sorted basket. The old items-distinct + per-order self-join shape
+    executed the 600k-row two-phase distinct TWICE (once per join side),
+    broadcast one full copy, and streamed the other through the join —
+    per und fill: 2 lineitem scans + 2 distinct exchanges + a corpus-wide
+    broadcast build. Now: 1 scan + 1 basket exchange (partial collect_set
+    dedups map-side) + an in-row expansion bounded by the basket size
+    (TPC-H orders hold ≤7 distinct parts). Same pair multiset by
+    construction: sort_array fixes pa < pb and collect_set supplies the
+    same per-order distinct items the old join deduped."""
     li = tables(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select("ps")
+    )
+    return _pairs_from_baskets(baskets)
+
+
+# A mined graph is usually orders of magnitude smaller than its input
+# (the cooc >= _MIN_COOC filter keeps 3.6k edges from 1.2M candidate
+# pairs at sf0.1), but a CACHED frame pins the mining shuffle's
+# partitioning — AQE cannot re-coalesce InMemoryRelation output
+# (canChangeCachedPlanOutputPartitioning is off by default) — so every
+# downstream stage ran a full shuffle-partition-wide task wave over a
+# few thousand rows, and the iterative/multi-consumer reads multiplied
+# that fixed per-task cost (q78b measured 64-task waves over 3.6k rows;
+# ~0.1 cpu-s per task). _compact_graph materializes the mined frame
+# ONCE (eager localCheckpoint — no columnar cache conversion), counts
+# it (a bounded scalar the callers already need: q78b outputs n_edges,
+# q78 needs the empty-graph exit), and coalesces the checkpointed
+# blocks to a partition count derived from the MEASURED size — 1 task
+# per ~100k edges, capped at cluster width. Scale-adaptive by
+# construction: a 10^9-edge co-occurrence graph keeps defaultParallelism
+# partitions; the bench graph collapses to 1.
+_ROWS_PER_GRAPH_PARTITION = 100_000
+
+
+def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     return (
-        a.join(b, on=[a.l_orderkey == b.l_orderkey, a.pa < b.pb])
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("cooc"))
         .where(F.col("cooc") >= _MIN_COOC)
         .select("pa", "pb")
     )
+
+
+def _compact_graph(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize a mined graph frame once and right-size its
+    partitioning to its measured row count (see the note above).
+    Returns (frame, n_rows)."""
+    ck = df.localCheckpoint(eager=True)
+    n = ck.count()
+    sc = df.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism,
+                       -(-n // _ROWS_PER_GRAPH_PARTITION)))
+    return ck.coalesce(parts), n
 
 
 @query("q78_pagerank", oracle=_pagerank_oracle(),
@@ -157,20 +219,22 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rdd is not None:
                 rdd.unpersist(False)
 
-    pairs = _cooccurrence_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(pairs.select(F.col("pb").alias("src"),
-                               F.col("pa").alias("dst")))
-        .cache()  # invariant edge set, re-read every iteration
-    )
-    deg = (
+    # r17: the invariant edge/degree frames are _compact_graph
+    # materializations instead of .cache() — the caches pinned the
+    # mining shuffle's partition count, so every one of the 5 iterations
+    # re-ran full-width task waves over a few thousand rows (see the
+    # _compact_graph note); the checkpointed blocks are read narrowly at
+    # the size-derived width every round, and the counts they need were
+    # already part of the algorithm (empty-graph exit / n_nodes scalar).
+    pairs, n_edges = _compact_graph(_cooccurrence_pairs(spark, sf_dir))
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"),
+                            F.col("pa").alias("dst")))
+    deg, n_nodes = _compact_graph(
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .cache()  # one row per node, re-read every iteration
     )
-    n_nodes = deg.count()  # bounded scalar (parts dimension); also
-    #                        eagerly fills the edge + degree caches
     if n_nodes == 0:
         return spark.createDataFrame([], "part long, deg long, pr_e12 long")
 
@@ -239,18 +303,23 @@ _Q78B_DESCRIPTION = (
 @query("q78b_triangle_count", oracle=_Q78B_ORACLE,
        description=_Q78B_DESCRIPTION, tags=("graph", "analytics"))
 def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = (
+    # r17: _compact_graph materializations replace the caches (the
+    # mining feeds deg, the edge total AND the orientation; the old
+    # cached frames pinned full-width partitioning over a few thousand
+    # rows — see the _compact_graph note), deg is materialized once for
+    # its THREE consumers (du/dv/stats; it was recomputed per consumer
+    # before), and n_edges folds in as the measured driver scalar
+    # instead of a crossJoined 1-row aggregate.
+    und, n_edges = _compact_graph(
         _cooccurrence_pairs(spark, sf_dir)
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        # the mining pipeline (distinct + per-basket self-join + count)
-        # feeds deg, the edge total AND the orientation — cache it, the
-        # same reason q78 caches its edge set
-        .cache()
     )
     edges = und.unionAll(und.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
-    deg = edges.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    deg, _ = _compact_graph(
+        edges.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
@@ -261,7 +330,9 @@ def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
-        .cache()  # three wedge-join consumers (e1/e2/e3)
+        # three wedge-join consumers (e1/e2/e3); narrow over the und
+        # checkpoint, so it materializes at the size-derived width
+        .localCheckpoint(eager=True)
     )
     e1 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = ordered.select(F.col("lo").alias("y2"), F.col("hi").alias("z"))
@@ -276,9 +347,9 @@ def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("long")
         .alias("n_wedges"),
     )
-    m = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
-        stats.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(tri))
+        stats.withColumn("n_edges", F.lit(n_edges).cast("long"))
+        .crossJoin(F.broadcast(tri))
         .selectExpr(
             "n_nodes", "n_edges", "n_wedges", "n_triangles",
             # wedge-free graph (perfect matching) ⇒ gcc 0, not a
