@@ -129,19 +129,24 @@ _Q57_DESCRIPTION = (
 
 
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables(spark, sf_dir)["documents"]
+    # r17 (guide §5): the old corpus-wide .persist() materialized every
+    # doc's shingle array for exactly two DISJOINT doc_id slices — the
+    # benchmark (5%) and corpus (95%) branches — so recomputing the
+    # tokenize/shingle projection per branch costs ~one corpus pass
+    # total and the persist bought only its own materialization cost.
+    # Deliberately NO round-robin pre-spread here: this is a ~3 s pass
+    # and the interleaved 3-way A/B reproduced the r16 negative result
+    # (32-way spread: cpu 42 s vs 7 s unspread — task-contention
+    # overhead, OPTIMIZATION_r16.md "Negative results").
     d = (
-        tables(spark, sf_dir)["documents"]
         # two-step select: the shingle expression references its token
         # array 3×; an attribute boundary computes it once per row
-        # (q47d's measured 10×-at-sf0.1 lesson). Persisted because both
-        # the benchmark and corpus branches consume it; retained for the
-        # session like q47d's (a lazy builder cannot unpersist its own
-        # result) — bench.py sweeps all persisted state between queries.
-        .select("doc_id", tokens("text").alias("toks"))
+        # (q47d's measured 10×-at-sf0.1 lesson).
+        docs.select("doc_id", tokens("text").alias("toks"))
         .select(
             "doc_id", F.array_distinct(shingles(F.col("toks"), 5)).alias("shs")
         )
-        .persist()
     )
     bench = (
         d.where(F.col("doc_id") % _BENCH_MOD == _BENCH_REM)
@@ -149,38 +154,70 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     salts = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
-    # the Bloom 'bit-set': distinct positions — ≤ m rows by construction,
-    # independent of benchmark size. Exactly-one-column ⇒ ~0.5 MB
-    # broadcast at full occupancy.
-    bloom = (
+    # r17 (guide §2.4 remove shuffles / §3): the Bloom 'bit-set' is now
+    # a REAL bitmap — the ≤ m distinct set-bit positions OR-fold into
+    # m/64 words and densify into ONE row holding an array<long> (8 KB
+    # at m=65536, still bounded by construction however large the
+    # benchmark grows). The old shape exploded every corpus shingle ×
+    # k salts (4× the corpus-shingle stream), probed each row through a
+    # broadcast join, and re-aggregated the 4× stream back per
+    # (doc, shingle); now the k probes are ROW-LOCAL array index/shift
+    # tests against the crossJoined 1-row bitmap — no salt explode, no
+    # probe join, no (doc, shingle) re-aggregation exchange. Position
+    # math is the identical md5 expression, so results are unchanged
+    # (oracle untouched, value-pinned at both SFs).
+    words = (
         bench.select(F.explode(salts).alias("j"), "shingle")
         .select(_pos(F.col("j"), F.col("shingle")).alias("pos"))
-        .distinct()
-        .withColumn("bit", F.lit(1))
+        .groupBy(F.expr("CAST(pos div 64 AS INT)").alias("widx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pos % 64 AS INT)))"
+            ).alias("word")
+        )
+    )
+    bitmap = words.agg(
+        F.collect_list(F.struct("widx", "word")).alias("entries")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M // 64 - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.map_from_entries(F.col("entries")), i),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bloom_bits")
     )
     corpus = d.where(F.col("doc_id") % _BENCH_MOD != _BENCH_REM)
-    # one corpus pass: explode shingles, then the k salted probes; a
-    # shingle is bloom-positive iff ALL k positions hit. The exact
-    # verdict rides the same per-shingle frame via a second broadcast
-    # join against the raw benchmark shingles (small at gate scale; at
-    # blocklist scale one would keep ONLY the bloom side — the exact
-    # column here is what makes the FP rate measurable).
+    # k row-local bit tests; a shingle is bloom-positive iff ALL k hit.
+    # NULL shingles (explode_outer placeholders of shingle-free docs)
+    # yield NULL positions — the when().otherwise(0) keeps their flag
+    # contribution an explicit 0, matching the old join-miss semantics.
+    hits = " + ".join(
+        f"(shiftright(element_at(bloom_bits, CAST(p{j} div 64 AS INT) + 1), "
+        f"CAST(p{j} % 64 AS INT)) & 1)"
+        for j in range(_BLOOM_K)
+    )
+    bloom_flag = F.expr(
+        f"CASE WHEN shingle IS NOT NULL AND ({hits}) = {_BLOOM_K} "
+        "THEN 1 ELSE 0 END"
+    )
     probe = (
         corpus.select("doc_id", F.explode_outer("shs").alias("shingle"))
-        .select("doc_id", "shingle", F.explode_outer(salts).alias("j"))
-        .withColumn("pos", _pos(F.col("j"), F.col("shingle")))
-        .join(F.broadcast(bloom), "pos", "left")
-        .groupBy("doc_id", "shingle")
-        .agg(F.count("bit").alias("k_hits"))
+        .crossJoin(F.broadcast(bitmap))
+        .select(
+            "doc_id", "shingle", "bloom_bits",
+            *[_pos(F.lit(j), F.col("shingle")).alias(f"p{j}")
+              for j in range(_BLOOM_K)],
+        )
+        .select("doc_id", "shingle", bloom_flag.alias("bloom_hit"))
         .join(
             F.broadcast(bench.withColumn("exact", F.lit(1))), "shingle", "left"
         )
         .groupBy("doc_id")
         .agg(
             F.count("shingle").alias("n_shingles"),
-            F.sum(
-                (F.col("k_hits") == _BLOOM_K).cast("long")
-            ).alias("n_bloom_flagged"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_flagged"),
             F.sum(F.coalesce(F.col("exact"), F.lit(0))).alias("n_exact"),
         )
     )
