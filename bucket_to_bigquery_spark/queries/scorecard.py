@@ -74,10 +74,18 @@ _Q102_DESCRIPTION = (
 
 def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
+    # r17 (guide §5, the q89/q95 cache lesson): the corpus-sized cache
+    # that used to feed both aggregations cost more than it saved — the
+    # language branch needs only (source, lang), so caching forced it to
+    # read materialized norm strings it never uses, while the agg branch
+    # reads the cache exactly once (no reuse to amortize). Each branch
+    # now scans the parquet with ITS OWN pruned columns; norm is
+    # computed once, in the one branch that consumes it (interleaved
+    # A/B: cpu 2.56 -> 2.30 s, wall 0.84 -> 0.70 s, identical rows).
     base = docs.select(
         "source", normalize_text(F.col("text")).alias("norm"),
         "lang", "n_chars",
-    ).cache()  # two consumers: the agg pass and the language counts
+    )
     agg = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("norm").cast("long").alias("n_distinct_texts"),
@@ -86,7 +94,7 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.col("c").desc(), F.col("lang").asc())
     lc = (
-        base.groupBy("source", "lang")
+        docs.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .select("source", "lang", "c", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") == 1)

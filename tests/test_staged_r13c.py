@@ -162,10 +162,17 @@ def test_q102_matches_bruteforce(spark, sf_dir):
             top[0], _round_half_away(top[1] / s["n"] * 1e6))
 
 
-def test_q102_base_projection_cached(spark, sf_dir):
+def test_q102_branches_scan_pruned_columns(spark, sf_dir):
+    # r17: the corpus-sized cache is gone (it forced the language branch
+    # to read materialized norm strings it never uses — OPTIMIZATION_r17
+    # q102 entry); each branch scans parquet with its own pruned columns
+    # and the text column reaches exactly one scan (the norm branch)
     plan = _plan(spark, sf_dir, "q102_source_scorecard")
-    assert plan.count("InMemoryTableScan") >= 2
+    assert "InMemoryTableScan" not in plan
     assert "CartesianProduct" not in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(reads) >= 2
+    assert sum("text" in ln for ln in reads) == 1, reads
 
 
 # ---------------------------------------------------------------------------
